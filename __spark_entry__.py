@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+The query surface mirrors the reference's (TPC-H q1-q22 class SQL, reference
+``tests/tpch.rs:168-194`` + ad-hoc aggregation/CTE tests,
+``tests/distributed_aggregation.rs:19``, ``tests/distributed_repartitions.rs:18-37``)
+plus the training-data pipeline operators. SQL-corpus queries share one ANSI
+text between Spark and the DuckDB oracle; DataFrame-native operators carry a
+semantically-equivalent hand-written oracle.
 """
 
 from __future__ import annotations
@@ -13,26 +19,55 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import sys as _sys
+
+if "/root/repo" not in _sys.path:  # driver may exec this file from anywhere
+    _sys.path.insert(0, "/root/repo")
+
+from datafusion_distributed_experiment_spark import Engine
+from datafusion_distributed_experiment_spark import queries as corpus
+
+_SQL_QUERIES = [
+    *(f"tpch/q{i}" for i in range(1, 23)),
+    "adhoc/events_agg_count",
+    "adhoc/events_cte_join",
+    "adhoc/events_daily",
+]
+
+
+def _run_corpus(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    text = corpus.load(name)
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = Engine(spark)
+        eng.register_sf_dir(sf_dir)
+        return eng.sql(text)
+
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H q1 shape) on /root/testdata/sf0.001."""
+    return _run_corpus("tpch/q1")(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _SQL_QUERIES:
+        out[name.split("/", 1)[1]] = _run_corpus(name)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from datafusion_distributed_experiment_spark.operators import pipeline_queries
+
+    out.update(pipeline_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for name in _SQL_QUERIES:
+        out[name.split("/", 1)[1]] = corpus.strip_hints(corpus.load(name))
+
+    from datafusion_distributed_experiment_spark.operators import pipeline_oracles
+
+    out.update(pipeline_oracles())
+    return out

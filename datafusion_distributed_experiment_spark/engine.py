@@ -1,0 +1,245 @@
+"""Engine — session + catalog + SQL entry point.
+
+Mirrors the reference's lifecycle (register tables -> SQL -> optimized plan ->
+staged distributed execution -> collect; reference ``tests/tpch.rs:137-194``)
+with an idiomatic Spark API. Registration paths map one-to-one:
+
+- parquet listing table (reference ``tests/tpch.rs:149-161``)      -> :meth:`Engine.register_parquet`
+- csv / pipe-delimited ``.tbl`` (reference ``benchmarks/src/tpch/run.rs:294-309``)
+                                                                   -> :meth:`Engine.register_csv` / :meth:`Engine.register_tbl`
+- ``MemTable::load`` N-way in-memory (reference ``run.rs:226-235``) -> :meth:`Engine.register_mem`
+- ``CREATE VIEW``/multi-statement scripts (reference ``run.rs:186-199``,
+  ``benchmarks/src/tpch/mod.rs:148-161``)                          -> :meth:`Engine.sql_script`
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .errors import map_exception
+from .session import build_session
+
+
+def _nano_timestamp_columns(path: str) -> list[tuple[str, bool]]:
+    """(column, is_nanos) for timestamp columns in a parquet file/directory,
+    read from the parquet footer (driver-side metadata only — no data read)."""
+    try:
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+        out = []
+        for field in schema:
+            t = str(field.type)
+            if t.startswith("timestamp"):
+                out.append((field.name, "[ns" in t))
+        return out
+    except Exception:  # noqa: BLE001 - footer probing is best-effort
+        return []
+
+_TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def split_sql_script(script: str) -> list[str]:
+    """Split a multi-statement SQL script on ``;`` (reference
+    ``benchmarks/src/tpch/mod.rs:148-161``). Semicolons inside single-quoted
+    strings are respected; empty statements dropped."""
+    statements: list[str] = []
+    buf: list[str] = []
+    in_quote = False
+    i = 0
+    while i < len(script):
+        ch = script[i]
+        if ch == "'":
+            # '' is an escaped quote inside a literal
+            if in_quote and i + 1 < len(script) and script[i + 1] == "'":
+                buf.append("''")
+                i += 2
+                continue
+            in_quote = not in_quote
+            buf.append(ch)
+        elif ch == ";" and not in_quote:
+            stmt = "".join(buf).strip()
+            if stmt:
+                statements.append(stmt)
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        statements.append(tail)
+    return statements
+
+
+class Engine:
+    """Thin, idiomatic wrapper over a SparkSession.
+
+    ``partitions`` maps the reference's ``target_partitions``
+    (reference ``src/test_utils/localhost.rs:41``) to
+    ``spark.sql.shuffle.partitions``. Everything else — stage creation, URL
+    assignment, plan shipping, shuffle write dedup — is Spark's scheduler
+    (reference equivalents: ``src/plan/assign_stages.rs``,
+    ``src/flight_service/stream_partitioner_registry.rs``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        partitions: int | None = None,
+        app_name: str = "datafusion-distributed-experiment-spark",
+    ):
+        if spark is None:
+            spark = build_session(app_name=app_name, shuffle_partitions=partitions)
+        elif partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        self.spark = spark
+
+    # ------------------------------------------------------------------ #
+    # catalog registration (reference SessionBuilder + register_* paths)
+    # ------------------------------------------------------------------ #
+
+    def register_parquet(self, name: str, path: str) -> DataFrame:
+        """Register a parquet file/directory as a temp view with inferred
+        schema (reference ``ctx.register_parquet``,
+        ``src/test_utils/parquet.rs:5-17``; listing tables
+        ``tests/tpch.rs:149-161``).
+
+        Nanosecond-timestamp columns arrive as BIGINT nanos (via
+        ``spark.sql.legacy.parquet.nanosAsLong``) and are converted here to
+        TIMESTAMP_NTZ at microsecond precision — the same truncation DuckDB
+        applies, so oracle comparisons agree."""
+        df = self.spark.read.parquet(path)
+        for col, ns in _nano_timestamp_columns(path):
+            if col in df.columns and dict(df.dtypes).get(col) == "bigint" and ns:
+                df = df.withColumn(
+                    col, F.expr(f"CAST(timestamp_micros({col} DIV 1000) AS TIMESTAMP_NTZ)")
+                )
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_csv(
+        self,
+        name: str,
+        path: str,
+        schema: StructType | str | None = None,
+        sep: str = ",",
+        header: bool = True,
+    ) -> DataFrame:
+        """Register a CSV table, optionally with an explicit schema
+        (reference ``benchmarks/src/tpch/run.rs:294-309``)."""
+        reader = self.spark.read.option("sep", sep).option("header", str(header).lower())
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", "true")
+        df = reader.csv(path)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_tbl(self, name: str, path: str, schema: StructType | str) -> DataFrame:
+        """Register a TPC-H ``.tbl`` file: ``|``-delimited, no header, with a
+        trailing ``|`` producing a placeholder column that is dropped
+        (reference ``benchmarks/src/tpch/mod.rs:41-45``,
+        ``convert.rs:97-106``)."""
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        padded = StructType(schema.fields[:]).add("__placeholder", "string")
+        df = (
+            self.spark.read.option("sep", "|")
+            .option("header", "false")
+            .schema(padded)
+            .csv(path)
+            .drop("__placeholder")
+        )
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_mem(self, name: str, df: DataFrame, partitions: int | None = None) -> DataFrame:
+        """Materialize a DataFrame in memory N-ways and register it
+        (reference ``MemTable::load``, ``benchmarks/src/tpch/run.rs:226-235``)."""
+        if partitions:
+            df = df.repartition(partitions)
+        df = df.cache()
+        df.count()  # force materialization, like MemTable::load
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_view(self, name: str, df: DataFrame) -> DataFrame:
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_sf_dir(self, sf_dir: str, tables: Iterable[str] = _TPCH_TABLES) -> None:
+        """Register every driver-provided synthetic table under ``sf_dir``."""
+        for t in tables:
+            self.register_parquet(t, f"{sf_dir}/{t}.parquet")
+
+    # ------------------------------------------------------------------ #
+    # query entry points (reference ctx.sql / multi-statement scripts)
+    # ------------------------------------------------------------------ #
+
+    def sql(self, text: str) -> DataFrame:
+        """Parse/plan a single SQL statement (reference ``ctx.sql``,
+        ``tests/tpch.rs:175``). Catalyst optimizes and inserts exchanges —
+        the engine adds no hand-scheduling."""
+        try:
+            return self.spark.sql(text)
+        except Exception as exc:  # noqa: BLE001 - mapped into taxonomy
+            raise map_exception(exc) from exc
+
+    def sql_script(self, script: str, result_statement: int | None = None) -> DataFrame | None:
+        """Execute a ``;``-separated script, returning one statement's result.
+
+        Mirrors the reference's 3-statement q15 handling (``create view;
+        select; drop view`` — reference ``benchmarks/src/tpch/run.rs:186-199``):
+        by default the result is the last ``SELECT``-producing statement
+        before any trailing DDL; pass ``result_statement`` to pick explicitly.
+        """
+        statements = split_sql_script(script)
+        result: DataFrame | None = None
+        results: list[DataFrame | None] = []
+        for stmt in statements:
+            df = self.sql(stmt)
+            results.append(df)
+            if df is not None and df.columns:
+                result = df
+        if result_statement is not None:
+            picked = results[result_statement]
+            if picked is not None and picked.columns:
+                # Materialize before any later DROP VIEW invalidates it.
+                return picked
+            return picked
+        return result
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    # ------------------------------------------------------------------ #
+    # sinks (reference benchmarks/src/tpch/convert.rs:128-160)
+    # ------------------------------------------------------------------ #
+
+    def write_parquet(self, df: DataFrame, path: str, compression: str = "zstd") -> None:
+        df.write.mode("overwrite").option("compression", compression).parquet(path)
+
+    def write_csv(self, df: DataFrame, path: str, sep: str = ",", header: bool = True) -> None:
+        df.write.mode("overwrite").option("sep", sep).option(
+            "header", str(header).lower()
+        ).csv(path)
+
+    def stop(self) -> None:
+        self.spark.stop()

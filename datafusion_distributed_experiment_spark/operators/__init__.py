@@ -1,0 +1,38 @@
+"""Training-data pipeline operators (beyond the reference's own surface).
+
+The reference demonstrates an extension mechanism for shipping custom
+operators to workers (reference ``tests/custom_extension_codec.rs:160-264``);
+in Spark the analogous extension point is DataFrame compositions and
+Arrow-batched pandas UDFs, which PySpark serializes and ships natively. Each
+operator here is built for 100 TB scale: no driver-side collection, shuffle
+only on explicit keys, broadcast only for provably-small sides.
+
+``pipeline_queries()`` / ``pipeline_oracles()`` export the driver-facing
+(spark, sf_dir) -> DataFrame callables and their DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from . import dedup, similarity, text
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(text.queries())
+    out.update(dedup.queries())
+    out.update(similarity.queries())
+    return out
+
+
+def pipeline_oracles() -> dict[str, str]:
+    from . import dedup, similarity, text
+
+    out: dict[str, str] = {}
+    out.update(text.oracles())
+    out.update(dedup.oracles())
+    out.update(similarity.oracles())
+    return out

@@ -1,0 +1,96 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The reference configures its sessions via ``SessionBuilder`` hooks and CLI
+options (reference ``src/flight_service/session_builder.rs:9-111``,
+``benchmarks/src/util/options.rs:43-115``): target partitions, batch size,
+memory pools, hash-vs-sort-merge join preference. The Spark analog of every
+one of those knobs is a session conf, collected here.
+
+Defaults are chosen for a *large cluster* (AQE on, skew-join handling on,
+partition coalescing on); tests override parallelism for local runs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping
+
+from pyspark.sql import SparkSession
+
+
+def default_spark_conf(
+    shuffle_partitions: int | None = None,
+    prefer_hash_join: bool = True,
+) -> dict[str, str]:
+    """Scale-oriented session configuration.
+
+    Maps the reference's benchmark options (reference
+    ``benchmarks/src/util/options.rs:36-59``) onto Spark confs:
+
+    - ``--partitions`` -> ``spark.sql.shuffle.partitions``
+    - ``--batch-size`` (Arrow batch 8192) -> Arrow execution batch size
+    - ``--prefer_hash_join`` -> ``spark.sql.join.preferSortMergeJoin`` (inverted)
+    - memory pool / spill -> Spark's UnifiedMemoryManager (built in; no conf)
+    """
+    conf: dict[str, str] = {
+        # Adaptive execution: runtime re-planning, partition coalescing and
+        # skew-join splitting — the scale-survival trifecta.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Keep parquet scans prunable.
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        # Arrow transfer for pandas UDFs (the reference's RecordBatch currency,
+        # reference src/flight_service/do_get.rs:171-179).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
+        # Deterministic timestamps across engines (oracle comparisons).
+        "spark.sql.session.timeZone": "UTC",
+        # The driver's synthetic parquet stores TIMESTAMP(NANOS); this maps
+        # them to TIMESTAMP_NTZ on read (matching DuckDB's microsecond NTZ
+        # semantics) instead of failing with PARQUET_TYPE_ILLEGAL.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # ANSI off: TPC-H-style implicit string<->date coercion
+        # (reference testdata/tpch/queries/q4.sql:6 relies on it).
+        "spark.sql.ansi.enabled": "false",
+        # Dimension-table broadcast: 32 MB threshold; AQE sizes at runtime too.
+        "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+        "spark.sql.join.preferSortMergeJoin": "false" if prefer_hash_join else "true",
+        # 128 MB scan splits — survives 100 TB inputs without driver OOM on
+        # split enumeration while keeping per-task work meaningful.
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions
+            if shuffle_partitions is not None
+            else int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        ),
+    }
+    return conf
+
+
+def build_session(
+    app_name: str = "datafusion-distributed-experiment-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: Mapping[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when no cluster is
+    configured; on a real cluster pass ``None`` with ``spark.master`` set by
+    the deployment (YARN/K8s/standalone), mirroring the reference's pluggable
+    ``ChannelResolver`` worker discovery (reference ``src/channel_manager.rs:29-34``).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    for k, v in default_spark_conf(shuffle_partitions=shuffle_partitions).items():
+        builder = builder.config(k, v)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

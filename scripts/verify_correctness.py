@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, comparing
+row count, column names, and an order-insensitive value hash — the
+cross-engine version of the reference's differential test
+(reference tests/tpch.rs:168-194, where the single-node run is the oracle).
+
+Usage: python scripts/verify_correctness.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canonical_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive value hash: columns sorted by name, rows sorted by
+    their full stringified tuple, then sha256 over the CSV bytes."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    as_str = df.astype(str)
+    if len(as_str):
+        order = as_str.apply(lambda r: "\x1f".join(r.values), axis=1).sort_values().index
+        as_str = as_str.loc[order]
+    payload = as_str.to_csv(index=False).encode()
+    return hashlib.sha256(payload).hexdigest()[:16]
+
+
+def main() -> int:
+    import __spark_entry__ as entry_mod
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from datafusion_distributed_experiment_spark import build_session
+
+    spark = build_session(master="local[8]", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures: list[str] = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        spark_s = time.perf_counter() - t0
+        if name not in oracles:
+            print(f"ok?  {name}: rows={len(sdf)} (no oracle, rows-only) [{spark_s:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} != {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        if not problems:
+            hs, ho = canonical_hash(sdf), canonical_hash(odf)
+            if hs != ho:
+                problems.append(f"hash {hs} != {ho}")
+                merged = sdf.reindex(sorted(sdf.columns), axis=1).astype(str)
+                omerged = odf.reindex(sorted(odf.columns), axis=1).astype(str)
+                sset = set(map(tuple, merged.values))
+                oset = set(map(tuple, omerged.values))
+                diff1 = list(sset - oset)[:3]
+                diff2 = list(oset - sset)[:3]
+                if diff1:
+                    problems.append(f"spark-only rows: {diff1}")
+                if diff2:
+                    problems.append(f"oracle-only rows: {diff2}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"PASS {name}: rows={len(sdf)} hash match [{spark_s:.1f}s]")
+
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
