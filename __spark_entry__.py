@@ -35,13 +35,25 @@ _SQL_QUERIES = [
 ]
 
 
+_registered: set[tuple[int, str]] = set()
+
+
+def _ensure_registered(spark: SparkSession, sf_dir: str) -> Engine:
+    """Register the sf_dir tables once per (session, dir) — schema probing
+    and view creation are driver-side overhead worth paying a single time."""
+    eng = Engine(spark)
+    key = (id(spark), sf_dir)
+    if key not in _registered:
+        eng.register_sf_dir(sf_dir)
+        _registered.add(key)
+    return eng
+
+
 def _run_corpus(name: str) -> Callable[[SparkSession, str], DataFrame]:
     text = corpus.load(name)
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        eng = Engine(spark)
-        eng.register_sf_dir(sf_dir)
-        return eng.sql(text)
+        return _ensure_registered(spark, sf_dir).sql(text)
 
     return run
 

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Driver-facing benchmark entry point.
+
+Runs every query from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_query_seconds", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Also writes the reference-shaped ``results.json`` (protocol of reference
+``benchmarks/src/util/run.rs:196-210``) next to this file, with a
+previous-run comparison when one exists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERATIONS", "1"))
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entry_mod
+    from datafusion_distributed_experiment_spark import build_session
+    from datafusion_distributed_experiment_spark.bench import run_benchmark, mean_seconds, write_results
+
+    spark = build_session(
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        app_name="bench",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = run_benchmark(spark, entry_mod.queries(), sf_dir, iterations=iterations)
+    write_results(results, os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json"))
+
+    per_query = {}
+    total = 0.0
+    for q in results["queries"]:
+        s = mean_seconds(q)
+        if s is not None:
+            per_query[q["query"]] = round(s, 3)
+            total += s
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

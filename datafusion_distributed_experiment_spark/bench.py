@@ -1,0 +1,117 @@
+"""Benchmark harness with the reference's measurement protocol.
+
+Mirrors ``benchmarks/src/util/run.rs`` + ``benchmarks/src/tpch/run.rs``:
+wall-clock per query over N iterations (reference default 3,
+``options.rs:36-37``), a ``results.json`` artifact with the same shape
+(``util/run.rs:64-132,196-210``), and a comparison against the previous run
+with 1.2x faster/slower markers (``util/run.rs:212-260``).
+
+Execution is forced with the ``noop`` sink so the full plan runs (scan ->
+shuffle -> aggregate) without collecting results to the driver — the bench
+measures the engine, not driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+FASTER_RATIO = 1.2  # reference util/run.rs:246-252
+
+
+def _force(df: DataFrame) -> int:
+    """Run the plan to completion and return the row count.
+
+    ``collect`` (not ``count``) so every output column is computed — a bare
+    count() would let Catalyst prune the aggregate expressions and
+    under-measure. All corpus queries return small results (aggregates /
+    top-k), so the transfer cost is noise."""
+    return len(df.collect())
+
+
+def run_benchmark(
+    spark: SparkSession,
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]],
+    sf_dir: str,
+    iterations: int = 1,
+    warmup: bool = True,
+) -> dict:
+    """Time every query; returns the reference-shaped results dict."""
+    results = {
+        "context": {
+            "benchmark_version": "0.1.0",
+            "engine": f"pyspark-{spark.version}",
+            "num_cpus": os.cpu_count(),
+            "start_time": int(time.time()),
+            "arguments": {"sf_dir": sf_dir, "iterations": iterations},
+        },
+        "queries": [],
+    }
+    if warmup:
+        # First query pays JVM/codegen/FS-listing warmup; burn it once.
+        first = next(iter(queries.values()))
+        try:
+            _force(first(spark, sf_dir))
+        except Exception:  # noqa: BLE001 - warmup is best-effort
+            pass
+    for name, fn in queries.items():
+        entry = {"query": name, "iterations": [], "start_time": int(time.time()), "success": True}
+        for _ in range(iterations):
+            t0 = time.perf_counter()
+            try:
+                n = _force(fn(spark, sf_dir))
+                elapsed = time.perf_counter() - t0
+                entry["iterations"].append(
+                    {"elapsed_ms": round(elapsed * 1000, 1), "row_count": n}
+                )
+            except Exception as exc:  # noqa: BLE001
+                entry["success"] = False
+                entry["error"] = str(exc).splitlines()[0][:200]
+                break
+        results["queries"].append(entry)
+    return results
+
+
+def mean_seconds(entry: dict) -> float | None:
+    its = entry.get("iterations") or []
+    if not its:
+        return None
+    return sum(i["elapsed_ms"] for i in its) / len(its) / 1000.0
+
+
+def compare_runs(current: dict, previous: dict) -> list[str]:
+    """Previous-run comparison lines (reference util/run.rs:212-260)."""
+    prev = {q["query"]: q for q in previous.get("queries", [])}
+    lines = []
+    for q in current["queries"]:
+        name = q["query"]
+        cur_s = mean_seconds(q)
+        prev_s = mean_seconds(prev.get(name, {}))
+        if cur_s is None or prev_s is None or cur_s == 0:
+            continue
+        ratio = prev_s / cur_s
+        if ratio >= FASTER_RATIO:
+            mark = f"+{ratio:.2f}x faster"
+        elif ratio <= 1 / FASTER_RATIO:
+            mark = f"-{1 / ratio:.2f}x slower"
+        else:
+            mark = "no change"
+        lines.append(f"{name}: {cur_s * 1000:.1f} ms (prev {prev_s * 1000:.1f} ms) {mark}")
+    return lines
+
+
+def write_results(results: dict, output: str | Path) -> None:
+    output = Path(output)
+    if output.exists():
+        try:
+            previous = json.loads(output.read_text())
+            for line in compare_runs(results, previous):
+                print(line)
+        except Exception:  # noqa: BLE001 - stale/corrupt previous file
+            pass
+    output.write_text(json.dumps(results, indent=2))

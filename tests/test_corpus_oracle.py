@@ -1,0 +1,39 @@
+"""Differential corpus tests: Spark vs DuckDB oracle on identical SQL text.
+
+The cross-engine version of the reference's single-node-vs-distributed
+differential strategy (reference tests/tpch.rs:168-194: same plan, two
+execution topologies, byte-equal output; here: same SQL, two engines,
+canonicalized-equal output)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+from ._compare import assert_frames_match
+from .conftest import SF_DIR
+
+_QUERIES = sorted(entry_mod.queries())
+_ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_query_matches_oracle(name, spark, duck):
+    sdf = entry_mod.queries()[name](spark, SF_DIR).toPandas()
+    if name not in _ORACLES:
+        pytest.skip(f"{name}: rows-only check (no SQL oracle)")
+    odf = duck.execute(_ORACLES[name]).df()
+    assert_frames_match(sdf, odf, name)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "l_returnflag"
+
+
+def test_queries_and_oracles_share_keys():
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(o) <= set(q), f"oracles without queries: {set(o) - set(q)}"

@@ -1,0 +1,32 @@
+"""Differential execution-topology tests.
+
+The reference's core strategy: the same plan executed single-node and
+distributed must produce identical results (reference tests/tpch.rs:168-194,
+3-9 localhost workers). The Spark analog: the same SQL under 1 vs 8 shuffle
+partitions — different physical exchange structure, equal results."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+from ._compare import canonical
+from .conftest import SF_DIR
+
+# A representative slice: aggregation-only, join-heavy, subquery, anti-join.
+_SAMPLE = ["q1", "q5", "q17", "q21", "events_cte_join"]
+
+
+@pytest.mark.parametrize("name", _SAMPLE)
+def test_shuffle_partitions_do_not_change_results(name, spark):
+    fn = entry_mod.queries()[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        single = canonical(fn(spark, SF_DIR).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        distributed = canonical(fn(spark, SF_DIR).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert single == distributed

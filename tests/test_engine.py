@@ -1,0 +1,72 @@
+"""Engine registration paths, script execution, sinks.
+
+Covers the reference's table-registration surfaces (parquet listing tables,
+csv/.tbl with explicit schema, MemTable — reference tests/tpch.rs:149-161,
+benchmarks/src/tpch/run.rs:226-235,294-309) and the multi-statement q15
+script (run.rs:186-199)."""
+
+from __future__ import annotations
+
+from datafusion_distributed_experiment_spark.engine import split_sql_script
+
+from .conftest import SF_DIR
+
+
+def test_register_parquet_infers_schema(engine):
+    df = engine.table("lineitem")
+    assert "l_orderkey" in df.columns
+    assert dict(df.dtypes)["l_shipdate"].startswith("timestamp")
+
+
+def test_register_csv_and_tbl(engine, tmp_path):
+    # csv with header
+    src = engine.sql("SELECT n_nationkey, n_name FROM nation")
+    engine.write_csv(src, str(tmp_path / "nation_csv"))
+    engine.register_csv(
+        "nation_csv", str(tmp_path / "nation_csv"), schema="n_nationkey INT, n_name STRING"
+    )
+    assert engine.sql("SELECT COUNT(*) AS n FROM nation_csv").collect()[0].n == 25
+
+    # pipe-delimited .tbl with trailing | (reference convert.rs:97-106)
+    tbl = tmp_path / "nation.tbl"
+    rows = src.collect()
+    tbl.write_text("".join(f"{r.n_nationkey}|{r.n_name}|\n" for r in rows))
+    engine.register_tbl("nation_tbl", str(tbl), "n_nationkey INT, n_name STRING")
+    df = engine.table("nation_tbl")
+    assert df.columns == ["n_nationkey", "n_name"]  # placeholder dropped
+    assert df.count() == 25
+
+
+def test_register_mem(engine):
+    df = engine.sql("SELECT * FROM region")
+    engine.register_mem("region_mem", df, partitions=2)
+    assert engine.sql("SELECT COUNT(*) AS n FROM region_mem").collect()[0].n == 5
+    assert engine.table("region_mem").rdd.getNumPartitions() == 2
+
+
+def test_sql_script_view_lifecycle(engine):
+    """The reference's q15 3-statement form: create view; select; drop view."""
+    out = engine.sql_script(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW revenue_t AS
+            SELECT l_suppkey, SUM(l_extendedprice) AS total FROM lineitem GROUP BY l_suppkey;
+        SELECT COUNT(*) AS n FROM revenue_t;
+        DROP VIEW revenue_t
+        """,
+        result_statement=1,
+    )
+    assert out.collect()[0].n == 10
+    # view is gone afterwards
+    assert "revenue_t" not in [t.name for t in engine.spark.catalog.listTables()]
+
+
+def test_split_sql_script_respects_quotes():
+    stmts = split_sql_script("SELECT ';'; SELECT 'it''s'; SELECT 1")
+    assert stmts == ["SELECT ';'", "SELECT 'it''s'", "SELECT 1"]
+
+
+def test_parquet_roundtrip_with_compression(engine, tmp_path):
+    df = engine.sql("SELECT * FROM nation")
+    engine.write_parquet(df, str(tmp_path / "nation_pq"), compression="zstd")
+    back = engine.spark.read.parquet(str(tmp_path / "nation_pq"))
+    assert back.count() == 25

@@ -1,0 +1,50 @@
+"""Plan introspection: pushdown, stage structure, snapshot stability.
+
+The Spark analog of the reference's insta plan snapshots
+(reference tests/distributed_aggregation.rs:32-62, UUID filtering at
+src/test_utils/insta.rs:14-26) and its scan-pushdown observations
+(predicate=... in tests/distributed_repartitions.rs:71)."""
+
+from __future__ import annotations
+
+from datafusion_distributed_experiment_spark.plans import (
+    normalized_plan,
+    pushed_filters,
+    stage_summary,
+)
+
+
+def test_filter_pushdown_reaches_parquet_scan(engine):
+    df = engine.sql(
+        "SELECT l_orderkey FROM lineitem WHERE l_quantity < 24 AND l_discount >= 0.03"
+    )
+    filters = pushed_filters(df)
+    assert any("LessThan(l_quantity" in f for f in filters), filters
+
+
+def test_aggregation_plan_has_partial_final_split(engine):
+    """Spark plans partial+final HashAggregate around one exchange — the
+    structure the reference builds by hand (distribute_aggregate,
+    reference src/test_utils/plan.rs:20-63)."""
+    df = engine.sql("SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag")
+    s = stage_summary(df)
+    assert s["aggregates"] >= 2, s  # partial + final
+    assert s["exchanges"] >= 1, s
+
+
+def test_broadcast_join_for_small_dimension(engine):
+    """Dimension joins must broadcast, not shuffle (the reference's
+    CollectLeft hash join, tests/distributed_repartitions.rs:61)."""
+    df = engine.sql(
+        "SELECT n_name, COUNT(*) AS n FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    )
+    s = stage_summary(df)
+    assert s["broadcasts"] >= 1, s
+
+
+def test_normalized_plan_is_stable_across_analyses(engine):
+    a = normalized_plan(engine.sql("SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"))
+    b = normalized_plan(engine.sql("SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"))
+    assert a == b
+    assert "#N" in a  # expression ids scrubbed
