@@ -1,0 +1,55 @@
+"""Text primitives: tokenization, shingling, deterministic hashing.
+
+The polynomial hash ``h = fold(h*31 + ascii(c)) mod 1_000_000_007`` is chosen
+over builtin xxhash64/md5-prefix tricks because it is exactly expressible in
+both Spark SQL (aggregate/transform) and DuckDB (list_reduce/list_transform),
+making every downstream operator (fingerprint, MinHash, SimHash) oracle-
+verifiable bit-for-bit. All integer arithmetic stays within int64
+(max acc ~1e9*31 + 127 << 2^63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+MULT = 31
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens, empties dropped (trailing-space safe)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda t: t != F.lit(""))
+
+
+def poly_hash(text: Column | str) -> Column:
+    """Deterministic int64 polynomial rolling hash over characters."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * MULT + F.ascii(ch)) % F.lit(MOD).cast("long"),
+    )
+
+
+def shingles(tok: Column, k: int = 3) -> Column:
+    """k-token shingles (space-joined); documents shorter than k tokens
+    fall back to a single whole-document shingle."""
+    return F.when(
+        F.size(tok) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - k),
+            lambda i: F.concat_ws(" ", F.slice(tok, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tok)))
+
+
+# SQL-text versions for the DuckDB oracle side (same arithmetic, DuckDB
+# list-function spellings). `{x}` is the string expression to hash.
+DUCK_TOKENS = "list_filter(string_split({x}, ' '), t -> t <> '')"
+DUCK_POLY_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({x}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+)

@@ -1,12 +1,366 @@
-"""Placeholder — implemented in this round, see operators/__init__.py."""
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB): every variant is shuffle-partitioned on content-derived
+keys — never a cross join, never a driver-side collect.
+
+- exact:       hash-groupBy on md5(text); one shuffle on the digest.
+- MinHash+LSH: shingle -> k minhashes -> band keys -> self-join per band
+               bucket (the classic band-bucket shuffle); candidate pairs are
+               verified with true token-set Jaccard before emission.
+- SimHash:     per-token hashes -> 32-bit signature (map-side aggregate HOF,
+               zero shuffle) -> 4 byte-band bucket joins -> Hamming filter.
+
+To make near-duplicate detection *observable* on the driver's synthetic
+corpus (whose 500 documents are all distinct), operators that mine pairs run
+over an augmented corpus: every 10th document is re-added with doc_id+1_000_000
+and two junk tokens appended — a ~97%-Jaccard near-duplicate. The DuckDB
+oracle applies the identical augmentation, so results remain exactly
+comparable. Hashes are the cross-engine polynomial hash from
+``functions.text`` (reference's custom-operator extension analog:
+tests/custom_extension_codec.rs:160-264).
+"""
+
 from __future__ import annotations
+
 from collections.abc import Callable
-from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import DUCK_POLY_HASH, DUCK_TOKENS, poly_hash, shingles, tokens
+
+# MinHash parameters: sig_i = min over shingles of (A[i]*h + B[i]) mod P.
+P = 2_147_483_647
+A = (2, 3, 5, 7, 11, 13, 17, 19)
+B = (1, 2, 3, 4, 5, 6, 7, 8)
+N_SIG = 8
+BANDS = ((0, 1), (2, 3), (4, 5), (6, 7))
+JACCARD_MIN_PPM = 700_000
+SIMHASH_BITS = 32
+HAMMING_MAX = 3
+AUG_OFFSET = 1_000_000
+AUG_SUFFIX = " zz yy"
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + near-duplicate augmentation (see module docstring)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    aug = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + AUG_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(AUG_SUFFIX)).alias("text"),
+    )
+    return docs.unionAll(aug)
+
+
+_DUCK_CORPUS = f"""corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {AUG_OFFSET} AS doc_id, text || '{AUG_SUFFIX}' AS text
+    FROM documents WHERE doc_id % 10 = 0
+)"""
+
+
+# --------------------------------------------------------------------- #
+# exact dedup
+# --------------------------------------------------------------------- #
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content digest: groups of identical text, keeping the
+    smallest doc_id. Single hash-partitioned shuffle on the digest."""
+    return (
+        _corpus(spark, sf_dir)
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+# --------------------------------------------------------------------- #
+# MinHash + LSH
+# --------------------------------------------------------------------- #
+
+def _perm(a: int, b: int):
+    """One MinHash permutation h -> (a*h + b) mod P as a 1-arg HOF lambda."""
+    return lambda h: (F.lit(a) * h + F.lit(b)) % P
+
+
+def _with_signature(df: DataFrame) -> DataFrame:
+    toks = tokens(F.col("text"))
+    hashes = F.transform(shingles(toks), poly_hash)
+    sig = F.array(
+        *[F.array_min(F.transform(hashes, _perm(a, b))) for a, b in zip(A, B)]
+    )
+    return df.withColumn("toks", F.array_distinct(toks)).withColumn("sig", sig)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _with_signature(_corpus(spark, sf_dir))
+    cols = [F.col("sig")[i].alias(f"sig{i}") for i in range(N_SIG)]
+    return sigs.select("doc_id", *cols).orderBy("doc_id")
+
+
+def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    Band keys shuffle-partition the corpus; only documents sharing a band
+    bucket are compared (no cross join — the standard scale-out LSH plan)."""
+    sigs = _with_signature(_corpus(spark, sf_dir)).select("doc_id", "toks", "sig")
+    bands = sigs.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.col("sig")[lo].alias("x"),
+                        F.col("sig")[hi].alias("y"),
+                    )
+                    for i, (lo, hi) in enumerate(BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "toks", "band.*")
+    a, b2 = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.x") == F.col("b.x"))
+            & (F.col("a.y") == F.col("b.y"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.toks").alias("toks_a"),
+            F.col("b.toks").alias("toks_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jaccard = F.floor(
+        F.lit(1e6)
+        * F.size(F.array_intersect("toks_a", "toks_b"))
+        / F.size(F.array_union("toks_a", "toks_b"))
+    ).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", jaccard.alias("jaccard_ppm"))
+        .filter(F.col("jaccard_ppm") >= JACCARD_MIN_PPM)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------- #
+# SimHash
+# --------------------------------------------------------------------- #
+
+def _with_simhash(df: DataFrame) -> DataFrame:
+    """32-bit SimHash from per-token hashes — a pure map-side HOF aggregate
+    (no explode/groupBy shuffle; the signature is computed inside one task)."""
+    hs = F.transform(tokens(F.col("text")), poly_hash)
+    df = df.withColumn("_hs", hs)
+
+    def bit_step(j: int):
+        return lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1
+
+    bit_sums = [
+        F.aggregate(F.col("_hs"), F.lit(0).cast("long"), bit_step(j)) for j in range(SIMHASH_BITS)
+    ]
+    simhash = None
+    for j, s in enumerate(bit_sums):
+        term = F.when(s >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        simhash = term if simhash is None else simhash + term
+    return df.withColumn("simhash", simhash).drop("_hs")
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_simhash(_corpus(spark, sf_dir)).select("doc_id", "simhash").orderBy("doc_id")
+
+
+def simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-band LSH over the 32-bit SimHash: a candidate pair must agree on
+    at least one of the 4 signature bytes (a Hamming-<=3 pair always does, by
+    pigeonhole); survivors have Hamming distance <= HAMMING_MAX."""
+    sigs = _with_simhash(_corpus(spark, sf_dir)).select("doc_id", "simhash")
+
+    def band_join(byte_idx: int) -> DataFrame:
+        df = sigs.select(
+            "doc_id",
+            "simhash",
+            (F.shiftright("simhash", 8 * byte_idx) % 256).alias("k"),
+        )
+        a, b = df.alias("a"), df.alias("b")
+        return a.join(
+            b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+
+    cand = band_join(0)
+    for i in range(1, 4):
+        cand = cand.unionAll(band_join(i))
+    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------- #
+# n-gram Jaccard (direct verification pass over cheap candidate keys)
+# --------------------------------------------------------------------- #
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs bucketed by (first token, token-count band) — a cheap
+    deterministic blocking key — then exact distinct-token Jaccard."""
+    c = _corpus(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    keyed = c.select(
+        "doc_id",
+        F.array_distinct(toks).alias("toks"),
+        F.element_at(toks, 1).alias("k1"),
+        F.floor(F.size(toks) / 10).alias("k2"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    jaccard = F.floor(
+        F.lit(1e6)
+        * F.size(F.array_intersect("a.toks", "b.toks"))
+        / F.size(F.array_union("a.toks", "b.toks"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jaccard.alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= JACCARD_MIN_PPM)
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {}
+    return {
+        "dedup_exact": dedup_exact,
+        "minhash_signatures": minhash_signatures,
+        "minhash_dedup_pairs": minhash_dedup_pairs,
+        "simhash_signatures": simhash_signatures,
+        "simhash_dedup_pairs": simhash_dedup_pairs,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    }
+
+
+# --------------------------------------------------------------------- #
+# DuckDB oracles (identical integer arithmetic, DuckDB list-function forms)
+# --------------------------------------------------------------------- #
+
+_TOKS = DUCK_TOKENS.format(x="text")
+_POLY_S = DUCK_POLY_HASH.format(x="s")
+_POLY_T = DUCK_POLY_HASH.format(x="t")
+
+_DUCK_SIG = f"""tokd AS (
+    SELECT doc_id, {_TOKS} AS toks FROM corpus
+), sh AS (
+    SELECT doc_id, list_distinct(toks) AS dtoks,
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')] END AS shingles
+    FROM tokd
+), hashed AS (
+    SELECT doc_id, dtoks, list_transform(shingles, s -> {_POLY_S}) AS hs FROM sh
+), sig AS (
+    SELECT doc_id, dtoks,
+           [{", ".join(f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {P}))" for a, b in zip(A, B))}] AS sig
+    FROM hashed
+)"""
+
+_DUCK_SIMHASH = f"""tokh AS (
+    SELECT doc_id, unnest(list_transform({_TOKS}, t -> {_POLY_T})) AS h FROM corpus
+), bits AS (
+    SELECT doc_id,
+           {", ".join(f"SUM(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(32))}
+    FROM tokh GROUP BY doc_id
+), sim AS (
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(32))} AS BIGINT) AS simhash
+    FROM bits
+)"""
 
 
 def oracles() -> dict[str, str]:
-    return {}
+    return {
+        "dedup_exact": f"""
+            WITH {_DUCK_CORPUS}
+            SELECT md5(text) AS text_hash,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM corpus GROUP BY md5(text) ORDER BY text_hash
+        """,
+        "minhash_signatures": f"""
+            WITH {_DUCK_CORPUS}, {_DUCK_SIG}
+            SELECT doc_id, {", ".join(f"sig[{i + 1}] AS sig{i}" for i in range(N_SIG))}
+            FROM sig ORDER BY doc_id
+        """,
+        "minhash_dedup_pairs": f"""
+            WITH {_DUCK_CORPUS}, {_DUCK_SIG}, bands AS (
+                {" UNION ALL ".join(
+                    f"SELECT doc_id, dtoks, {i} AS band_idx, sig[{lo + 1}] AS x, sig[{hi + 1}] AS y FROM sig"
+                    for i, (lo, hi) in enumerate(BANDS)
+                )}
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                a.dtoks AS ta, b.dtoks AS tb
+                FROM bands a JOIN bands b
+                  ON a.band_idx = b.band_idx AND a.x = b.x AND a.y = b.y
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(FLOOR(1e6 * len(list_intersect(ta, tb)) / len(list_distinct(list_concat(ta, tb)))) AS BIGINT) AS jaccard_ppm
+            FROM cand
+            WHERE FLOOR(1e6 * len(list_intersect(ta, tb)) / len(list_distinct(list_concat(ta, tb)))) >= {JACCARD_MIN_PPM}
+            ORDER BY doc_a, doc_b
+        """,
+        "simhash_signatures": f"""
+            WITH {_DUCK_CORPUS}, {_DUCK_SIMHASH}
+            SELECT doc_id, simhash FROM sim ORDER BY doc_id
+        """,
+        "simhash_dedup_pairs": f"""
+            WITH {_DUCK_CORPUS}, {_DUCK_SIMHASH}, cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                a.simhash AS sa, b.simhash AS sb
+                FROM sim a JOIN sim b
+                  ON ({" OR ".join(f"((a.simhash >> {8 * i}) % 256) = ((b.simhash >> {8 * i}) % 256)" for i in range(4))})
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= {HAMMING_MAX}
+            ORDER BY doc_a, doc_b
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {_DUCK_CORPUS}, keyed AS (
+                SELECT doc_id, list_distinct({_TOKS}) AS toks,
+                       ({_TOKS})[1] AS k1,
+                       CAST(FLOOR(len({_TOKS}) / 10) AS BIGINT) AS k2
+                FROM corpus
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(FLOOR(1e6 * len(list_intersect(a.toks, b.toks)) / len(list_distinct(list_concat(a.toks, b.toks)))) AS BIGINT) AS jaccard_ppm
+            FROM keyed a JOIN keyed b
+              ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id
+            WHERE FLOOR(1e6 * len(list_intersect(a.toks, b.toks)) / len(list_distinct(list_concat(a.toks, b.toks)))) >= {JACCARD_MIN_PPM}
+            ORDER BY doc_a, doc_b
+        """,
+    }

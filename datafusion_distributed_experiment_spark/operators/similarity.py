@@ -1,12 +1,197 @@
-"""Placeholder — implemented in this round, see operators/__init__.py."""
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Three tiers, all JVM-side expressions (``zip_with``/``aggregate`` folds — no
+Python UDF round trips):
+
+- ``embedding_topk``   brute-force cosine top-k for a small query set. The
+                       scale plan is broadcast(queries) x scan(corpus): one
+                       pass over the big side, no shuffle of the corpus.
+- ``ann_lsh``          sign-bucket LSH (axis-aligned hyperplanes on the first
+                       8 dims): corpus shuffles once on the bucket key; each
+                       query only scans its own bucket. Recall < 1 by design;
+                       the oracle applies identical bucketing so results stay
+                       exactly comparable.
+- ``embedding_dedup``  near-duplicate vector pairs (cosine >= 0.999) within
+                       LSH buckets, over a corpus augmented with exact copies
+                       of every 10th vector (the driver's synthetic vectors
+                       are all distinct, so the augmentation makes the
+                       operator's positive path observable).
+
+Cosines are emitted as floor(1e6 * cos) integers; both engines fold the dot
+product sequentially over the same doubles, so the integers match exactly.
+"""
+
 from __future__ import annotations
+
 from collections.abc import Callable
-from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import DUCK_DOT, cosine_ppm, norm
+
+DIM = 64
+N_QUERIES = 5
+TOP_K = 10
+LSH_QUERIES = 50
+LSH_TOP_K = 3
+DEDUP_MIN_PPM = 999_000
+AUG_OFFSET = 1_000_000
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return df.select("vec_id", F.col("embedding").cast("array<double>").alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+
+
+def _bucket(v) -> F.Column:
+    """Sign bits of the first 8 dimensions -> bucket id in [0, 255]."""
+    out = None
+    for i in range(1, 9):
+        term = F.when(F.element_at(v, i) >= 0, F.lit(1 << (i - 1))).otherwise(F.lit(0))
+        out = term if out is None else out + term
+    return out.cast("long")
+
+
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: queries (vec_id < N_QUERIES) x corpus.
+
+    The query side is tiny and hinted broadcast — at 100 TB the corpus is
+    scanned exactly once with a map-side broadcast join, no shuffle."""
+    vecs = _vectors(spark, sf_dir)
+    queries = F.broadcast(
+        vecs.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+        )
+    )
+    pairs = queries.join(vecs, F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_ppm(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")).alias("cos_ppm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_ppm"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's sign bucket."""
+    vecs = _vectors(spark, sf_dir).withColumn("bucket", _bucket(F.col("v")))
+    queries = vecs.filter(F.col("vec_id") < LSH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket"),
+    )
+    pairs = queries.join(vecs, on="bucket").filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_ppm(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")).alias("cos_ppm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_ppm"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= LSH_TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors via bucketed cosine (>= DEDUP_MIN_PPM), over a
+    corpus augmented with exact copies of every 10th vector."""
+    base = _vectors(spark, sf_dir)
+    aug = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + AUG_OFFSET).alias("vec_id"), "v", "nrm"
+    )
+    corpus = base.unionAll(aug).withColumn("bucket", _bucket(F.col("v")))
+    a, b = corpus.alias("a"), corpus.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine_ppm(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")).alias("cos_ppm"),
+    )
+    return pairs.filter(F.col("cos_ppm") >= DEDUP_MIN_PPM).orderBy("vec_a", "vec_b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {}
+    return {
+        "embedding_topk": embedding_topk,
+        "ann_lsh": ann_lsh,
+        "embedding_dedup": embedding_dedup,
+    }
+
+
+_DOT_QV = DUCK_DOT.format(a="qv", b="v", n=DIM)
+_DOT_AB = DUCK_DOT.format(a="av", b="bv", n=DIM)
+_NORM = DUCK_DOT.format(a="v", b="v", n=DIM)
+
+_DUCK_VECS = f"""vecs AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v, sqrt({DUCK_DOT.format(a="embedding::DOUBLE[]", b="embedding::DOUBLE[]", n=DIM)}) AS nrm
+    FROM embeddings
+)"""
+
+_DUCK_BUCKET = " + ".join(
+    f"(CASE WHEN v[{i}] >= 0 THEN {1 << (i - 1)} ELSE 0 END)" for i in range(1, 9)
+)
 
 
 def oracles() -> dict[str, str]:
-    return {}
+    return {
+        "embedding_topk": f"""
+            WITH {_DUCK_VECS}, q AS (
+                SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM vecs WHERE vec_id < {N_QUERIES}
+            ), scored AS (
+                SELECT q.query_id, vecs.vec_id AS neighbor_id,
+                       CAST(FLOOR(1e6 * {_DOT_QV} / (qn * nrm)) AS BIGINT) AS cos_ppm
+                FROM q JOIN vecs ON vecs.vec_id <> q.query_id
+            ), ranked AS (
+                SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id ASC) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, cos_ppm, rank FROM ranked
+            WHERE rank <= {TOP_K} ORDER BY query_id, rank
+        """,
+        "ann_lsh": f"""
+            WITH {_DUCK_VECS}, bucketed AS (
+                SELECT vec_id, v, nrm, CAST({_DUCK_BUCKET} AS BIGINT) AS bucket FROM vecs
+            ), q AS (
+                SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket
+                FROM bucketed WHERE vec_id < {LSH_QUERIES}
+            ), scored AS (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       CAST(FLOOR(1e6 * {DUCK_DOT.format(a="qv", b="c.v", n=DIM)} / (qn * c.nrm)) AS BIGINT) AS cos_ppm
+                FROM q JOIN bucketed c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+            ), ranked AS (
+                SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id ASC) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, cos_ppm, rank FROM ranked
+            WHERE rank <= {LSH_TOP_K} ORDER BY query_id, rank
+        """,
+        "embedding_dedup": f"""
+            WITH {_DUCK_VECS}, withaug AS (
+                SELECT vec_id, v, nrm FROM vecs
+                UNION ALL
+                SELECT vec_id + {AUG_OFFSET} AS vec_id, v, nrm FROM vecs WHERE vec_id % 10 = 0
+            ), bucketed AS (
+                SELECT vec_id, v, nrm, CAST({_DUCK_BUCKET} AS BIGINT) AS bucket FROM withaug
+            ), pairs AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       CAST(FLOOR(1e6 * {DUCK_DOT.format(a="a.v", b="b.v", n=DIM)} / (a.nrm * b.nrm)) AS BIGINT) AS cos_ppm
+                FROM bucketed a JOIN bucketed b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            )
+            SELECT vec_a, vec_b, cos_ppm FROM pairs
+            WHERE cos_ppm >= {DEDUP_MIN_PPM} ORDER BY vec_a, vec_b
+        """,
+    }
