@@ -18,28 +18,11 @@ import re
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from . import sources
 from .errors import map_exception
 from .session import build_session
-
-
-def _nano_timestamp_columns(path: str) -> list[tuple[str, bool]]:
-    """(column, is_nanos) for timestamp columns in a parquet file/directory,
-    read from the parquet footer (driver-side metadata only — no data read)."""
-    try:
-        import pyarrow.dataset as ds
-
-        schema = ds.dataset(path, format="parquet").schema
-        out = []
-        for field in schema:
-            t = str(field.type)
-            if t.startswith("timestamp"):
-                out.append((field.name, "[ns" in t))
-        return out
-    except Exception:  # noqa: BLE001 - footer probing is best-effort
-        return []
 
 _TPCH_TABLES = (
     "region",
@@ -120,16 +103,9 @@ class Engine:
         ``src/test_utils/parquet.rs:5-17``; listing tables
         ``tests/tpch.rs:149-161``).
 
-        Nanosecond-timestamp columns arrive as BIGINT nanos (via
-        ``spark.sql.legacy.parquet.nanosAsLong``) and are converted here to
-        TIMESTAMP_NTZ at microsecond precision — the same truncation DuckDB
-        applies, so oracle comparisons agree."""
-        df = self.spark.read.parquet(path)
-        for col, ns in _nano_timestamp_columns(path):
-            if col in df.columns and dict(df.dtypes).get(col) == "bigint" and ns:
-                df = df.withColumn(
-                    col, F.expr(f"CAST(timestamp_micros({col} DIV 1000) AS TIMESTAMP_NTZ)")
-                )
+        Nanosecond-timestamp columns are converted to TIMESTAMP_NTZ
+        (see :func:`..sources.read_parquet_table`)."""
+        df = sources.read_parquet_table(self.spark, path)
         df.createOrReplaceTempView(name)
         return df
 
@@ -143,12 +119,7 @@ class Engine:
     ) -> DataFrame:
         """Register a CSV table, optionally with an explicit schema
         (reference ``benchmarks/src/tpch/run.rs:294-309``)."""
-        reader = self.spark.read.option("sep", sep).option("header", str(header).lower())
-        if schema is not None:
-            reader = reader.schema(schema)
-        else:
-            reader = reader.option("inferSchema", "true")
-        df = reader.csv(path)
+        df = sources.read_csv_table(self.spark, path, schema=schema, sep=sep, header=header)
         df.createOrReplaceTempView(name)
         return df
 
@@ -157,26 +128,14 @@ class Engine:
         trailing ``|`` producing a placeholder column that is dropped
         (reference ``benchmarks/src/tpch/mod.rs:41-45``,
         ``convert.rs:97-106``)."""
-        if isinstance(schema, str):
-            schema = StructType.fromDDL(schema)
-        padded = StructType(schema.fields[:]).add("__placeholder", "string")
-        df = (
-            self.spark.read.option("sep", "|")
-            .option("header", "false")
-            .schema(padded)
-            .csv(path)
-            .drop("__placeholder")
-        )
+        df = sources.read_tbl_table(self.spark, path, schema)
         df.createOrReplaceTempView(name)
         return df
 
     def register_mem(self, name: str, df: DataFrame, partitions: int | None = None) -> DataFrame:
         """Materialize a DataFrame in memory N-ways and register it
         (reference ``MemTable::load``, ``benchmarks/src/tpch/run.rs:226-235``)."""
-        if partitions:
-            df = df.repartition(partitions)
-        df = df.cache()
-        df.count()  # force materialization, like MemTable::load
+        df = sources.memory_table(df, partitions=partitions)
         df.createOrReplaceTempView(name)
         return df
 
@@ -234,12 +193,10 @@ class Engine:
     # ------------------------------------------------------------------ #
 
     def write_parquet(self, df: DataFrame, path: str, compression: str = "zstd") -> None:
-        df.write.mode("overwrite").option("compression", compression).parquet(path)
+        sources.write_parquet(df, path, compression=compression)
 
     def write_csv(self, df: DataFrame, path: str, sep: str = ",", header: bool = True) -> None:
-        df.write.mode("overwrite").option("sep", sep).option(
-            "header", str(header).lower()
-        ).csv(path)
+        sources.write_csv(df, path, sep=sep, header=header)
 
     def stop(self) -> None:
         self.spark.stop()

@@ -1,0 +1,87 @@
+"""Source/sink implementations (see package docstring for reference mapping)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def nano_timestamp_columns(path: str) -> list[tuple[str, bool]]:
+    """(column, is_nanos) for timestamp columns of a parquet file/directory,
+    from footer metadata only (no data read; safe at 100 TB — one driver-side
+    footer fetch)."""
+    try:
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+        out = []
+        for field in schema:
+            t = str(field.type)
+            if t.startswith("timestamp"):
+                out.append((field.name, "[ns" in t))
+        return out
+    except Exception:  # noqa: BLE001 - footer probing is best-effort
+        return []
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet with inferred schema. Nanosecond timestamps (which arrive as
+    BIGINT nanos via ``spark.sql.legacy.parquet.nanosAsLong``) are converted
+    to TIMESTAMP_NTZ at microsecond precision, matching DuckDB's truncation."""
+    df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
+    for col, is_ns in nano_timestamp_columns(path):
+        if is_ns and dtypes.get(col) == "bigint":
+            df = df.withColumn(
+                col, F.expr(f"CAST(timestamp_micros({col} DIV 1000) AS TIMESTAMP_NTZ)")
+            )
+    return df
+
+
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    reader = spark.read.option("sep", sep).option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_tbl_table(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    """TPC-H ``.tbl``: pipe-delimited, no header, trailing ``|`` producing a
+    placeholder column dropped on load (reference benchmarks/src/tpch/
+    mod.rs:41-45, convert.rs:97-106)."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    padded = StructType(schema.fields[:]).add("__placeholder", "string")
+    return (
+        spark.read.option("sep", "|")
+        .option("header", "false")
+        .schema(padded)
+        .csv(path)
+        .drop("__placeholder")
+    )
+
+
+def memory_table(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Materialize in memory N-ways (reference MemTable::load)."""
+    if partitions:
+        df = df.repartition(partitions)
+    df = df.cache()
+    df.count()
+    return df
+
+
+def write_parquet(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    df.write.mode("overwrite").option("compression", compression).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, sep: str = ",", header: bool = True) -> None:
+    df.write.mode("overwrite").option("sep", sep).option("header", str(header).lower()).csv(path)

@@ -1,0 +1,48 @@
+"""Multimodal plumbing: real schema/batch-shape/partitioning, stubbed codecs."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_distributed_experiment_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (i, "image" if i % 3 else "video", bytes([i % 256] * (10 + i)), (64, 48, None, 3000 if i % 3 == 0 else None))
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA).repartition(4)
+
+
+def test_extract_features_schema_and_determinism(media):
+    out = mm.extract_features(media)
+    assert out.schema == mm.FEATURES_SCHEMA
+    a = {r.media_id: r.feature for r in out.collect()}
+    b = {r.media_id: r.feature for r in out.collect()}
+    assert a == b  # deterministic across runs
+    assert len(a) == 40
+    assert all(len(f) == mm.FEATURE_DIM for f in a.values())
+
+
+def test_extract_features_preserves_partitioning(media):
+    assert mm.extract_features(media).rdd.getNumPartitions() == 4  # map-only
+
+
+def test_resize_rewrites_meta(media):
+    out = mm.resize_images(media, 224, 224).collect()
+    assert all(r.meta.width == 224 and r.meta.height == 224 for r in out)
+    assert len(out) == 40
+
+
+def test_sample_frames_fans_out(media):
+    frames = mm.sample_frames(media, every_ms=1000)
+    n_videos = media.filter("modality = 'video'").count()
+    assert frames.count() == n_videos * 3  # 3000ms / 1000ms
+    assert frames.schema == mm.MEDIA_SCHEMA
+
+
+def test_decode_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG...")
