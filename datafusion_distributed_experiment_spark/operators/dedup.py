@@ -40,6 +40,15 @@ SIMHASH_BITS = 32
 HAMMING_MAX = 3
 AUG_OFFSET = 1_000_000
 AUG_SUFFIX = " zz yy"
+# 3-token shingle hash combined from per-token hashes (one char-level fold
+# per token, not per shingle — ~k-fold cheaper and identical in the oracle).
+SHINGLE_MULT = 1_000_003
+MOD = 1_000_000_007
+# Frequent-bucket suppression: an LSH band bucket larger than this is a
+# degenerate hub (low-entropy corpora produce them); comparing inside it is
+# quadratic and useless for dedup, so it is skipped. The oracle applies the
+# identical cap, and at cluster scale this is also the skew-join guard.
+MAX_BAND_BUCKET = 64
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,6 +67,16 @@ _DUCK_CORPUS = f"""corpus AS (
     SELECT doc_id + {AUG_OFFSET} AS doc_id, text || '{AUG_SUFFIX}' AS text
     FROM documents WHERE doc_id % 10 = 0
 )"""
+
+
+def _cap_buckets(df: DataFrame, keys: list[str], cap: int = MAX_BAND_BUCKET) -> DataFrame:
+    """Drop rows in oversized LSH buckets (frequent-bucket suppression).
+
+    The *oversized* bucket list is tiny by construction (hubs are rare), so
+    it broadcasts; the big side is filtered with a map-side anti-join and
+    never shuffles toward the hubs."""
+    bad = df.groupBy(*keys).count().filter(F.col("count") > cap).drop("count")
+    return df.join(F.broadcast(bad), keys, "left_anti")
 
 
 # --------------------------------------------------------------------- #
@@ -82,18 +101,53 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH
 # --------------------------------------------------------------------- #
 
-def _perm(a: int, b: int):
-    """One MinHash permutation h -> (a*h + b) mod P as a 1-arg HOF lambda."""
-    return lambda h: (F.lit(a) * h + F.lit(b)) % P
-
-
 def _with_signature(df: DataFrame) -> DataFrame:
-    toks = tokens(F.col("text"))
-    hashes = F.transform(shingles(toks), poly_hash)
-    sig = F.array(
-        *[F.array_min(F.transform(hashes, _perm(a, b))) for a, b in zip(A, B)]
+    """doc -> (toks, sig[8]) in one pass.
+
+    Per-token char-level hashes are computed once; 3-token shingle hashes are
+    integer combinations of them; all 8 permuted minima fold in a single
+    ``aggregate`` over the shingle hashes. Everything is one map-side
+    expression chain per row — no shuffle, no recomputation of the char fold
+    per permutation."""
+    df = df.withColumn("_toks", tokens(F.col("text")))
+    df = df.withColumn("_th", F.transform(F.col("_toks"), poly_hash))
+    th, n = F.col("_th"), F.size(F.col("_th"))
+    shingle_hashes = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: (
+                (F.element_at(th, i) * SHINGLE_MULT + F.element_at(th, i + 1)) % MOD
+                * SHINGLE_MULT
+                + F.element_at(th, i + 2)
+            )
+            % MOD,
+        ),
+    ).otherwise(
+        # short docs: one whole-document shingle hash
+        F.array(
+            F.aggregate(
+                th, F.lit(0).cast("long"), lambda acc, h: (acc * SHINGLE_MULT + h) % MOD
+            )
+        )
     )
-    return df.withColumn("toks", F.array_distinct(toks)).withColumn("sig", sig)
+    df = df.withColumn("_sh", shingle_hashes)
+    init = F.array(*[F.lit(P).cast("long") for _ in A])
+    sig = F.aggregate(
+        F.col("_sh"),
+        init,
+        lambda acc, h: F.array(
+            *[
+                F.least(acc[i], (F.lit(a) * h + F.lit(b)) % P)
+                for i, (a, b) in enumerate(zip(A, B))
+            ]
+        ),
+    )
+    return (
+        df.withColumn("toks", F.array_distinct(F.col("_toks")))
+        .withColumn("sig", sig)
+        .drop("_toks", "_th", "_sh")
+    )
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,10 +161,11 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Band keys shuffle-partition the corpus; only documents sharing a band
     bucket are compared (no cross join — the standard scale-out LSH plan)."""
-    sigs = _with_signature(_corpus(spark, sf_dir)).select("doc_id", "toks", "sig")
+    sigs = _with_signature(_corpus(spark, sf_dir)).select("doc_id", "toks", "sig").persist()
+    # Slim band rows: only (doc_id, band key) travels through the LSH
+    # shuffle; token arrays are joined back per *pair*, not per band.
     bands = sigs.select(
         "doc_id",
-        "toks",
         F.explode(
             F.array(
                 *[
@@ -123,7 +178,8 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "toks", "band.*")
+    ).select("doc_id", "band.*")
+    bands = _cap_buckets(bands, ["band_idx", "x", "y"])
     a, b2 = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -133,13 +189,13 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.y") == F.col("b.y"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.toks").alias("toks_a"),
-            F.col("b.toks").alias("toks_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    toks = sigs.select("doc_id", "toks")
+    cand = (
+        cand.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
+        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
     )
     jaccard = F.floor(
         F.lit(1e6)
@@ -160,20 +216,28 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _with_simhash(df: DataFrame) -> DataFrame:
     """32-bit SimHash from per-token hashes — a pure map-side HOF aggregate
     (no explode/groupBy shuffle; the signature is computed inside one task)."""
-    hs = F.transform(tokens(F.col("text")), poly_hash)
-    df = df.withColumn("_hs", hs)
-
-    def bit_step(j: int):
-        return lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1
-
-    bit_sums = [
-        F.aggregate(F.col("_hs"), F.lit(0).cast("long"), bit_step(j)) for j in range(SIMHASH_BITS)
-    ]
+    df = df.withColumn("_hs", F.transform(tokens(F.col("text")), poly_hash))
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    # One fold over the token hashes accumulating all bit counters at once —
+    # Catalyst would otherwise inline the hash column into each of the 32
+    # consumers and recompute the char-level fold 32x per token.
+    bit_sums = F.aggregate(
+        F.col("_hs"),
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc, pow2, lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1)
+        ),
+    )
+    df = df.withColumn("_bits", bit_sums)
     simhash = None
-    for j, s in enumerate(bit_sums):
-        term = F.when(s >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    for j in range(SIMHASH_BITS):
+        term = (
+            F.when(F.element_at(F.col("_bits"), j + 1) >= 0, F.lit(1 << j))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
         simhash = term if simhash is None else simhash + term
-    return df.withColumn("simhash", simhash).drop("_hs")
+    return df.withColumn("simhash", simhash).drop("_hs", "_bits")
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,7 +248,9 @@ def simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-band LSH over the 32-bit SimHash: a candidate pair must agree on
     at least one of the 4 signature bytes (a Hamming-<=3 pair always does, by
     pigeonhole); survivors have Hamming distance <= HAMMING_MAX."""
-    sigs = _with_simhash(_corpus(spark, sf_dir)).select("doc_id", "simhash")
+    # Tiny signature table (2 ints/doc) read 8x below (2 sides x 4 bands):
+    # persist instead of recomputing the HOF chain per branch.
+    sigs = _with_simhash(_corpus(spark, sf_dir)).select("doc_id", "simhash").persist()
 
     def band_join(byte_idx: int) -> DataFrame:
         df = sigs.select(
@@ -192,6 +258,7 @@ def simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "simhash",
             (F.shiftright("simhash", 8 * byte_idx) % 256).alias("k"),
         )
+        df = _cap_buckets(df, ["k"])
         a, b = df.alias("a"), df.alias("b")
         return a.join(
             b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -229,6 +296,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(toks, 1).alias("k1"),
         F.floor(F.size(toks) / 10).alias("k2"),
     )
+    keyed = _cap_buckets(keyed, ["k1", "k2"])
     a, b = keyed.alias("a"), keyed.alias("b")
     jaccard = F.floor(
         F.lit(1e6)
@@ -273,14 +341,18 @@ _POLY_T = DUCK_POLY_HASH.format(x="t")
 
 _DUCK_SIG = f"""tokd AS (
     SELECT doc_id, {_TOKS} AS toks FROM corpus
-), sh AS (
+), tokh AS (
     SELECT doc_id, list_distinct(toks) AS dtoks,
-           CASE WHEN len(toks) >= 3
-                THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-                ELSE [array_to_string(toks, ' ')] END AS shingles
+           list_transform(toks, t -> {_POLY_T}) AS th
     FROM tokd
 ), hashed AS (
-    SELECT doc_id, dtoks, list_transform(shingles, s -> {_POLY_S}) AS hs FROM sh
+    SELECT doc_id, dtoks,
+           CASE WHEN len(th) >= 3
+                THEN list_transform(range(1, len(th) - 1),
+                     i -> ((th[i] * {SHINGLE_MULT} + th[i+1]) % {MOD} * {SHINGLE_MULT} + th[i+2]) % {MOD})
+                ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), th), (acc, h) -> (acc * {SHINGLE_MULT} + h) % {MOD})]
+           END AS hs
+    FROM tokh
 ), sig AS (
     SELECT doc_id, dtoks,
            [{", ".join(f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {P}))" for a, b in zip(A, B))}] AS sig
@@ -316,20 +388,28 @@ def oracles() -> dict[str, str]:
         """,
         "minhash_dedup_pairs": f"""
             WITH {_DUCK_CORPUS}, {_DUCK_SIG}, bands AS (
-                {" UNION ALL ".join(
-                    f"SELECT doc_id, dtoks, {i} AS band_idx, sig[{lo + 1}] AS x, sig[{hi + 1}] AS y FROM sig"
-                    for i, (lo, hi) in enumerate(BANDS)
-                )}
+                SELECT * FROM (
+                    SELECT doc_id, band_idx, x, y,
+                           COUNT(*) OVER (PARTITION BY band_idx, x, y) AS bucket_n
+                    FROM ({" UNION ALL ".join(
+                        f"SELECT doc_id, {i} AS band_idx, sig[{lo + 1}] AS x, sig[{hi + 1}] AS y FROM sig"
+                        for i, (lo, hi) in enumerate(BANDS)
+                    )})
+                ) WHERE bucket_n <= {MAX_BAND_BUCKET}
             ), cand AS (
-                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                                a.dtoks AS ta, b.dtoks AS tb
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM bands a JOIN bands b
                   ON a.band_idx = b.band_idx AND a.x = b.x AND a.y = b.y
                  AND a.doc_id < b.doc_id
+            ), withtoks AS (
+                SELECT doc_a, doc_b, sa.dtoks AS ta, sb.dtoks AS tb
+                FROM cand
+                JOIN sig sa ON sa.doc_id = doc_a
+                JOIN sig sb ON sb.doc_id = doc_b
             )
             SELECT doc_a, doc_b,
                    CAST(FLOOR(1e6 * len(list_intersect(ta, tb)) / len(list_distinct(list_concat(ta, tb)))) AS BIGINT) AS jaccard_ppm
-            FROM cand
+            FROM withtoks
             WHERE FLOOR(1e6 * len(list_intersect(ta, tb)) / len(list_distinct(list_concat(ta, tb)))) >= {JACCARD_MIN_PPM}
             ORDER BY doc_a, doc_b
         """,
@@ -338,12 +418,20 @@ def oracles() -> dict[str, str]:
             SELECT doc_id, simhash FROM sim ORDER BY doc_id
         """,
         "simhash_dedup_pairs": f"""
-            WITH {_DUCK_CORPUS}, {_DUCK_SIMHASH}, cand AS (
+            WITH {_DUCK_CORPUS}, {_DUCK_SIMHASH}, bandrows AS (
+                SELECT * FROM (
+                    SELECT doc_id, simhash, band_idx, k,
+                           COUNT(*) OVER (PARTITION BY band_idx, k) AS bucket_n
+                    FROM ({" UNION ALL ".join(
+                        f"SELECT doc_id, simhash, {i} AS band_idx, (simhash >> {8 * i}) % 256 AS k FROM sim"
+                        for i in range(4)
+                    )})
+                ) WHERE bucket_n <= {MAX_BAND_BUCKET}
+            ), cand AS (
                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                                 a.simhash AS sa, b.simhash AS sb
-                FROM sim a JOIN sim b
-                  ON ({" OR ".join(f"((a.simhash >> {8 * i}) % 256) = ((b.simhash >> {8 * i}) % 256)" for i in range(4))})
-                 AND a.doc_id < b.doc_id
+                FROM bandrows a JOIN bandrows b
+                  ON a.band_idx = b.band_idx AND a.k = b.k AND a.doc_id < b.doc_id
             )
             SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
             FROM cand WHERE bit_count(xor(sa, sb)) <= {HAMMING_MAX}
@@ -351,10 +439,13 @@ def oracles() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": f"""
             WITH {_DUCK_CORPUS}, keyed AS (
-                SELECT doc_id, list_distinct({_TOKS}) AS toks,
-                       ({_TOKS})[1] AS k1,
-                       CAST(FLOOR(len({_TOKS}) / 10) AS BIGINT) AS k2
-                FROM corpus
+                SELECT * FROM (
+                    SELECT doc_id, list_distinct({_TOKS}) AS toks,
+                           ({_TOKS})[1] AS k1,
+                           CAST(FLOOR(len({_TOKS}) / 10) AS BIGINT) AS k2,
+                           COUNT(*) OVER (PARTITION BY ({_TOKS})[1], CAST(FLOOR(len({_TOKS}) / 10) AS BIGINT)) AS bucket_n
+                    FROM corpus
+                ) WHERE bucket_n <= {MAX_BAND_BUCKET}
             )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(FLOOR(1e6 * len(list_intersect(a.toks, b.toks)) / len(list_distinct(list_concat(a.toks, b.toks)))) AS BIGINT) AS jaccard_ppm

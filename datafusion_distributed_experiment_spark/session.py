@@ -88,6 +88,13 @@ def build_session(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+    if master and master.startswith("local"):
+        # In local mode the driver JVM hosts all executor threads; the 1g
+        # default heap dies on any real shuffle. On a cluster, executor
+        # memory comes from the deployment instead.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
     for k, v in default_spark_conf(shuffle_partitions=shuffle_partitions).items():
         builder = builder.config(k, v)
     if extra_conf:
