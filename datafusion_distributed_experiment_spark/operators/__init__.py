@@ -19,20 +19,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import dedup, similarity, text
+    from . import dedup, multimodal, similarity, text
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(text.queries())
     out.update(dedup.queries())
     out.update(similarity.queries())
+    out.update(multimodal.queries())
     return out
 
 
 def pipeline_oracles() -> dict[str, str]:
-    from . import dedup, similarity, text
+    from . import dedup, multimodal, similarity, text
 
     out: dict[str, str] = {}
     out.update(text.oracles())
     out.update(dedup.oracles())
     out.update(similarity.oracles())
+    out.update(multimodal.oracles())
     return out

@@ -247,32 +247,45 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-band LSH over the 32-bit SimHash: a candidate pair must agree on
     at least one of the 4 signature bytes (a Hamming-<=3 pair always does, by
-    pigeonhole); survivors have Hamming distance <= HAMMING_MAX."""
-    # Tiny signature table (2 ints/doc) read 8x below (2 sides x 4 bands):
-    # persist instead of recomputing the HOF chain per branch.
-    sigs = _with_simhash(_corpus(spark, sf_dir)).select("doc_id", "simhash").persist()
+    pigeonhole); survivors have Hamming distance <= HAMMING_MAX.
 
-    def band_join(byte_idx: int) -> DataFrame:
-        df = sigs.select(
-            "doc_id",
-            "simhash",
-            (F.shiftright("simhash", 8 * byte_idx) % 256).alias("k"),
+    One exploded band table + one self-join on (band_idx, k) — not four
+    separate joins — so the whole candidate stage is a single shuffle."""
+    # Tiny signature table (2 ints/doc) read by both join sides and the
+    # bucket-cap pass: persist instead of recomputing the HOF chain per use.
+    sigs = _with_simhash(_corpus(spark, sf_dir)).select("doc_id", "simhash").persist()
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        (F.shiftright("simhash", 8 * i) % 256).alias("k"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.*")
+    bands = _cap_buckets(bands, ["band_idx", "k"])
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        df = _cap_buckets(df, ["k"])
-        a, b = df.alias("a"), df.alias("b")
-        return a.join(
-            b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-        ).select(
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-
-    cand = band_join(0)
-    for i in range(1, 4):
-        cand = cand.unionAll(band_join(i))
-    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
@@ -290,12 +303,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic blocking key — then exact distinct-token Jaccard."""
     c = _corpus(spark, sf_dir)
     toks = tokens(F.col("text"))
+    # Tokenization is the expensive part and the keyed table is read three
+    # times (bucket-cap count + both self-join sides): persist the tokenized
+    # form once instead of re-splitting the text per consumer.
     keyed = c.select(
         "doc_id",
         F.array_distinct(toks).alias("toks"),
         F.element_at(toks, 1).alias("k1"),
         F.floor(F.size(toks) / 10).alias("k2"),
-    )
+    ).persist()
     keyed = _cap_buckets(keyed, ["k1", "k2"])
     a, b = keyed.alias("a"), keyed.alias("b")
     jaccard = F.floor(

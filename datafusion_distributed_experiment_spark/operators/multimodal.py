@@ -20,11 +20,12 @@ Design for 100 TB media pipelines:
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -140,6 +141,136 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from ``documents`` (the container
+    ships no real media fixtures): payload = utf-8 bytes of the text, typed
+    metadata from arithmetic on doc_id/length. The same formulas are spelled
+    in the DuckDB oracles, so every downstream op stays hash-comparable."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    mod = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    nchars = F.length("text")
+    width = F.when(mod != "audio", nchars % 640 + 32).cast("integer")
+    height = F.when(mod != "audio", nchars % 480 + 32).cast("integer")
+    sample_rate = F.when(mod == "audio", (F.col("doc_id") % 4) * 8000 + 8000).cast("integer")
+    duration_ms = F.when(mod != "image", (F.col("doc_id") % 7) * 900).cast("integer")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mod.alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            width.alias("width"),
+            height.alias("height"),
+            sample_rate.alias("sample_rate"),
+            duration_ms.alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction end-to-end: synthetic media ->
+    ``extract_features`` (mapInPandas) -> per-dimension ppm integers. The
+    oracle recomputes the md5-derived fake embedding in pure SQL, verifying
+    the Python batch path bit-for-bit."""
+    feats = extract_features(synthetic_media(spark, sf_dir))
+    dims = [
+        F.floor(F.lit(1e6) * F.element_at("feature", j + 1).cast("double"))
+        .cast("long")
+        .alias(f"f{j}_ppm")
+        for j in range(FEATURE_DIM)
+    ]
+    return feats.select("media_id", "modality", F.col("n_bytes"), *dims).orderBy("media_id")
+
+
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out through mapInPandas (rows out != rows
+    in), then a count per media — verifies the sampler's cardinality
+    contract against closed-form SQL."""
+    media = synthetic_media(spark, sf_dir).filter(F.col("modality") == "video")
+    frames = sample_frames(media, every_ms=1000)
+    return (
+        frames.groupBy("media_id")
+        .agg(F.count("*").cast("long").alias("n_frames"))
+        .orderBy("media_id")
+    )
+
+
+def media_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only rollup: touches ``meta``/``modality`` but never the
+    payload bytes — the column-pruning shape that makes 100 TB media tables
+    cheap to inventory."""
+    media = synthetic_media(spark, sf_dir)
+    return (
+        media.groupBy("modality")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.max(F.col("meta.width")).cast("long").alias("max_width"),
+            F.coalesce(F.sum(F.col("meta.duration_ms")), F.lit(0)).cast("long").alias("total_duration_ms"),
+        )
+        .orderBy("modality")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "media_features": media_features,
+        "media_frames": media_frames,
+        "media_meta_stats": media_meta_stats,
+    }
+
+
+# hex-digit -> int, portable DuckDB spelling (no blob byte extraction needed)
+_HV = "(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1)"
+
+
+def _md5_byte(j: int) -> str:
+    """SQL for byte j (0-based) of md5(text) as an integer."""
+    return f"(16 * {_HV.format(p=2 * j + 1)} + {_HV.format(p=2 * j + 2)})"
+
+
+_DUCK_MEDIA = """media AS (
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           text,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN doc_id % 3 <> 1 THEN length(text) % 640 + 32 END AS width,
+           CASE WHEN doc_id % 3 <> 0 THEN (doc_id % 7) * 900 END AS duration_ms
+    FROM documents
+)"""
+
+
+def oracles() -> dict[str, str]:
+    f_cols = ",\n                   ".join(
+        f"CAST(FLOOR(1e6 * {_md5_byte(j)} / 256.0) AS BIGINT) AS f{j}_ppm"
+        for j in range(FEATURE_DIM)
+    )
+    return {
+        "media_features": f"""
+            WITH {_DUCK_MEDIA}
+            SELECT media_id, modality, n_bytes,
+                   {f_cols}
+            FROM media ORDER BY media_id
+        """,
+        "media_frames": f"""
+            WITH {_DUCK_MEDIA}
+            SELECT media_id, CAST(FLOOR(duration_ms / 1000.0) AS BIGINT) AS n_frames
+            FROM media
+            WHERE modality = 'video' AND duration_ms >= 1000
+            ORDER BY media_id
+        """,
+        "media_meta_stats": f"""
+            WITH {_DUCK_MEDIA}
+            SELECT modality,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(MAX(width) AS BIGINT) AS max_width,
+                   CAST(COALESCE(SUM(duration_ms), 0) AS BIGINT) AS total_duration_ms
+            FROM media GROUP BY modality ORDER BY modality
+        """,
+    }
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -37,6 +37,13 @@ LSH_QUERIES = 50
 LSH_TOP_K = 3
 DEDUP_MIN_PPM = 999_000
 AUG_OFFSET = 1_000_000
+# IVF parameters: K deterministic seed centroids (the vectors with the K
+# smallest vec_ids — one assignment pass, no iterative training, so the
+# index is exactly reproducible in the DuckDB oracle), N_PROBE probed lists.
+IVF_K = 16
+IVF_PROBE = 4
+IVF_QUERIES = 30
+IVF_TOP_K = 3
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,6 +110,112 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Tag every vector with its nearest centroid (``list_id``) as a pure
+    map-side projection.
+
+    The centroid table is *model state*, not data: it is inlined as literal
+    expressions (the Spark-ML ``KMeansModel`` broadcast pattern), so
+    assignment costs zero shuffles and scales linearly with the corpus — the
+    shape a 100 TB IVF build needs. Argmax is ``array_max`` over
+    ``(cosine, -centroid_id)`` structs: both engines fold the dot product in
+    the same element order, so the doubles — and therefore the argmax — match
+    exactly; ties break toward the smaller centroid id."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(float(x)) for x in cvec]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (F.col("nrm") * F.lit(_norm_of(cvec)))
+                ).alias("cos"),
+                F.lit(-cid).alias("neg_id"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    best = F.array_max(scored)
+    return vecs.withColumn("list_id", (-best["neg_id"]).cast("long"))
+
+
+def _norm_of(vec: list[float]) -> float:
+    s = 0.0
+    for x in vec:
+        s += x * x
+    return s**0.5
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are partitioned into IVF_K
+    inverted lists (nearest seed centroid); each query scans only its
+    IVF_PROBE nearest lists.
+
+    Scale plan: centroids are driver-held model state (KB); assignment is a
+    map-only projection over the corpus; the only shuffle is the probe join
+    keyed by ``list_id`` — candidate volume is corpus/IVF_K x IVF_PROBE per
+    query instead of the full corpus."""
+    vecs = _vectors(spark, sf_dir)
+    # The K seed vectors are a few KB — collecting them is the model-fit
+    # step (exactly what KMeansModel.fit does), not a data collect.
+    seed_rows = (
+        vecs.filter(F.col("vec_id") < IVF_K).select("vec_id", "v").orderBy("vec_id").collect()
+    )
+    centroids = [(int(r["vec_id"]), list(r["v"])) for r in seed_rows]
+    assigned = _ivf_assign(vecs, centroids)
+    probes = _ivf_probes(vecs.filter(F.col("vec_id") < IVF_QUERIES), centroids)
+    pairs = probes.join(assigned, on="list_id").filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_ppm(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")).alias("cos_ppm"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_ppm"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivf_probes(queries: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """(query_id, qv, qn) x IVF_PROBE nearest centroid list_ids — explode of
+    a literal-scored centroid array; map-only like assignment."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(float(x)) for x in cvec]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (F.col("nrm") * F.lit(_norm_of(cvec)))
+                ).alias("cos"),
+                F.lit(-cid).alias("neg_id"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, IVF_PROBE)
+    return queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode(F.transform(top, lambda s: (-s["neg_id"]).cast("long"))).alias("list_id"),
+    )
+
+
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vectors via bucketed cosine (>= DEDUP_MIN_PPM), over a
     corpus augmented with exact copies of every 10th vector."""
@@ -127,6 +240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "embedding_topk": embedding_topk,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
         "embedding_dedup": embedding_dedup,
     }
 
@@ -177,6 +291,41 @@ def oracles() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cos_ppm, rank FROM ranked
             WHERE rank <= {LSH_TOP_K} ORDER BY query_id, rank
+        """,
+        "ann_ivf": f"""
+            WITH {_DUCK_VECS}, cent AS (
+                SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < {IVF_K}
+            ), assign AS (
+                SELECT vec_id, v, nrm, cid AS list_id FROM (
+                    SELECT vecs.vec_id, vecs.v, vecs.nrm, cent.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY vecs.vec_id
+                               ORDER BY {DUCK_DOT.format(a="vecs.v", b="cent.cv", n=DIM)} / (vecs.nrm * cent.cnrm) DESC,
+                                        cent.cid ASC
+                           ) AS rn
+                    FROM vecs CROSS JOIN cent
+                ) WHERE rn = 1
+            ), probes AS (
+                SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS list_id FROM (
+                    SELECT vecs.vec_id, vecs.v, vecs.nrm, cent.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY vecs.vec_id
+                               ORDER BY {DUCK_DOT.format(a="vecs.v", b="cent.cv", n=DIM)} / (vecs.nrm * cent.cnrm) DESC,
+                                        cent.cid ASC
+                           ) AS rn
+                    FROM vecs CROSS JOIN cent WHERE vecs.vec_id < {IVF_QUERIES}
+                ) WHERE rn <= {IVF_PROBE}
+            ), scored AS (
+                SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+                       CAST(FLOOR(1e6 * {DUCK_DOT.format(a="p.qv", b="a.v", n=DIM)} / (p.qn * a.nrm)) AS BIGINT) AS cos_ppm
+                FROM probes p JOIN assign a
+                  ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+            ), ranked AS (
+                SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id ASC) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, cos_ppm, rank FROM ranked
+            WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
         """,
         "embedding_dedup": f"""
             WITH {_DUCK_VECS}, withaug AS (

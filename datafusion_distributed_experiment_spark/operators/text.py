@@ -70,6 +70,32 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer regex (GPT-2 style, simplified to the subset with
+# identical semantics in Java regex and RE2 — no lookahead): contractions,
+# letter runs, digit runs, single non-space symbols.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    pre-tokenization (the 'how many LLM tokens is this corpus' estimator).
+    Map-only, JVM-side regex — no Python in the loop."""
+    low = F.lower(F.col("text"))
+    # regexp_count, not size(regexp_extract_all(...)): counting stays in the
+    # regex engine with zero array materialization per row.
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id"),
+            F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+            F.regexp_count(low, F.lit(BPE_PATTERN)).cast("long").alias("n_bpe_tokens"),
+            F.regexp_count(low, F.lit(r"[a-z]+")).cast("long").alias("n_word_runs"),
+            F.regexp_count(low, F.lit(r"[0-9]+")).cast("long").alias("n_digit_runs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprints: a full-text rolling hash and a
     64-char-prefix hash (cheap pre-filter for dedup cascades)."""
@@ -89,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "lang_id": lang_id,
         "fingerprint": fingerprint,
+        "token_count": token_count,
     }
 
 
@@ -114,6 +141,15 @@ def oracles() -> dict[str, str]:
                 CAST(len(list_filter({_TOKS}, t -> {_STOP_SQL})) AS BIGINT) AS stop_hits,
                 CASE WHEN 1e6 * len(list_filter({_TOKS}, t -> {_STOP_SQL})) / len({_TOKS}) >= 20000
                      THEN 'en' ELSE 'unk' END AS lang_pred
+            FROM documents ORDER BY doc_id
+        """,
+        "token_count": f"""
+            SELECT
+                doc_id,
+                CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+                CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+                CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_word_runs,
+                CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_digit_runs
             FROM documents ORDER BY doc_id
         """,
         "fingerprint": f"""

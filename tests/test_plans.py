@@ -43,6 +43,33 @@ def test_broadcast_join_for_small_dimension(engine):
     assert s["broadcasts"] >= 1, s
 
 
+def test_ivf_assignment_is_map_only(spark):
+    """IVF list assignment must be a pure projection (centroids inlined as
+    model-state literals): zero exchanges, zero aggregates — the shape that
+    scales linearly over a 100 TB corpus."""
+    from datafusion_distributed_experiment_spark.operators.similarity import (
+        _ivf_assign,
+        _vectors,
+    )
+    from .conftest import SF_DIR
+
+    vecs = _vectors(spark, SF_DIR)
+    centroids = [(i, [float(i == j) for j in range(64)]) for i in range(4)]
+    s = stage_summary(_ivf_assign(vecs, centroids))
+    assert s["exchanges"] == 0, s
+    assert s["aggregates"] == 0, s
+
+
+def test_embedding_topk_broadcasts_query_side(spark):
+    """Brute-force top-k must broadcast the tiny query set so the corpus is
+    scanned once map-side (no corpus shuffle)."""
+    from datafusion_distributed_experiment_spark.operators.similarity import embedding_topk
+    from .conftest import SF_DIR
+
+    s = stage_summary(embedding_topk(spark, SF_DIR))
+    assert s["broadcasts"] >= 1, s
+
+
 def test_normalized_plan_is_stable_across_analyses(engine):
     a = normalized_plan(engine.sql("SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"))
     b = normalized_plan(engine.sql("SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"))

@@ -38,6 +38,46 @@ def test_streaming_matches_batch_daily(spark, engine, events_dir):
     assert_frames_match(result, batch, "streaming_vs_batch")
 
 
+def test_stateful_sessionize_matches_batch(spark, events_dir):
+    """applyInPandasWithState sessionization converges to the lag-window
+    batch oracle on bounded input (last emission per user = final rollup)."""
+    from datafusion_distributed_experiment_spark.streaming.stateful import (
+        sessionize_batch,
+        sessionize_stateful,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    sessions = sessionize_stateful(stream)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import functions as F
+
+    # update-mode memory sink appends one row per user per batch; the
+    # cumulative semantics make the max-count row the final state.
+    result = (
+        spark.table("t_sessions")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("last_ts_ms").alias("last_ts_ms"),
+        )
+        .toPandas()
+    )
+
+    batch_events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", F.expr("timestamp_micros(ts DIV 1000)").alias("ts")
+    )
+    batch = sessionize_batch(batch_events).toPandas()
+    assert_frames_match(result, batch, "stateful_sessionize_vs_batch")
+
+
 def test_watermark_present_in_plan(spark, events_dir):
     stream = windowed_counts(read_events_stream(spark, events_dir), watermark="2 hours")
     explain = stream._jdf.queryExecution().analyzed().toString()
