@@ -35,17 +35,24 @@ _SQL_QUERIES = [
 ]
 
 
-_registered: set[tuple[int, str]] = set()
+_registered: set[tuple[int, str, str]] = set()
 
 
 def _ensure_registered(spark: SparkSession, sf_dir: str) -> Engine:
-    """Register the sf_dir tables once per (session, dir) — schema probing
-    and view creation are driver-side overhead worth paying a single time."""
+    """Register the sf_dir tables once per (session, dir, table) — schema
+    probing and view creation are driver-side overhead worth paying a single
+    time. Memoized per TABLE so a transient failure on one file is retried
+    without masking the other nine, and a half-registered catalog can't be
+    mistaken for a complete one."""
     eng = Engine(spark)
-    key = (id(spark), sf_dir)
-    if key not in _registered:
-        eng.register_sf_dir(sf_dir)
-        _registered.add(key)
+    from datafusion_distributed_experiment_spark.engine import _TPCH_TABLES
+
+    pending = [t for t in _TPCH_TABLES if (id(spark), sf_dir, t) not in _registered]
+    if pending:
+        failures = eng.register_sf_dir(sf_dir, tables=pending)
+        for t in pending:
+            if t not in failures:
+                _registered.add((id(spark), sf_dir, t))
     return eng
 
 

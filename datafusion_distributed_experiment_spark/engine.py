@@ -22,7 +22,7 @@ from pyspark.sql.types import StructType
 
 from . import sources
 from .errors import map_exception
-from .session import build_session
+from .session import build_session, configure_session
 
 _TPCH_TABLES = (
     "region",
@@ -89,8 +89,14 @@ class Engine:
     ):
         if spark is None:
             spark = build_session(app_name=app_name, shuffle_partitions=partitions)
-        elif partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        else:
+            # The reference's SessionBuilder contract applies to sessions it is
+            # *given*, not only ones it builds (reference
+            # src/flight_service/session_builder.rs:9-111): an externally
+            # constructed SparkSession must still get the engine's runtime
+            # confs (nanosAsLong, UTC, ANSI-off, broadcast threshold, ...) or
+            # parquet reads and oracle comparisons diverge.
+            configure_session(spark, shuffle_partitions=partitions)
         self.spark = spark
 
     # ------------------------------------------------------------------ #
@@ -143,10 +149,21 @@ class Engine:
         df.createOrReplaceTempView(name)
         return df
 
-    def register_sf_dir(self, sf_dir: str, tables: Iterable[str] = _TPCH_TABLES) -> None:
-        """Register every driver-provided synthetic table under ``sf_dir``."""
+    def register_sf_dir(
+        self, sf_dir: str, tables: Iterable[str] = _TPCH_TABLES
+    ) -> dict[str, Exception]:
+        """Register every driver-provided synthetic table under ``sf_dir``.
+
+        Fault-isolated per table: one unreadable file must not poison queries
+        over the other nine tables. Returns ``{table: exception}`` for any
+        failures; callers that need a table hard-fail when they query it."""
+        failures: dict[str, Exception] = {}
         for t in tables:
-            self.register_parquet(t, f"{sf_dir}/{t}.parquet")
+            try:
+                self.register_parquet(t, f"{sf_dir}/{t}.parquet")
+            except Exception as exc:  # noqa: BLE001 - isolate per table
+                failures[t] = exc
+        return failures
 
     # ------------------------------------------------------------------ #
     # query entry points (reference ctx.sql / multi-statement scripts)

@@ -69,6 +69,33 @@ def default_spark_conf(
     return conf
 
 
+def configure_session(
+    spark: SparkSession,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Apply the runtime-settable engine confs to an *existing* session.
+
+    The reference's ``SessionBuilder`` worker hook configures every session it
+    is handed, not only sessions it constructs (reference
+    ``src/flight_service/session_builder.rs:9-111``). All of
+    :func:`default_spark_conf` is runtime-settable (``spark.sql.*``); each key
+    is applied independently so one immutable/unknown conf on an exotic
+    deployment cannot block the rest.
+
+    When ``shuffle_partitions`` is None the caller's existing parallelism is
+    preserved — only set it when explicitly asked.
+    """
+    conf = default_spark_conf(shuffle_partitions=shuffle_partitions)
+    if shuffle_partitions is None:
+        conf.pop("spark.sql.shuffle.partitions", None)
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 - per-key isolation by design
+            pass
+    return spark
+
+
 def build_session(
     app_name: str = "datafusion-distributed-experiment-spark",
     master: str | None = None,

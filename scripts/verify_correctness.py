@@ -44,9 +44,17 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    from datafusion_distributed_experiment_spark import build_session
+    # Deliberately a VANILLA session (no engine confs): the driver's harness
+    # builds its own SparkSession, so this replicates the round-1 failure mode
+    # where Engine must configure a session it didn't build.
+    from pyspark.sql import SparkSession
 
-    spark = build_session(master="local[8]", shuffle_partitions=8)
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("verify-correctness")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
 
     con = duckdb.connect()
     for t in TABLES:

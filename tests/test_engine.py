@@ -70,3 +70,37 @@ def test_parquet_roundtrip_with_compression(engine, tmp_path):
     engine.write_parquet(df, str(tmp_path / "nation_pq"), compression="zstd")
     back = engine.spark.read.parquet(str(tmp_path / "nation_pq"))
     assert back.count() == 25
+
+
+def test_engine_configures_external_session(spark):
+    """Round-1 regression: an externally built SparkSession (the driver's
+    harness builds its own) must receive the engine's runtime confs —
+    notably ``nanosAsLong``, without which ``events.parquet``
+    (TIMESTAMP NANOS) is unreadable and every registration-path query dies."""
+    from datafusion_distributed_experiment_spark import Engine
+
+    # Simulate a vanilla session: strip the confs build_session applied.
+    for k in (
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone",
+        "spark.sql.ansi.enabled",
+    ):
+        spark.conf.unset(k)
+
+    eng = Engine(spark)  # must re-apply engine confs to the session it is given
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    # The poisoned-catalog scenario: events.parquet reads fine again.
+    failures = eng.register_sf_dir(SF_DIR, tables=["events"])
+    assert failures == {}
+    assert eng.sql("SELECT COUNT(*) AS n FROM events").collect()[0].n > 0
+
+
+def test_register_sf_dir_isolates_per_table(engine, tmp_path):
+    """One unreadable file must not poison the other tables' registration."""
+    ok = engine.sql("SELECT * FROM region")
+    engine.write_parquet(ok, str(tmp_path / "good.parquet"))
+    (tmp_path / "bad.parquet").write_text("not parquet at all")
+    failures = engine.register_sf_dir(str(tmp_path), tables=["bad", "good"])
+    assert set(failures) == {"bad"}
+    assert engine.sql("SELECT COUNT(*) AS n FROM good").collect()[0].n == 5
