@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERATIONS", "1"))
+    # Reference default is 3 iterations (benchmarks/src/util/options.rs:36-37);
+    # single-iteration timings are too noisy for a regression signal.
+    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERATIONS", "3"))
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None

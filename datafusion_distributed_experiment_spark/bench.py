@@ -74,6 +74,11 @@ def run_benchmark(
                 entry["error"] = str(exc).splitlines()[0][:200]
                 break
         results["queries"].append(entry)
+        # Operators persist() intermediates for within-query reuse (LSH
+        # signature tables, etc.). Evict between queries so cached blocks
+        # from earlier queries can't skew later timings or accumulate
+        # executor memory across the 42-query run.
+        spark.catalog.clearCache()
     return results
 
 

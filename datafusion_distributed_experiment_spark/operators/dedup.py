@@ -24,10 +24,10 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import DUCK_POLY_HASH, DUCK_TOKENS, poly_hash, shingles, tokens
+from ..functions.text import DUCK_POLY_HASH, DUCK_TOKENS, poly_hash, tokens
 
 # MinHash parameters: sig_i = min over shingles of (A[i]*h + B[i]) mod P.
 P = 2_147_483_647

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import DUCK_DOT, cosine_ppm, norm
+from .dedup import _cap_buckets
 
 DIM = 64
 N_QUERIES = 5
@@ -37,13 +38,29 @@ LSH_QUERIES = 50
 LSH_TOP_K = 3
 DEDUP_MIN_PPM = 999_000
 AUG_OFFSET = 1_000_000
+# Frequent-bucket suppression for the vector LSH paths: a sign bucket larger
+# than this is a degenerate hub (correlated embeddings all share a sign
+# pattern) and comparing inside it is quadratic — the same skew guard the
+# text LSH tier uses (dedup._cap_buckets). The oracle applies the identical
+# cap. At the test scale (500-2000 vectors / 256 buckets) nothing is capped;
+# at cluster scale this is what keeps the bucket join from degenerating.
+VEC_BUCKET_CAP = 128
 # IVF parameters: K deterministic seed centroids (the vectors with the K
 # smallest vec_ids — one assignment pass, no iterative training, so the
 # index is exactly reproducible in the DuckDB oracle), N_PROBE probed lists.
-IVF_K = 16
+# K scales with the corpus: K = max(IVF_K_MIN, ceil(sqrt(N))) — the standard
+# IVF sizing (expected list size ~sqrt(N)), so the probe join's candidate
+# volume grows as sqrt(N) instead of N/16.
+IVF_K_MIN = 16
 IVF_PROBE = 4
 IVF_QUERIES = 30
 IVF_TOP_K = 3
+
+
+def _ivf_k(n: int) -> int:
+    import math
+
+    return max(IVF_K_MIN, math.ceil(math.sqrt(n)))
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,8 +105,13 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's sign bucket."""
+    """Approximate top-k: candidates limited to the query's sign bucket.
+
+    Hub buckets (> VEC_BUCKET_CAP vectors) are suppressed on both sides
+    before the bucket join — the broadcast anti-join skew guard shared with
+    the text LSH tier."""
     vecs = _vectors(spark, sf_dir).withColumn("bucket", _bucket(F.col("v")))
+    vecs = _cap_buckets(vecs, ["bucket"], cap=VEC_BUCKET_CAP)
     queries = vecs.filter(F.col("vec_id") < LSH_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -153,19 +175,22 @@ def _norm_of(vec: list[float]) -> float:
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: corpus vectors are partitioned into IVF_K
-    inverted lists (nearest seed centroid); each query scans only its
-    IVF_PROBE nearest lists.
+    """IVF approximate top-k: corpus vectors are partitioned into
+    K = max(IVF_K_MIN, ceil(sqrt(N))) inverted lists (nearest seed centroid);
+    each query scans only its IVF_PROBE nearest lists.
 
     Scale plan: centroids are driver-held model state (KB); assignment is a
     map-only projection over the corpus; the only shuffle is the probe join
-    keyed by ``list_id`` — candidate volume is corpus/IVF_K x IVF_PROBE per
-    query instead of the full corpus."""
+    keyed by ``list_id``. With K ~ sqrt(N), expected list size is sqrt(N), so
+    per-query candidate volume grows as sqrt(N)*IVF_PROBE instead of N/16;
+    AQE skew-join splits any list that still runs hot."""
     vecs = _vectors(spark, sf_dir)
-    # The K seed vectors are a few KB — collecting them is the model-fit
-    # step (exactly what KMeansModel.fit does), not a data collect.
+    # Model-fit step: corpus count (one parquet-footer-served aggregate)
+    # sizes K ~ sqrt(N); the K seed vectors are a few KB — collecting them
+    # is model state (exactly what KMeansModel.fit does), not a data collect.
+    k = _ivf_k(vecs.count())
     seed_rows = (
-        vecs.filter(F.col("vec_id") < IVF_K).select("vec_id", "v").orderBy("vec_id").collect()
+        vecs.filter(F.col("vec_id") < k).select("vec_id", "v").orderBy("vec_id").collect()
     )
     centroids = [(int(r["vec_id"]), list(r["v"])) for r in seed_rows]
     assigned = _ivf_assign(vecs, centroids)
@@ -224,6 +249,9 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + AUG_OFFSET).alias("vec_id"), "v", "nrm"
     )
     corpus = base.unionAll(aug).withColumn("bucket", _bucket(F.col("v")))
+    # Skew guard: pairs inside a bucket are quadratic; suppress hub buckets
+    # (identical cap in the oracle) so no single key can dominate the join.
+    corpus = _cap_buckets(corpus, ["bucket"], cap=VEC_BUCKET_CAP)
     a, b = corpus.alias("a"), corpus.alias("b")
     pairs = a.join(
         b,
@@ -277,7 +305,11 @@ def oracles() -> dict[str, str]:
         """,
         "ann_lsh": f"""
             WITH {_DUCK_VECS}, bucketed AS (
-                SELECT vec_id, v, nrm, CAST({_DUCK_BUCKET} AS BIGINT) AS bucket FROM vecs
+                SELECT vec_id, v, nrm, bucket FROM (
+                    SELECT vec_id, v, nrm, CAST({_DUCK_BUCKET} AS BIGINT) AS bucket,
+                           COUNT(*) OVER (PARTITION BY CAST({_DUCK_BUCKET} AS BIGINT)) AS bucket_n
+                    FROM vecs
+                ) WHERE bucket_n <= {VEC_BUCKET_CAP}
             ), q AS (
                 SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket
                 FROM bucketed WHERE vec_id < {LSH_QUERIES}
@@ -294,7 +326,8 @@ def oracles() -> dict[str, str]:
         """,
         "ann_ivf": f"""
             WITH {_DUCK_VECS}, cent AS (
-                SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < {IVF_K}
+                SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs
+                WHERE vec_id < (SELECT GREATEST({IVF_K_MIN}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM vecs)
             ), assign AS (
                 SELECT vec_id, v, nrm, cid AS list_id FROM (
                     SELECT vecs.vec_id, vecs.v, vecs.nrm, cent.cid,
@@ -333,7 +366,11 @@ def oracles() -> dict[str, str]:
                 UNION ALL
                 SELECT vec_id + {AUG_OFFSET} AS vec_id, v, nrm FROM vecs WHERE vec_id % 10 = 0
             ), bucketed AS (
-                SELECT vec_id, v, nrm, CAST({_DUCK_BUCKET} AS BIGINT) AS bucket FROM withaug
+                SELECT vec_id, v, nrm, bucket FROM (
+                    SELECT vec_id, v, nrm, CAST({_DUCK_BUCKET} AS BIGINT) AS bucket,
+                           COUNT(*) OVER (PARTITION BY CAST({_DUCK_BUCKET} AS BIGINT)) AS bucket_n
+                    FROM withaug
+                ) WHERE bucket_n <= {VEC_BUCKET_CAP}
             ), pairs AS (
                 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                        CAST(FLOOR(1e6 * {DUCK_DOT.format(a="a.v", b="b.v", n=DIM)} / (a.nrm * b.nrm)) AS BIGINT) AS cos_ppm

@@ -29,25 +29,39 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token/char counts, lexical diversity, mean token length, stopword
-    density — the quality-scoring feature block."""
-    toks = tokens(F.col("text"))
-    n_tokens = F.size(toks).cast("long")
-    compact_len = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long")
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(*STOPWORDS))
-    ).cast("long")
-    return (
+    density — the quality-scoring feature block.
+
+    Staged selects: higher-order-function chains (split/filter) sit outside
+    whole-stage codegen, so they get no common-subexpression elimination — a
+    single flat select would re-tokenize the document for every derived
+    column. Aliasing ``toks`` in its own projection pins one evaluation
+    (CollapseProject keeps multi-use non-trivial aliases un-inlined)."""
+    staged = (
         _docs(spark, sf_dir)
         .select(
             F.col("doc_id"),
             F.length("text").cast("long").alias("n_chars"),
-            n_tokens.alias("n_tokens"),
-            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
-            F.floor(F.lit(1e6) * compact_len / n_tokens).cast("long").alias("mean_token_chars_ppm"),
-            F.floor(F.lit(1e6) * stop_hits / n_tokens).cast("long").alias("stopword_ppm"),
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long").alias("compact_len"),
+            tokens(F.col("text")).alias("toks"),
         )
-        .orderBy("doc_id")
+        .select(
+            F.col("doc_id"),
+            F.col("n_chars"),
+            F.col("compact_len"),
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
+            F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS))).cast("long").alias("stop_hits"),
+        )
     )
+    n_tokens = F.col("n_tokens")
+    return staged.select(
+        F.col("doc_id"),
+        F.col("n_chars"),
+        n_tokens,
+        F.col("n_distinct_tokens"),
+        F.floor(F.lit(1e6) * F.col("compact_len") / n_tokens).cast("long").alias("mean_token_chars_ppm"),
+        F.floor(F.lit(1e6) * F.col("stop_hits") / n_tokens).cast("long").alias("stopword_ppm"),
+    ).orderBy("doc_id")
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,14 +69,19 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     density clears a threshold are tagged 'en', else 'unk'. (The synthetic
     corpus is English-ish word salad; the heuristic — not the stored ``lang``
     column — is what's being verified.)"""
-    toks = tokens(F.col("text"))
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
     return (
         _docs(spark, sf_dir)
+        # Tokenize ONCE (see text_stats on why staging matters for HOFs).
+        .select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
         .select(
             F.col("doc_id"),
-            stop_hits.alias("stop_hits"),
-            F.when(F.lit(1e6) * stop_hits / F.size(toks) >= 20000, "en")
+            F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS))).cast("long").alias("stop_hits"),
+            F.size("toks").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col("doc_id"),
+            F.col("stop_hits"),
+            F.when(F.lit(1e6) * F.col("stop_hits") / F.col("n_tokens") >= 20000, "en")
             .otherwise("unk")
             .alias("lang_pred"),
         )
@@ -72,8 +91,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # BPE-ish pre-tokenizer regex (GPT-2 style, simplified to the subset with
 # identical semantics in Java regex and RE2 — no lookahead): contractions,
-# letter runs, digit runs, single non-space symbols.
-BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s]"
+# letter runs, digit runs, single non-space symbols. The whitespace class is
+# spelled out because Java's \s includes \x0B while RE2's does not.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]"
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:

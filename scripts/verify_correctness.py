@@ -75,6 +75,8 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
             continue
+        finally:
+            spark.catalog.clearCache()  # evict per-query persist()s
         spark_s = time.perf_counter() - t0
         if name not in oracles:
             print(f"ok?  {name}: rows={len(sdf)} (no oracle, rows-only) [{spark_s:.1f}s]")

@@ -75,3 +75,50 @@ def test_normalized_plan_is_stable_across_analyses(engine):
     b = normalized_plan(engine.sql("SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"))
     assert a == b
     assert "#N" in a  # expression ids scrubbed
+
+
+def test_vector_lsh_paths_have_bucket_skew_guard(spark):
+    """ann_lsh and embedding_dedup must carry the frequent-bucket suppression
+    (broadcast anti-join against the tiny oversized-bucket list) — the skew
+    guard that keeps the bucket self-join from degenerating at scale."""
+    from datafusion_distributed_experiment_spark.operators.similarity import (
+        ann_lsh,
+        embedding_dedup,
+    )
+    from .conftest import SF_DIR
+
+    for op in (ann_lsh, embedding_dedup):
+        plan = op(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan, f"{op.__name__}: no anti-join skew guard\n{plan[:2000]}"
+        assert "Broadcast" in plan, f"{op.__name__}: guard not broadcast\n{plan[:2000]}"
+
+
+def test_ivf_k_scales_with_corpus_and_lists_stay_bounded(spark):
+    """K = max(IVF_K_MIN, ceil(sqrt(N))) and no inverted list grossly exceeds
+    the expected sqrt(N) size (balanced lists are what keep the probe join's
+    candidate volume ~sqrt(N) per query)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.operators.similarity import (
+        IVF_K_MIN,
+        _ivf_assign,
+        _ivf_k,
+        _vectors,
+    )
+    from .conftest import SF_DIR
+
+    assert _ivf_k(100) == IVF_K_MIN
+    assert _ivf_k(1_000_000) == 1000
+    assert _ivf_k(10**12) == 10**6  # 100 TB-scale corpus: K tracks sqrt(N)
+
+    vecs = _vectors(spark, SF_DIR)
+    n = vecs.count()
+    k = _ivf_k(n)
+    seed_rows = vecs.filter(F.col("vec_id") < k).select("vec_id", "v").orderBy("vec_id").collect()
+    centroids = [(int(r["vec_id"]), list(r["v"])) for r in seed_rows]
+    sizes = (
+        _ivf_assign(vecs, centroids).groupBy("list_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    # Seeded (untrained) centroids aren't perfectly balanced; assert the max
+    # list stays within a small multiple of the expected n/k.
+    assert sizes <= 8 * max(1, n // k), (n, k, sizes)
