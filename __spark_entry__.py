@@ -32,6 +32,7 @@ _SQL_QUERIES = [
     "adhoc/events_agg_count",
     "adhoc/events_cte_join",
     "adhoc/events_daily",
+    "adhoc/q1_decimal",
 ]
 
 
@@ -65,6 +66,18 @@ def _run_corpus(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _run_q15_script() -> Callable[[SparkSession, str], DataFrame]:
+    """q15 executes the reference's real 3-statement form (create view;
+    select; drop view — reference benchmarks/src/tpch/run.rs:186-199) through
+    Engine.sql_script; the oracle compares against the CTE rewrite."""
+    script = corpus.load("tpch/q15_script")
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ensure_registered(spark, sf_dir).sql_script(script, result_statement=1)
+
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H q1 shape) on /root/testdata/sf0.001."""
     return _run_corpus("tpch/q1")(spark, "/root/testdata/sf0.001")
@@ -74,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _SQL_QUERIES:
         out[name.split("/", 1)[1]] = _run_corpus(name)
+    out["q15"] = _run_q15_script()  # exercise the multi-statement machinery
 
     from datafusion_distributed_experiment_spark.operators import pipeline_queries
 

@@ -41,16 +41,26 @@ _TPCH_TABLES = (
 def split_sql_script(script: str) -> list[str]:
     """Split a multi-statement SQL script on ``;`` (reference
     ``benchmarks/src/tpch/mod.rs:148-161``). Semicolons inside single-quoted
-    strings are respected; empty statements dropped."""
+    strings are respected; ``--`` line comments pass through without affecting
+    quote tracking (an apostrophe in a comment must not swallow separators);
+    empty statements dropped."""
     statements: list[str] = []
     buf: list[str] = []
     in_quote = False
     i = 0
-    while i < len(script):
+    n = len(script)
+    while i < n:
         ch = script[i]
+        if not in_quote and ch == "-" and i + 1 < n and script[i + 1] == "-":
+            # -- comment: copy to end of line verbatim
+            j = script.find("\n", i)
+            j = n if j == -1 else j
+            buf.append(script[i:j])
+            i = j
+            continue
         if ch == "'":
             # '' is an escaped quote inside a literal
-            if in_quote and i + 1 < len(script) and script[i + 1] == "'":
+            if in_quote and i + 1 < n and script[i + 1] == "'":
                 buf.append("''")
                 i += 2
                 continue

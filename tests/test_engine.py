@@ -65,6 +65,15 @@ def test_split_sql_script_respects_quotes():
     assert stmts == ["SELECT ';'", "SELECT 'it''s'", "SELECT 1"]
 
 
+def test_split_sql_script_ignores_apostrophes_in_comments():
+    """An apostrophe inside a -- comment must not open a string literal and
+    swallow the statement separators after it."""
+    stmts = split_sql_script(
+        "-- the reference's form\nSELECT 1;\nSELECT 2 -- don't\n; SELECT 3"
+    )
+    assert stmts == ["-- the reference's form\nSELECT 1", "SELECT 2 -- don't", "SELECT 3"]
+
+
 def test_parquet_roundtrip_with_compression(engine, tmp_path):
     df = engine.sql("SELECT * FROM nation")
     engine.write_parquet(df, str(tmp_path / "nation_pq"), compression="zstd")
