@@ -67,6 +67,9 @@ FEATURES_SCHEMA = StructType(
 )
 
 FEATURE_DIM = 8
+# Frame-sampling interval shared by sample_frames' default, media_frames'
+# call site, and the DuckDB oracle — one constant so they cannot drift.
+FRAME_EVERY_MS = 1000
 
 
 def _codec_available() -> bool:
@@ -191,7 +194,7 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     in), then a count per media — verifies the sampler's cardinality
     contract against closed-form SQL."""
     media = synthetic_media(spark, sf_dir).filter(F.col("modality") == "video")
-    frames = sample_frames(media, every_ms=1000)
+    frames = sample_frames(media, every_ms=FRAME_EVERY_MS)
     return (
         frames.groupBy("media_id")
         .agg(F.count("*").cast("long").alias("n_frames"))
@@ -257,9 +260,9 @@ def oracles() -> dict[str, str]:
         """,
         "media_frames": f"""
             WITH {_DUCK_MEDIA}
-            SELECT media_id, CAST(FLOOR(duration_ms / 1000.0) AS BIGINT) AS n_frames
+            SELECT media_id, CAST(FLOOR(duration_ms / {FRAME_EVERY_MS}.0) AS BIGINT) AS n_frames
             FROM media
-            WHERE modality = 'video' AND duration_ms >= 1000
+            WHERE modality = 'video' AND duration_ms >= {FRAME_EVERY_MS}
             ORDER BY media_id
         """,
         "media_meta_stats": f"""
@@ -273,29 +276,39 @@ def oracles() -> dict[str, str]:
     }
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+def sample_frames(media: DataFrame, every_ms: int = FRAME_EVERY_MS) -> DataFrame:
     """Video frame sampling stub: one synthetic 'frame' row per every_ms of
     duration (fan-out inside mapInPandas — rows out != rows in, the shape a
-    real frame sampler has)."""
+    real frame sampler has).
+
+    Vectorized over the pandas batch: the fan-out is ``index.repeat`` on a
+    column-computed frame count (no ``iterrows``); only the md5 content
+    digest — the codec stand-in — touches Python objects, via one
+    comprehension over the already-repeated arrays."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                duration = (r["meta"] or {}).get("duration_ms")
-                # Arrow->pandas turns nullable ints into float NaN; normalize.
-                duration = int(duration) if duration is not None and duration == duration else 0
-                for i in range(max(duration // every_ms, 0)):
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "modality": "image",
-                            "content": hashlib.md5(
-                                bytes(r["content"] or b"") + i.to_bytes(4, "big")
-                            ).digest(),
-                            "meta": r["meta"],
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["media_id", "modality", "content", "meta"])
+            # Arrow->pandas turns nullable ints into float NaN; normalize.
+            dur = pd.to_numeric(
+                pdf["meta"].map(lambda m: (m or {}).get("duration_ms")), errors="coerce"
+            )
+            n_frames = (dur.fillna(0).astype("int64") // every_ms).clip(lower=0)
+            out = pdf.loc[pdf.index.repeat(n_frames)]
+            if len(out) == 0:
+                yield pd.DataFrame(columns=["media_id", "modality", "content", "meta"])
+                continue
+            frame_idx = out.groupby(level=0).cumcount()
+            content = [
+                hashlib.md5(bytes(c or b"") + int(i).to_bytes(4, "big")).digest()
+                for c, i in zip(out["content"], frame_idx)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"].to_numpy(),
+                    "modality": "image",
+                    "content": content,
+                    "meta": out["meta"].to_numpy(),
+                }
+            )
 
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)

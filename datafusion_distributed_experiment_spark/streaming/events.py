@@ -35,11 +35,16 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """``readStream`` over a parquet directory of event files."""
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """``readStream`` over a parquet directory of event files.
+
+    ``max_files_per_trigger`` bounds micro-batch size (and lets tests force
+    multi-batch execution to exercise cross-batch state)."""
     df = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
     # Watermarks require TIMESTAMP (with local timezone), not NTZ; the

@@ -9,11 +9,16 @@ a streaming aggregate.
 
 ``sessionize_stateful`` assigns events to sessions (a new session starts when
 the gap to the previous event of the same user exceeds ``gap_ms``) and emits
-the cumulative per-user rollup each micro-batch; the last emission per user is
-the final answer. ``sessionize_batch`` is the closed-form batch oracle (lag
+the cumulative per-user rollup each micro-batch; the emission with the highest
+``emit_seq`` per user is the final answer. State is a set of merged session
+*intervals* (the Flink session-window representation), so arrival order —
+within a batch or across batches — cannot change the result: an event landing
+between two existing sessions bridges and merges them, exactly as if it had
+arrived in order. ``sessionize_batch`` is the closed-form batch oracle (lag
 window over event time) that the streaming result must converge to on bounded
-input — the differential-testing strategy of the reference
-(``tests/tpch.rs:168-194``) applied to stateful streaming.
+input regardless of how micro-batch boundaries slice the stream — the
+differential-testing strategy of the reference (``tests/tpch.rs:168-194``)
+applied to stateful streaming.
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 SESSION_OUTPUT_SCHEMA = StructType(
     [
@@ -34,14 +39,19 @@ SESSION_OUTPUT_SCHEMA = StructType(
         StructField("n_events", LongType()),
         StructField("n_sessions", LongType()),
         StructField("last_ts_ms", LongType()),
+        # Per-user emission counter: n_sessions is NOT monotone (a late event
+        # can merge two sessions), so consumers pick the row with the highest
+        # emit_seq, never per-column maxes.
+        StructField("emit_seq", LongType()),
     ]
 )
 
 SESSION_STATE_SCHEMA = StructType(
     [
-        StructField("last_ts_ms", LongType()),
+        StructField("starts", ArrayType(LongType())),
+        StructField("ends", ArrayType(LongType())),
         StructField("n_events", LongType()),
-        StructField("n_sessions", LongType()),
+        StructField("emit_seq", LongType()),
     ]
 )
 
@@ -50,35 +60,44 @@ DEFAULT_GAP_MS = 60 * 60 * 1000  # 1 hour
 
 def sessionize_stateful(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS) -> DataFrame:
     """Streaming sessionization over a DataFrame with ``user_id`` and a
-    timestamp column ``ts`` (TIMESTAMP); state = (last event ts, event count,
-    session count) per user.
+    timestamp column ``ts`` (TIMESTAMP); state = merged session intervals +
+    event count per user.
 
-    Rows inside one micro-batch are processed in event-time order; state
-    carries the rollup across batches. Emits cumulative counts per user per
-    batch (update semantics)."""
+    Order-independent by construction: each event is an [ts, ts] interval;
+    intervals closer than ``gap_ms`` merge. Late cross-batch events extend or
+    bridge existing sessions instead of silently corrupting a scalar
+    ``last_ts``. State size is O(open sessions per user); production
+    deployments bound it by evicting intervals older than the watermark
+    (their sessions can no longer change) — rollup counts stay exact."""
 
     def fn(
         key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            last_ts, n_events, n_sessions = state.get
+            starts, ends, n_events, emit_seq = state.get
+            intervals = [[int(s), int(e)] for s, e in zip(starts, ends)]
         else:
-            last_ts, n_events, n_sessions = None, 0, 0
-        ts_sorted = pd.concat(list(pdfs))["ts_ms"].sort_values()
-        for ts in ts_sorted:
-            ts = int(ts)
-            if last_ts is None or ts - last_ts > gap_ms:
-                n_sessions += 1
-            n_events += 1
-            last_ts = ts
-        state.update((last_ts, n_events, n_sessions))
+            intervals, n_events, emit_seq = [], 0, 0
+        new_ts = pd.concat(list(pdfs))["ts_ms"]
+        n_events += int(len(new_ts))
+        merged: list[list[int]] = []
+        for s, e in sorted(intervals + [[int(t), int(t)] for t in new_ts]):
+            if merged and s - merged[-1][1] <= gap_ms:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        emit_seq += 1
+        state.update(
+            ([s for s, _ in merged], [e for _, e in merged], n_events, emit_seq)
+        )
         yield pd.DataFrame(
             [
                 {
                     "user_id": key[0],
                     "n_events": n_events,
-                    "n_sessions": n_sessions,
-                    "last_ts_ms": last_ts,
+                    "n_sessions": len(merged),
+                    "last_ts_ms": merged[-1][1] if merged else None,
+                    "emit_seq": emit_seq,
                 }
             ]
         )

@@ -38,44 +38,85 @@ def test_streaming_matches_batch_daily(spark, engine, events_dir):
     assert_frames_match(result, batch, "streaming_vs_batch")
 
 
-def test_stateful_sessionize_matches_batch(spark, events_dir):
-    """applyInPandasWithState sessionization converges to the lag-window
-    batch oracle on bounded input (last emission per user = final rollup)."""
+def _final_sessions(spark, table_name):
+    """Final per-user rollup from update-mode emissions: the row with the
+    highest emit_seq (n_sessions is NOT monotone — a late event can merge two
+    sessions — so per-column maxes would be wrong)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("emit_seq"))
+    return (
+        spark.table(table_name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "n_sessions", "last_ts_ms")
+        .toPandas()
+    )
+
+
+def _run_sessionize(spark, events_dir, table_name, max_files_per_trigger=8):
     from datafusion_distributed_experiment_spark.streaming.stateful import (
-        sessionize_batch,
         sessionize_stateful,
     )
 
-    stream = read_events_stream(spark, events_dir)
-    sessions = sessionize_stateful(stream)
+    stream = read_events_stream(
+        spark, events_dir, max_files_per_trigger=max_files_per_trigger
+    )
     q = (
-        sessions.writeStream.format("memory")
-        .queryName("t_sessions")
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName(table_name)
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    return _final_sessions(spark, table_name)
+
+
+def _batch_oracle(spark):
     from pyspark.sql import functions as F
 
-    # update-mode memory sink appends one row per user per batch; the
-    # cumulative semantics make the max-count row the final state.
-    result = (
-        spark.table("t_sessions")
-        .groupBy("user_id")
-        .agg(
-            F.max("n_events").alias("n_events"),
-            F.max("n_sessions").alias("n_sessions"),
-            F.max("last_ts_ms").alias("last_ts_ms"),
-        )
-        .toPandas()
+    from datafusion_distributed_experiment_spark.streaming.stateful import (
+        sessionize_batch,
     )
 
     batch_events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
         "user_id", F.expr("timestamp_micros(ts DIV 1000)").alias("ts")
     )
-    batch = sessionize_batch(batch_events).toPandas()
-    assert_frames_match(result, batch, "stateful_sessionize_vs_batch")
+    return sessionize_batch(batch_events).toPandas()
+
+
+def test_stateful_sessionize_matches_batch(spark, events_dir):
+    """applyInPandasWithState sessionization converges to the lag-window
+    batch oracle on bounded single-batch input."""
+    result = _run_sessionize(spark, events_dir, "t_sessions")
+    assert_frames_match(result, _batch_oracle(spark), "stateful_sessionize_vs_batch")
+
+
+def test_stateful_sessionize_order_independent_across_batches(spark, tmp_path):
+    """Events split across micro-batches in NON-event-time order (interleaved
+    event_id stripes, one file per trigger) must still converge to the batch
+    oracle: the interval-merge state bridges/extends sessions for late rows
+    instead of corrupting a scalar last_ts."""
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    table = ds.dataset(f"{SF_DIR}/events.parquet").to_table()
+    d = tmp_path / "striped"
+    d.mkdir()
+    n_stripes = 4
+    for i in range(n_stripes):
+        idx = [j for j in range(table.num_rows) if j % n_stripes == i]
+        # stripe i holds every n-th event: each later batch contains events
+        # older than ones already processed -> genuine cross-batch disorder
+        pq.write_table(table.take(idx), d / f"stripe-{i}.parquet")
+
+    result = _run_sessionize(spark, str(d), "t_sessions_striped", max_files_per_trigger=1)
+    assert_frames_match(
+        result, _batch_oracle(spark), "stateful_sessionize_multibatch_vs_batch"
+    )
 
 
 def test_watermark_present_in_plan(spark, events_dir):
