@@ -52,8 +52,16 @@ MAX_BAND_BUCKET = 64
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + near-duplicate augmentation (see module docstring)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    """documents + near-duplicate augmentation (see module docstring).
+
+    Rebalanced to cluster parallelism: the synthetic table is one parquet
+    row group (= one scan task), and everything downstream is HOF-heavy
+    per-row compute that must fan out."""
+    from ..sources.tables import rebalance_narrow_scan
+
+    docs = rebalance_narrow_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     aug = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + AUG_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(AUG_SUFFIX)).alias("text"),
@@ -161,7 +169,10 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Band keys shuffle-partition the corpus; only documents sharing a band
     bucket are compared (no cross join — the standard scale-out LSH plan)."""
-    sigs = _with_signature(_corpus(spark, sf_dir)).select("doc_id", "toks", "sig").persist()
+    # localCheckpoint, not persist: three consumers (both self-join sides +
+    # the bucket-cap count) race a lazily-populated cache and recompute the
+    # HOF chain concurrently on miss; eager checkpoint materializes once.
+    sigs = _with_signature(_corpus(spark, sf_dir)).select("doc_id", "toks", "sig").localCheckpoint()
     # Slim band rows: only (doc_id, band key) travels through the LSH
     # shuffle; token arrays are joined back per *pair*, not per band.
     bands = sigs.select(
@@ -214,30 +225,34 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 
 def _with_simhash(df: DataFrame) -> DataFrame:
-    """32-bit SimHash from per-token hashes — a pure map-side HOF aggregate
-    (no explode/groupBy shuffle; the signature is computed inside one task)."""
-    df = df.withColumn("_hs", F.transform(tokens(F.col("text")), poly_hash))
-    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
-    # One fold over the token hashes accumulating all bit counters at once —
-    # Catalyst would otherwise inline the hash column into each of the 32
-    # consumers and recompute the char-level fold 32x per token.
-    bit_sums = F.aggregate(
-        F.col("_hs"),
-        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
-        lambda acc, h: F.zip_with(
-            acc, pow2, lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1)
-        ),
+    """(doc_id, simhash): 32-bit SimHash from per-token hashes via explode +
+    two-phase hash aggregation.
+
+    The aggregate formulation keeps every operator inside whole-stage codegen
+    (explode -> 32 SUMs, partial map-side + final after a doc_id shuffle of
+    already-reduced rows — one slim row per doc per map partition). The
+    previous map-only formulation — a per-row ``aggregate`` folding a 32-slot
+    array accumulator through ``zip_with`` — evaluated interpreted lambda
+    expressions allocating two arrays per token and benched 2-4x slower
+    despite avoiding the shuffle; the shuffle is the cheap part (32 longs per
+    doc). Matches the DuckDB oracle's unnest + GROUP BY shape exactly,
+    including dropping token-less documents."""
+    hs = df.select(
+        "doc_id", F.explode(F.transform(tokens(F.col("text")), poly_hash)).alias("h")
     )
-    df = df.withColumn("_bits", bit_sums)
+    sums = hs.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
     simhash = None
     for j in range(SIMHASH_BITS):
-        term = (
-            F.when(F.element_at(F.col("_bits"), j + 1) >= 0, F.lit(1 << j))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
+        term = F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
         simhash = term if simhash is None else simhash + term
-    return df.withColumn("simhash", simhash).drop("_hs", "_bits")
+    return sums.select("doc_id", simhash.alias("simhash"))
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,8 +267,9 @@ def simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     One exploded band table + one self-join on (band_idx, k) — not four
     separate joins — so the whole candidate stage is a single shuffle."""
     # Tiny signature table (2 ints/doc) read by both join sides and the
-    # bucket-cap pass: persist instead of recomputing the HOF chain per use.
-    sigs = _with_simhash(_corpus(spark, sf_dir)).select("doc_id", "simhash").persist()
+    # bucket-cap pass: eager localCheckpoint so the shuffle-bearing
+    # signature aggregation runs exactly once (see minhash_dedup_pairs).
+    sigs = _with_simhash(_corpus(spark, sf_dir)).select("doc_id", "simhash").localCheckpoint()
     bands = sigs.select(
         "doc_id",
         "simhash",
@@ -304,14 +320,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _corpus(spark, sf_dir)
     toks = tokens(F.col("text"))
     # Tokenization is the expensive part and the keyed table is read three
-    # times (bucket-cap count + both self-join sides): persist the tokenized
+    # times (bucket-cap count + both self-join sides): checkpoint the tokenized
     # form once instead of re-splitting the text per consumer.
     keyed = c.select(
         "doc_id",
         F.array_distinct(toks).alias("toks"),
         F.element_at(toks, 1).alias("k1"),
         F.floor(F.size(toks) / 10).alias("k2"),
-    ).persist()
+    ).localCheckpoint()
     keyed = _cap_buckets(keyed, ["k1", "k2"])
     a, b = keyed.alias("a"), keyed.alias("b")
     jaccard = F.floor(
@@ -336,6 +352,84 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- #
+# duplicate-cluster resolution (connected components over mined pairs)
+# --------------------------------------------------------------------- #
+
+# Near-dup clusters have tiny graph diameter (pairs share content, so the
+# similarity graph is locally dense); min-label propagation converges in
+# O(diameter) rounds. The cap is a safety valve, not an expected bound.
+MAX_CC_ITERS = 16
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) for every node of an undirected pair graph, with
+    ``cluster_id`` = min doc_id reachable from the node.
+
+    Distributed min-label propagation: per round, every node takes the min of
+    its own label and its neighbors' labels — one hash-shuffle join per round
+    keyed on doc_id, no driver-side graph. Labels only ever decrease, so
+    convergence is detected by an O(1)-row aggregate (label-sum fixpoint)
+    rather than a change-counting join. Each round's label table is
+    ``localCheckpoint``ed (eager): iterative DataFrames MUST truncate lineage
+    per round — persist() alone is not enough, because each round's plan
+    embeds the previous round's plan and any cache miss (or cascading
+    invalidation when the previous round is evicted) re-executes the entire
+    chain, which measured *exponential* (2s -> 23s -> 228s per round) before
+    the checkpoint. At 100 TB the same loop holds (edges are pairs-sized,
+    labels one row per *duplicated* doc — both far smaller than the corpus);
+    graphs with large diameter would swap this loop for the O(log n)-round
+    large-star/small-star variant, same join primitive."""
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+    edges = pairs.unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(MAX_CC_ITERS):
+        if prev_sum is None:  # empty graph
+            break
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve mined near-dup pairs into duplicate clusters: each document in
+    any pair gets ``cluster_id`` = min doc_id reachable through the pair
+    graph, plus an ``is_canonical`` keep-flag — the final step of a dedup
+    cascade (pair mining says *what matches*; clustering says *what to keep*,
+    and everything with ``is_canonical = false`` is the drop set)."""
+    labels = connected_components(minhash_dedup_pairs(spark, sf_dir))
+    return labels.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": dedup_exact,
@@ -344,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": simhash_signatures,
         "simhash_dedup_pairs": simhash_dedup_pairs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "dedup_clusters": dedup_clusters,
     }
 
 
@@ -388,6 +483,36 @@ _DUCK_SIMHASH = f"""tokh AS (
 )"""
 
 
+# Banded-LSH candidate mining + Jaccard verification as a reusable CTE chain
+# ending in ``pairs`` — shared by the pair-mining oracle and the clustering
+# oracle so the two cannot drift.
+_DUCK_MINHASH_PAIRS = f"""bands AS (
+    SELECT * FROM (
+        SELECT doc_id, band_idx, x, y,
+               COUNT(*) OVER (PARTITION BY band_idx, x, y) AS bucket_n
+        FROM ({" UNION ALL ".join(
+            f"SELECT doc_id, {i} AS band_idx, sig[{lo + 1}] AS x, sig[{hi + 1}] AS y FROM sig"
+            for i, (lo, hi) in enumerate(BANDS)
+        )})
+    ) WHERE bucket_n <= {MAX_BAND_BUCKET}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.x = b.x AND a.y = b.y
+     AND a.doc_id < b.doc_id
+), withtoks AS (
+    SELECT doc_a, doc_b, sa.dtoks AS ta, sb.dtoks AS tb
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+), pairs AS (
+    SELECT doc_a, doc_b,
+           CAST(FLOOR(1e6 * len(list_intersect(ta, tb)) / len(list_distinct(list_concat(ta, tb)))) AS BIGINT) AS jaccard_ppm
+    FROM withtoks
+    WHERE FLOOR(1e6 * len(list_intersect(ta, tb)) / len(list_distinct(list_concat(ta, tb)))) >= {JACCARD_MIN_PPM}
+)"""
+
+
 def oracles() -> dict[str, str]:
     return {
         "dedup_exact": f"""
@@ -403,31 +528,23 @@ def oracles() -> dict[str, str]:
             FROM sig ORDER BY doc_id
         """,
         "minhash_dedup_pairs": f"""
-            WITH {_DUCK_CORPUS}, {_DUCK_SIG}, bands AS (
-                SELECT * FROM (
-                    SELECT doc_id, band_idx, x, y,
-                           COUNT(*) OVER (PARTITION BY band_idx, x, y) AS bucket_n
-                    FROM ({" UNION ALL ".join(
-                        f"SELECT doc_id, {i} AS band_idx, sig[{lo + 1}] AS x, sig[{hi + 1}] AS y FROM sig"
-                        for i, (lo, hi) in enumerate(BANDS)
-                    )})
-                ) WHERE bucket_n <= {MAX_BAND_BUCKET}
-            ), cand AS (
-                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM bands a JOIN bands b
-                  ON a.band_idx = b.band_idx AND a.x = b.x AND a.y = b.y
-                 AND a.doc_id < b.doc_id
-            ), withtoks AS (
-                SELECT doc_a, doc_b, sa.dtoks AS ta, sb.dtoks AS tb
-                FROM cand
-                JOIN sig sa ON sa.doc_id = doc_a
-                JOIN sig sb ON sb.doc_id = doc_b
+            WITH {_DUCK_CORPUS}, {_DUCK_SIG}, {_DUCK_MINHASH_PAIRS}
+            SELECT doc_a, doc_b, jaccard_ppm FROM pairs ORDER BY doc_a, doc_b
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_DUCK_CORPUS}, {_DUCK_SIG}, {_DUCK_MINHASH_PAIRS}, edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION
+                SELECT doc_b AS u, doc_a AS v FROM pairs
+            ), reach(doc_id, r) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT reach.doc_id, edges.v FROM reach JOIN edges ON reach.r = edges.u
             )
-            SELECT doc_a, doc_b,
-                   CAST(FLOOR(1e6 * len(list_intersect(ta, tb)) / len(list_distinct(list_concat(ta, tb)))) AS BIGINT) AS jaccard_ppm
-            FROM withtoks
-            WHERE FLOOR(1e6 * len(list_intersect(ta, tb)) / len(list_distinct(list_concat(ta, tb)))) >= {JACCARD_MIN_PPM}
-            ORDER BY doc_a, doc_b
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(MIN(r) AS BIGINT) AS cluster_id,
+                   MIN(r) = doc_id AS is_canonical
+            FROM reach GROUP BY doc_id ORDER BY doc_id
         """,
         "simhash_signatures": f"""
             WITH {_DUCK_CORPUS}, {_DUCK_SIMHASH}

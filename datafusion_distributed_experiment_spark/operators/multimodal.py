@@ -151,7 +151,11 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships no real media fixtures): payload = utf-8 bytes of the text, typed
     metadata from arithmetic on doc_id/length. The same formulas are spelled
     in the DuckDB oracles, so every downstream op stays hash-comparable."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    from ..sources.tables import rebalance_narrow_scan
+
+    docs = rebalance_narrow_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     mod = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3).cast("int") + 1,

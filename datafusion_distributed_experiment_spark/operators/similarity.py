@@ -64,7 +64,11 @@ def _ivf_k(n: int) -> int:
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from ..sources.tables import rebalance_narrow_scan
+
+    # One parquet row group = one scan task; the per-row dot-product folds
+    # downstream are the expensive part and must fan out to all cores.
+    df = rebalance_narrow_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return df.select("vec_id", F.col("embedding").cast("array<double>").alias("v")).withColumn(
         "nrm", norm(F.col("v"))
     )
@@ -132,38 +136,49 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroid_scores(centroids: list[tuple[int, list[float]]]) -> F.Column:
+    """``array<struct<cos, neg_id>>`` of cosines between ``v`` and every
+    centroid — the shared scoring kernel of assignment and probing.
+
+    The centroid matrix is *model state*, not data: it ships as ONE
+    ``array<array<double>>`` literal (the Spark-ML ``KMeansModel`` broadcast
+    pattern), so the expression tree stays constant-size no matter how large
+    K = ceil(sqrt(N)) grows — inlining K separate 64-literal fold expressions
+    made Catalyst analysis + per-row evaluation cost O(K) plan nodes and was
+    ~10x slower at K=45. Both engines fold the dot product in the same
+    element order, so the doubles — and any argmax over them — match the
+    DuckDB oracle exactly; ties break toward the smaller centroid id via the
+    ``(cos, -cid)`` struct ordering."""
+    # One F.expr per literal, parsed JVM-side: building these via F.lit on
+    # nested Python lists issues a py4j round trip per element (~8s of
+    # driver time at K=45 x 64 dims); a single SQL string is milliseconds.
+    # The D suffix pins DOUBLE (bare decimals parse as DECIMAL); repr()
+    # round-trips the exact binary double.
+    def _d(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    cmat = F.expr(
+        "array(" + ",".join("array(" + ",".join(_d(x) for x in cvec) + ")" for _, cvec in centroids) + ")"
+    )
+    cnorms = F.expr("array(" + ",".join(_d(_norm_of(cvec)) for _, cvec in centroids) + ")")
+    neg_ids = F.expr("array(" + ",".join(_d(-cid) for cid, _ in centroids) + ")")
+    dot = lambda a, b: F.aggregate(  # noqa: E731 - local kernel
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda i: F.struct(
+            (dot(F.col("v"), F.element_at(cmat, i)) / (F.col("nrm") * F.element_at(cnorms, i))).alias("cos"),
+            F.element_at(neg_ids, i).alias("neg_id"),
+        ),
+    )
+
+
 def _ivf_assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """Tag every vector with its nearest centroid (``list_id``) as a pure
-    map-side projection.
-
-    The centroid table is *model state*, not data: it is inlined as literal
-    expressions (the Spark-ML ``KMeansModel`` broadcast pattern), so
-    assignment costs zero shuffles and scales linearly with the corpus — the
-    shape a 100 TB IVF build needs. Argmax is ``array_max`` over
-    ``(cosine, -centroid_id)`` structs: both engines fold the dot product in
-    the same element order, so the doubles — and therefore the argmax — match
-    exactly; ties break toward the smaller centroid id."""
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("v"),
-                            F.array(*[F.lit(float(x)) for x in cvec]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    / (F.col("nrm") * F.lit(_norm_of(cvec)))
-                ).alias("cos"),
-                F.lit(-cid).alias("neg_id"),
-            )
-            for cid, cvec in centroids
-        ]
-    )
-    best = F.array_max(scored)
+    map-side projection — zero shuffles, linear in the corpus, the shape a
+    100 TB IVF build needs."""
+    best = F.array_max(_centroid_scores(centroids))
     return vecs.withColumn("list_id", (-best["neg_id"]).cast("long"))
 
 
@@ -184,7 +199,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by ``list_id``. With K ~ sqrt(N), expected list size is sqrt(N), so
     per-query candidate volume grows as sqrt(N)*IVF_PROBE instead of N/16;
     AQE skew-join splits any list that still runs hot."""
-    vecs = _vectors(spark, sf_dir)
+    # Eager localCheckpoint: the fit step (count + seed collect) and the main
+    # query are three separate jobs over the same small table — materialize
+    # the scan+norm once instead of re-running it per job. (At 100 TB the
+    # build pipelines the index once the same way, against durable storage.)
+    vecs = _vectors(spark, sf_dir).localCheckpoint()
     # Model-fit step: corpus count (one parquet-footer-served aggregate)
     # sizes K ~ sqrt(N); the K seed vectors are a few KB — collecting them
     # is model state (exactly what KMeansModel.fit does), not a data collect.
@@ -211,28 +230,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_probes(queries: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """(query_id, qv, qn) x IVF_PROBE nearest centroid list_ids — explode of
-    a literal-scored centroid array; map-only like assignment."""
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("v"),
-                            F.array(*[F.lit(float(x)) for x in cvec]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    / (F.col("nrm") * F.lit(_norm_of(cvec)))
-                ).alias("cos"),
-                F.lit(-cid).alias("neg_id"),
-            )
-            for cid, cvec in centroids
-        ]
-    )
-    top = F.slice(F.reverse(F.array_sort(scored)), 1, IVF_PROBE)
+    the literal-scored centroid array; map-only like assignment."""
+    top = F.slice(F.reverse(F.array_sort(_centroid_scores(centroids))), 1, IVF_PROBE)
     return queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -24,7 +24,10 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..sources.tables import rebalance_narrow_scan
+
+    # Single-row-group file; fan the HOF-heavy map stages out to all cores.
+    return rebalance_narrow_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

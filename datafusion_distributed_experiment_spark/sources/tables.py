@@ -25,6 +25,23 @@ def nano_timestamp_columns(path: str) -> list[tuple[str, bool]]:
         return []
 
 
+def rebalance_narrow_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to cluster parallelism when a scan yields
+    fewer partitions than cores.
+
+    Parquet scan parallelism is bounded by row-group layout: a single-row-
+    group file is one task no matter how many executors exist, so an
+    expensive per-row map stage downstream (HOF folds, pandas UDFs) runs
+    nearly single-threaded. The guard makes this a no-op exactly when it
+    would hurt: a 100 TB table already scans with thousands of partitions,
+    so no extra shuffle is introduced there — only genuinely narrow inputs
+    pay one tiny rebalancing exchange."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     """Parquet with inferred schema. Nanosecond timestamps (which arrive as
     BIGINT nanos via ``spark.sql.legacy.parquet.nanosAsLong``) are converted

@@ -1,0 +1,69 @@
+"""Unit tests for distributed connected components (duplicate-cluster
+resolution). The corpus-level dedup_clusters query is covered by the
+DuckDB-oracle differential test (test_corpus_oracle); here the propagation
+loop itself is pinned on hand-built graphs whose shapes stress it:
+multi-hop chains (labels must travel the diameter), merged triangles, and
+order-reversed edges."""
+
+from __future__ import annotations
+
+
+def _cc(spark, edges):
+    from datafusion_distributed_experiment_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    rows = connected_components(pairs).collect()
+    return {r["doc_id"]: r["cluster_id"] for r in rows}
+
+
+def test_chain_propagates_min_across_diameter(spark):
+    # 1-2-3-4-5: min label must hop 4 edges.
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_disjoint_components_keep_separate_minima(spark):
+    got = _cc(spark, [(10, 20), (20, 30), (7, 8), (100, 101)])
+    assert got == {10: 10, 20: 10, 30: 10, 7: 7, 8: 7, 100: 100, 101: 100}
+
+
+def test_edge_direction_irrelevant(spark):
+    # Pairs listed high->low: symmetry must be built by the operator.
+    got = _cc(spark, [(9, 3), (3, 1)])
+    assert got == {1: 1, 3: 1, 9: 1}
+
+
+def test_bridge_merges_two_clusters(spark):
+    # Two triangles joined by one bridge edge collapse to one cluster.
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {1}
+    assert len(got) == 6
+
+
+def test_empty_graph(spark):
+    got = _cc(spark, [])
+    assert got == {}
+
+
+def test_dedup_clusters_canonical_flag(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.operators.dedup import dedup_clusters
+
+    from .conftest import SF_DIR
+
+    df = dedup_clusters(spark, SF_DIR)
+    rows = df.collect()
+    assert rows, "augmented corpus must produce at least one duplicate cluster"
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        # cluster representative is a member of the graph and is canonical
+        assert r["cluster_id"] in by_id
+        assert by_id[r["cluster_id"]]["is_canonical"]
+        assert r["is_canonical"] == (r["doc_id"] == r["cluster_id"])
+    # exactly one canonical doc per cluster
+    canon = [r for r in rows if r["is_canonical"]]
+    assert len(canon) == len({r["cluster_id"] for r in rows})

@@ -46,3 +46,15 @@ def test_sample_frames_fans_out(media):
 def test_decode_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG...")
+
+
+def test_decode_branches_on_codec_availability(monkeypatch):
+    """Both arms of the codec escape hatch: without a codec the error points
+    at the fake_embed fallback; with one (simulated — the container has no
+    PIL) the real-decode arm is reached instead of the fallback message."""
+    monkeypatch.setattr(mm, "_codec_available", lambda: False)
+    with pytest.raises(NotImplementedError, match="fake_embed"):
+        mm.decode_image(b"x")
+    monkeypatch.setattr(mm, "_codec_available", lambda: True)
+    with pytest.raises(NotImplementedError, match="intentionally unimplemented"):
+        mm.decode_image(b"x")

@@ -55,9 +55,12 @@ def test_ivf_assignment_is_map_only(spark):
 
     vecs = _vectors(spark, SF_DIR)
     centroids = [(i, [float(i == j) for j in range(64)]) for i in range(4)]
+    base = stage_summary(vecs)
     s = stage_summary(_ivf_assign(vecs, centroids))
-    assert s["exchanges"] == 0, s
-    assert s["aggregates"] == 0, s
+    # assignment adds zero exchanges/aggregates over its input (the input
+    # itself may carry the narrow-scan rebalance exchange)
+    assert s["exchanges"] == base["exchanges"], (s, base)
+    assert s["aggregates"] == base["aggregates"] == 0, (s, base)
 
 
 def test_embedding_topk_broadcasts_query_side(spark):
