@@ -222,6 +222,37 @@ class Engine:
     def write_parquet(self, df: DataFrame, path: str, compression: str = "zstd") -> None:
         sources.write_parquet(df, path, compression=compression)
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        path: str,
+        bucket_cols: list[str],
+        n_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Write ``df`` as a bucketed (hash-partitioned-on-disk) parquet table
+        and register it in the catalog.
+
+        Bucketing is the persistent form of the reference's hash
+        ``RepartitionExec`` (reference
+        ``src/flight_service/stream_partitioner_registry.rs:19-33``): the
+        shuffle is paid ONCE at write time, and every later equi-join or
+        aggregation on ``bucket_cols`` between tables bucketed the same way
+        runs with ZERO exchanges — the decisive optimization for fact-fact
+        joins repeated across a 100 TB pipeline (e.g. lineitem⋈orders every
+        night). Both tables must share the bucket column set and bucket
+        count; keep ``n_buckets`` >= cluster parallelism."""
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*(sort_cols or bucket_cols))
+            .option("path", path)
+        )
+        writer.saveAsTable(name)
+        return self.spark.table(name)
+
     def write_csv(self, df: DataFrame, path: str, sep: str = ",", header: bool = True) -> None:
         sources.write_csv(df, path, sep=sep, header=header)
 

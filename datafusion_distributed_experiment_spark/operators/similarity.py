@@ -215,11 +215,14 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _ivf_assign(vecs, centroids)
     probes = _ivf_probes(vecs.filter(F.col("vec_id") < IVF_QUERIES), centroids)
     pairs = probes.join(assigned, on="list_id").filter(F.col("vec_id") != F.col("query_id"))
+    # No dedup needed: every vector lives in exactly one inverted list and a
+    # query probes IVF_PROBE *distinct* lists, so (query, neighbor) pairs are
+    # unique by construction — a dropDuplicates here is a wasted shuffle.
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         cosine_ppm(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")).alias("cos_ppm"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_ppm"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -348,7 +351,7 @@ def oracles() -> dict[str, str]:
                     FROM vecs CROSS JOIN cent WHERE vecs.vec_id < {IVF_QUERIES}
                 ) WHERE rn <= {IVF_PROBE}
             ), scored AS (
-                SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+                SELECT p.query_id, a.vec_id AS neighbor_id,
                        CAST(FLOOR(1e6 * {DUCK_DOT.format(a="p.qv", b="a.v", n=DIM)} / (p.qn * a.nrm)) AS BIGINT) AS cos_ppm
                 FROM probes p JOIN assign a
                   ON a.list_id = p.list_id AND a.vec_id <> p.query_id

@@ -133,12 +133,55 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quality-filter thresholds (Gopher/C4-style heuristic band checks). Each
+# passing check contributes QUALITY_WEIGHT ppm; documents keep when the total
+# clears QUALITY_KEEP_PPM. All integer ppm arithmetic — exact cross-engine.
+QUALITY_MIN_TOKENS = 10
+QUALITY_MAX_TOKENS = 5000
+QUALITY_STOP_MIN_PPM = 10_000
+QUALITY_STOP_MAX_PPM = 600_000
+QUALITY_DIVERSITY_MIN_PPM = 300_000
+QUALITY_MEAN_CHARS_MIN_PPM = 2_000_000
+QUALITY_MEAN_CHARS_MAX_PPM = 15_000_000
+QUALITY_WEIGHT = 250_000
+QUALITY_KEEP_PPM = 750_000
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality score: four Gopher/C4-style band checks
+    (token count, stopword density, lexical diversity, mean token length),
+    each worth QUALITY_WEIGHT ppm, plus the keep/drop verdict a training-data
+    pipeline filters on. Map-only over the text_stats feature block — at
+    100 TB this is the same single scan; the verdict column makes the
+    downstream filter a pushed-down boolean predicate."""
+    st = text_stats(spark, sf_dir)
+    n_tokens = F.col("n_tokens")
+    checks = [
+        n_tokens.between(QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS),
+        F.col("stopword_ppm").between(QUALITY_STOP_MIN_PPM, QUALITY_STOP_MAX_PPM),
+        (F.floor(F.lit(1e6) * F.col("n_distinct_tokens") / n_tokens) >= QUALITY_DIVERSITY_MIN_PPM),
+        F.col("mean_token_chars_ppm").between(
+            QUALITY_MEAN_CHARS_MIN_PPM, QUALITY_MEAN_CHARS_MAX_PPM
+        ),
+    ]
+    score = None
+    for c in checks:
+        term = F.when(c, F.lit(QUALITY_WEIGHT)).otherwise(F.lit(0))
+        score = term if score is None else score + term
+    return st.select(
+        "doc_id",
+        score.cast("long").alias("quality_ppm"),
+        (score >= QUALITY_KEEP_PPM).alias("keep"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": text_stats,
         "lang_id": lang_id,
         "fingerprint": fingerprint,
         "token_count": token_count,
+        "quality_score": quality_score,
     }
 
 
@@ -146,9 +189,7 @@ _STOP_SQL = " OR ".join(f"t = '{w}'" for w in STOPWORDS)
 _TOKS = DUCK_TOKENS.format(x="text")
 
 
-def oracles() -> dict[str, str]:
-    return {
-        "text_stats": f"""
+_STATS_BODY = f"""
             SELECT
                 doc_id,
                 CAST(length(text) AS BIGINT) AS n_chars,
@@ -156,7 +197,29 @@ def oracles() -> dict[str, str]:
                 CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens,
                 CAST(FLOOR(1e6 * length(replace(text, ' ', '')) / len({_TOKS})) AS BIGINT) AS mean_token_chars_ppm,
                 CAST(FLOOR(1e6 * len(list_filter({_TOKS}, t -> {_STOP_SQL})) / len({_TOKS})) AS BIGINT) AS stopword_ppm
-            FROM documents ORDER BY doc_id
+            FROM documents"""
+
+_QUALITY_SCORE_SQL = " + ".join(
+    f"(CASE WHEN {cond} THEN {QUALITY_WEIGHT} ELSE 0 END)"
+    for cond in (
+        f"n_tokens BETWEEN {QUALITY_MIN_TOKENS} AND {QUALITY_MAX_TOKENS}",
+        f"stopword_ppm BETWEEN {QUALITY_STOP_MIN_PPM} AND {QUALITY_STOP_MAX_PPM}",
+        f"FLOOR(1e6 * n_distinct_tokens / n_tokens) >= {QUALITY_DIVERSITY_MIN_PPM}",
+        f"mean_token_chars_ppm BETWEEN {QUALITY_MEAN_CHARS_MIN_PPM} AND {QUALITY_MEAN_CHARS_MAX_PPM}",
+    )
+)
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "text_stats": f"""{_STATS_BODY} ORDER BY doc_id
+        """,
+        "quality_score": f"""
+            WITH stats AS ({_STATS_BODY})
+            SELECT doc_id,
+                   CAST({_QUALITY_SCORE_SQL} AS BIGINT) AS quality_ppm,
+                   ({_QUALITY_SCORE_SQL}) >= {QUALITY_KEEP_PPM} AS keep
+            FROM stats ORDER BY doc_id
         """,
         "lang_id": f"""
             SELECT

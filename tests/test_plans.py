@@ -125,3 +125,38 @@ def test_ivf_k_scales_with_corpus_and_lists_stay_bounded(spark):
     # Seeded (untrained) centroids aren't perfectly balanced; assert the max
     # list stays within a small multiple of the expected n/k.
     assert sizes <= 8 * max(1, n // k), (n, k, sizes)
+
+
+def test_bucketed_join_eliminates_exchanges(engine, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts join with
+    ZERO shuffle exchanges — the write-once-join-many co-location strategy
+    for repeated fact-fact joins at 100 TB. The unbucketed control plan for
+    the identical join shuffles both sides."""
+    spark = engine.spark
+    orders = spark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = spark.table("lineitem").select("l_orderkey", "l_quantity")
+    b_orders = engine.write_bucketed(
+        orders, "orders_b", str(tmp_path / "orders_b"), ["o_orderkey"], n_buckets=4
+    )
+    b_lineitem = engine.write_bucketed(
+        lineitem, "lineitem_b", str(tmp_path / "lineitem_b"), ["l_orderkey"], n_buckets=4
+    )
+    # Force a real shuffle-or-colocate decision: no broadcast escape hatch.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = b_orders.join(
+            b_lineitem, b_orders.o_orderkey == b_lineitem.l_orderkey
+        )
+        control = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        s_bucketed = stage_summary(joined)
+        s_control = stage_summary(control)
+        assert s_bucketed["exchanges"] == 0, s_bucketed
+        assert s_bucketed["broadcasts"] == 0, s_bucketed
+        assert s_control["exchanges"] >= 2, s_control
+        # co-location must not change results
+        assert joined.count() == control.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
