@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from ..streaming import stateful
     from . import dedup, multimodal, similarity, text
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -26,10 +27,12 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.queries())
     out.update(similarity.queries())
     out.update(multimodal.queries())
+    out.update(stateful.queries())
     return out
 
 
 def pipeline_oracles() -> dict[str, str]:
+    from ..streaming import stateful
     from . import dedup, multimodal, similarity, text
 
     out: dict[str, str] = {}
@@ -37,4 +40,5 @@ def pipeline_oracles() -> dict[str, str]:
     out.update(dedup.oracles())
     out.update(similarity.oracles())
     out.update(multimodal.oracles())
+    out.update(stateful.oracles())
     return out

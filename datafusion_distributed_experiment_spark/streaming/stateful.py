@@ -114,12 +114,11 @@ def sessionize_stateful(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS) -> Data
     )
 
 
-def sessionize_batch(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS) -> DataFrame:
-    """Closed-form batch sessionization (lag window): the oracle the
-    streaming operator converges to on bounded input."""
-    keyed = events.select(
-        "user_id", (F.unix_micros("ts") / 1000).cast("long").alias("ts_ms")
-    )
+def sessionize_rollup(keyed: DataFrame, gap_ms: int = DEFAULT_GAP_MS) -> DataFrame:
+    """Closed-form sessionization over (user_id, ts_ms): lag window marks
+    session starts, then one per-user rollup. Two shuffles on user_id (the
+    window and the groupBy share partitioning, so AQE/EnsureRequirements
+    reuses the exchange) — the batch shape of the streaming operator."""
     w = Window.partitionBy("user_id").orderBy("ts_ms")
     gaps = keyed.withColumn(
         "new_session",
@@ -134,3 +133,50 @@ def sessionize_batch(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS) -> DataFra
         F.sum("new_session").cast("long").alias("n_sessions"),
         F.max("ts_ms").cast("long").alias("last_ts_ms"),
     )
+
+
+def sessionize_batch(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS) -> DataFrame:
+    """Closed-form batch sessionization (lag window): the oracle the
+    streaming operator converges to on bounded input."""
+    keyed = events.select(
+        "user_id", (F.unix_micros("ts") / 1000).cast("long").alias("ts_ms")
+    )
+    return sessionize_rollup(keyed, gap_ms)
+
+
+def sessionize(spark, sf_dir: str) -> DataFrame:
+    """Driver-facing batch sessionization over the events table.
+
+    ``ts_ms`` is derived from the raw BIGINT nanosecond column with integer
+    division (``ts DIV 1e6``) — exact, unlike float µs/1000 — so the DuckDB
+    oracle (``epoch_ns(ts) // 1000000``) lands on identical values."""
+    from .events import EVENTS_RAW_SCHEMA
+
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    keyed = raw.select("user_id", F.expr("ts DIV 1000000").alias("ts_ms"))
+    return sessionize_rollup(keyed).orderBy("user_id")
+
+
+def queries():
+    return {"sessionize": sessionize}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "sessionize": f"""
+            WITH keyed AS (
+                SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+            ), gaps AS (
+                SELECT user_id, ts_ms,
+                       CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+                              OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) > {DEFAULT_GAP_MS}
+                            THEN 1 ELSE 0 END AS new_session
+                FROM keyed
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+                   CAST(MAX(ts_ms) AS BIGINT) AS last_ts_ms
+            FROM gaps GROUP BY user_id ORDER BY user_id
+        """,
+    }
