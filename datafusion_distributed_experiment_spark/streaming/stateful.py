@@ -43,6 +43,9 @@ SESSION_OUTPUT_SCHEMA = StructType(
         # can merge two sessions), so consumers pick the row with the highest
         # emit_seq, never per-column maxes.
         StructField("emit_seq", LongType()),
+        # Open (still-mutable) sessions held in state after watermark
+        # eviction — observability for the state-boundedness contract.
+        StructField("n_open", LongType()),
     ]
 )
 
@@ -51,6 +54,10 @@ SESSION_STATE_SCHEMA = StructType(
         StructField("starts", ArrayType(LongType())),
         StructField("ends", ArrayType(LongType())),
         StructField("n_events", LongType()),
+        # Sessions already finalized + evicted under the watermark, and the
+        # max event ts ever seen (which may belong to an evicted session).
+        StructField("n_closed", LongType()),
+        StructField("last_ts_ms", LongType()),
         StructField("emit_seq", LongType()),
     ]
 )
@@ -66,18 +73,27 @@ def sessionize_stateful(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS) -> Data
     Order-independent by construction: each event is an [ts, ts] interval;
     intervals closer than ``gap_ms`` merge. Late cross-batch events extend or
     bridge existing sessions instead of silently corrupting a scalar
-    ``last_ts``. State size is O(open sessions per user); production
-    deployments bound it by evicting intervals older than the watermark
-    (their sessions can no longer change) — rollup counts stay exact."""
+    ``last_ts``.
+
+    State is BOUNDED when the input carries a watermark: a session whose end
+    precedes ``watermark - gap_ms`` can never merge with a future event
+    (Spark drops rows older than the watermark before they reach the
+    operator), so it is folded into a closed-session counter and evicted
+    from the interval list. Rollup counts stay exact; only the per-user
+    state footprint shrinks to O(open sessions within the watermark horizon)
+    — the contract that keeps the state store flat at 100 TB/day event
+    volume. Without a watermark nothing is evicted and results are still
+    exact (state grows with open sessions)."""
 
     def fn(
         key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            starts, ends, n_events, emit_seq = state.get
+            starts, ends, n_events, n_closed, last_ts, emit_seq = state.get
             intervals = [[int(s), int(e)] for s, e in zip(starts, ends)]
+            last_ts = int(last_ts) if last_ts is not None else None
         else:
-            intervals, n_events, emit_seq = [], 0, 0
+            intervals, n_events, n_closed, last_ts, emit_seq = [], 0, 0, None, 0
         new_ts = pd.concat(list(pdfs))["ts_ms"]
         n_events += int(len(new_ts))
         merged: list[list[int]] = []
@@ -86,24 +102,45 @@ def sessionize_stateful(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS) -> Data
                 merged[-1][1] = max(merged[-1][1], e)
             else:
                 merged.append([s, e])
+        if merged:
+            last_ts = max(last_ts, merged[-1][1]) if last_ts is not None else merged[-1][1]
+        try:
+            watermark_ms = state.getCurrentWatermarkMs()
+        except Exception:  # noqa: BLE001 - no watermark on the input stream
+            watermark_ms = 0
+        if watermark_ms > 0:
+            still_open = [iv for iv in merged if iv[1] + gap_ms >= watermark_ms]
+            n_closed += len(merged) - len(still_open)
+            merged = still_open
         emit_seq += 1
         state.update(
-            ([s for s, _ in merged], [e for _, e in merged], n_events, emit_seq)
+            (
+                [s for s, _ in merged],
+                [e for _, e in merged],
+                n_events,
+                n_closed,
+                last_ts,
+                emit_seq,
+            )
         )
         yield pd.DataFrame(
             [
                 {
                     "user_id": key[0],
                     "n_events": n_events,
-                    "n_sessions": len(merged),
-                    "last_ts_ms": merged[-1][1] if merged else None,
+                    "n_sessions": n_closed + len(merged),
+                    "last_ts_ms": last_ts,
                     "emit_seq": emit_seq,
+                    "n_open": len(merged),
                 }
             ]
         )
 
+    # Keep the original ts column: the event-time watermark rides on its
+    # attribute metadata, and projecting it away silently disables
+    # watermarking (state.getCurrentWatermarkMs then raises -> no eviction).
     keyed = events.select(
-        "user_id", (F.unix_micros("ts") / 1000).cast("long").alias("ts_ms")
+        "user_id", "ts", (F.unix_micros("ts") / 1000).cast("long").alias("ts_ms")
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
         fn,

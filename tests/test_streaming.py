@@ -123,3 +123,82 @@ def test_watermark_present_in_plan(spark, events_dir):
     stream = windowed_counts(read_events_stream(spark, events_dir), watermark="2 hours")
     explain = stream._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in explain
+
+
+def test_stateful_sessionize_watermark_bounds_state(spark, tmp_path):
+    """With a watermarked input and time-ordered micro-batches, sessions
+    older than watermark - gap are folded into the closed counter and
+    EVICTED from state (n_open < n_sessions in the final emission), while
+    the rollup still matches the batch oracle exactly."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.streaming.stateful import (
+        sessionize_batch,
+        sessionize_stateful,
+    )
+
+    # 3 users x 4 sessions/user, one session per day, 3 events per session.
+    hour = 3600 * 1000
+    day = 24 * hour
+    rows = []
+    eid = 0
+    for u in range(3):
+        for s in range(4):
+            base = s * day + u * hour
+            for k in range(3):
+                rows.append((eid, (base + k * 60_000) * 1_000_000, u))  # ns
+                eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    pdf["event_type"] = "e"
+    pdf["value"] = 0.0
+    pdf["props"] = "{}"
+    d = tmp_path / "wm_events"
+    d.mkdir()
+    # one file per day, mtimes increasing so the file source processes them
+    # in event-time order and the watermark genuinely advances per batch
+    now = time.time()
+    for s in range(4):
+        chunk = pdf[(pdf.ts >= s * day * 1_000_000) & (pdf.ts < (s + 1) * day * 1_000_000)]
+        f = d / f"day-{s}.parquet"
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), f)
+        os.utime(f, (now + s, now + s))
+
+    stream = read_events_stream(spark, str(d), max_files_per_trigger=1).withWatermark(
+        "ts", "30 minutes"
+    )
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t_sessions_wm")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("emit_seq"))
+    final = (
+        spark.table("t_sessions_wm")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .toPandas()
+    )
+    # eviction happened: closed sessions left the state
+    assert (final["n_open"] < final["n_sessions"]).all(), final
+    # rollup still exact vs the batch oracle over the full input
+    batch_events = spark.read.schema(
+        "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).parquet(str(d)).select("user_id", F.expr("timestamp_micros(ts DIV 1000)").alias("ts"))
+    batch = sessionize_batch(batch_events).toPandas()
+    assert_frames_match(
+        final[["user_id", "n_events", "n_sessions", "last_ts_ms"]],
+        batch,
+        "watermarked_sessionize_vs_batch",
+    )
