@@ -51,17 +51,19 @@ MOD = 1_000_000_007
 MAX_BAND_BUCKET = 64
 
 
-def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _corpus(spark: SparkSession, sf_dir: str, rebalance: bool = True) -> DataFrame:
     """documents + near-duplicate augmentation (see module docstring).
 
-    Rebalanced to cluster parallelism: the synthetic table is one parquet
-    row group (= one scan task), and everything downstream is HOF-heavy
-    per-row compute that must fan out."""
+    Rebalanced to cluster parallelism by default: the synthetic table is one
+    parquet row group (= one scan task), and most consumers run HOF-heavy
+    per-row compute that must fan out. Pass ``rebalance=False`` when the
+    first downstream operator is itself a shuffle (e.g. a groupBy) — the
+    extra exchange would be pure overhead."""
     from ..sources.tables import rebalance_narrow_scan
 
-    docs = rebalance_narrow_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    if rebalance:
+        docs = rebalance_narrow_scan(docs)
     aug = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + AUG_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(AUG_SUFFIX)).alias("text"),
@@ -93,9 +95,10 @@ def _cap_buckets(df: DataFrame, keys: list[str], cap: int = MAX_BAND_BUCKET) -> 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content digest: groups of identical text, keeping the
-    smallest doc_id. Single hash-partitioned shuffle on the digest."""
+    smallest doc_id. Single hash-partitioned shuffle on the digest (no
+    rebalance: the groupBy is the fan-out)."""
     return (
-        _corpus(spark, sf_dir)
+        _corpus(spark, sf_dir, rebalance=False)
         .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
         .agg(
             F.min("doc_id").cast("long").alias("keep_doc_id"),

@@ -14,8 +14,10 @@ import __spark_entry__ as entry_mod
 from ._compare import canonical
 from .conftest import SF_DIR
 
-# A representative slice: aggregation-only, join-heavy, subquery, anti-join.
-_SAMPLE = ["q1", "q5", "q17", "q21", "events_cte_join"]
+# A representative slice: aggregation-only, join-heavy, subquery, anti-join,
+# plus the iterative (connected-components) and window-rollup operators whose
+# determinism under re-partitioning is worth pinning explicitly.
+_SAMPLE = ["q1", "q5", "q17", "q21", "events_cte_join", "dedup_clusters", "sessionize"]
 
 
 @pytest.mark.parametrize("name", _SAMPLE)
