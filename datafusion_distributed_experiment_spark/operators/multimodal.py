@@ -222,11 +222,31 @@ def media_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_W = 224
+RESIZE_H = 224
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize path end-to-end through mapInPandas: content digest and
+    rewritten dimensions per media item. The deterministic stand-in transform
+    (md5(content || 'WxH')) lets the oracle recompute the Python batch
+    output bit-for-bit in SQL — the same strategy media_features uses for
+    the embedding stub."""
+    resized = resize_images(synthetic_media(spark, sf_dir), RESIZE_W, RESIZE_H)
+    return resized.select(
+        "media_id",
+        F.lower(F.hex("content")).alias("content_hex"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+    ).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "media_features": media_features,
         "media_frames": media_frames,
         "media_meta_stats": media_meta_stats,
+        "media_resize": media_resize,
     }
 
 
@@ -276,6 +296,16 @@ def oracles() -> dict[str, str]:
                    CAST(MAX(width) AS BIGINT) AS max_width,
                    CAST(COALESCE(SUM(duration_ms), 0) AS BIGINT) AS total_duration_ms
             FROM media GROUP BY modality ORDER BY modality
+        """,
+        # resize stand-in: new content = md5(content || 'WxH'); DuckDB's md5
+        # of the same concatenated string yields the identical lowercase hex
+        "media_resize": f"""
+            WITH {_DUCK_MEDIA}
+            SELECT media_id,
+                   md5(text || '{RESIZE_W}x{RESIZE_H}') AS content_hex,
+                   CAST({RESIZE_W} AS BIGINT) AS width,
+                   CAST({RESIZE_H} AS BIGINT) AS height
+            FROM media ORDER BY media_id
         """,
     }
 

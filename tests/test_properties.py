@@ -1,0 +1,155 @@
+"""Property-based tests (hypothesis) for the operators with real algorithmic
+content: distributed connected components vs a union-find oracle, the
+SQL-script splitter's string/comment handling, and ANN recall floors.
+
+Spark runs per example are expensive; example counts are deliberately small
+and deadlines disabled — these are depth tests, not fuzz volume."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+# ------------------------------------------------------------------ #
+# connected components vs union-find
+# ------------------------------------------------------------------ #
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully compress, then label every node with its component's min id
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from datafusion_distributed_experiment_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == _union_find(edges)
+
+
+# ------------------------------------------------------------------ #
+# SQL script splitter: quotes, escaped quotes, comments
+# ------------------------------------------------------------------ #
+
+_FRAGMENTS = st.lists(
+    st.sampled_from(
+        [
+            "SELECT 1",
+            "SELECT 'a;b'",
+            "SELECT 'it''s'",
+            "SELECT 2 -- trailing; comment 'with quote\n",
+            "-- full line; comment\nSELECT 3",
+            "CREATE VIEW v AS SELECT ';' AS semi",
+        ]
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_FRAGMENTS)
+def test_split_sql_script_statement_count(fragments):
+    from datafusion_distributed_experiment_spark.engine import split_sql_script
+
+    script = ";\n".join(fragments) + ";"
+    out = split_sql_script(script)
+    assert len(out) == len(fragments), (script, out)
+    # every original fragment survives, stripped, in order
+    for frag, stmt in zip(fragments, out):
+        assert frag.strip().splitlines()[-1].split("--")[0].strip()[:6] in stmt
+
+
+# ------------------------------------------------------------------ #
+# interval-merge sessionization vs brute force
+# ------------------------------------------------------------------ #
+
+def _brute_sessions(ts_list, gap):
+    ts = sorted(ts_list)
+    n_sessions = 0
+    last = None
+    for t in ts:
+        if last is None or t - last > gap:
+            n_sessions += 1
+        last = t
+    return n_sessions
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(0, 10**7), min_size=1, max_size=60),
+    st.integers(1, 10**6),
+    st.integers(1, 5),
+)
+def test_interval_merge_order_independent(ts_list, gap, n_chunks):
+    """The interval-merge fold used by sessionize_stateful: any chunking and
+    any within-chunk order yields the brute-force session count."""
+    intervals: list[list[int]] = []
+    chunks = [ts_list[i::n_chunks] for i in range(n_chunks)]
+    for chunk in chunks:
+        merged: list[list[int]] = []
+        for s, e in sorted(intervals + [[t, t] for t in chunk]):
+            if merged and s - merged[-1][1] <= gap:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        intervals = merged
+    assert len(intervals) == _brute_sessions(ts_list, gap)
+
+
+# ------------------------------------------------------------------ #
+# ANN recall floor vs brute force
+# ------------------------------------------------------------------ #
+
+def test_ann_ivf_recall_floor(spark):
+    """IVF top-3 must recover a healthy fraction of the brute-force top-3:
+    approximate is allowed to miss, but a broken index (wrong list
+    assignment, bad probe selection) collapses recall toward zero."""
+    from datafusion_distributed_experiment_spark.operators.similarity import (
+        IVF_TOP_K,
+        ann_ivf,
+        embedding_topk,
+    )
+    from .conftest import SF_DIR
+
+    truth = {}
+    for r in embedding_topk(spark, SF_DIR).collect():
+        if r["rank"] <= IVF_TOP_K:
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in ann_ivf(spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    common_queries = set(truth) & set(approx)
+    assert common_queries, "query sets must overlap"
+    hits = sum(len(truth[q] & approx[q]) for q in common_queries)
+    total = sum(len(truth[q]) for q in common_queries)
+    recall = hits / total
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f} ({hits}/{total})"
