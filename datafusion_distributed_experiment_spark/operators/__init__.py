@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..streaming import stateful
-    from . import dedup, multimodal, similarity, text
+    from . import dedup, multimodal, pipeline, similarity, text
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(text.queries())
@@ -28,12 +28,13 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.queries())
     out.update(multimodal.queries())
     out.update(stateful.queries())
+    out.update(pipeline.queries())
     return out
 
 
 def pipeline_oracles() -> dict[str, str]:
     from ..streaming import stateful
-    from . import dedup, multimodal, similarity, text
+    from . import dedup, multimodal, pipeline, similarity, text
 
     out: dict[str, str] = {}
     out.update(text.oracles())
@@ -41,4 +42,5 @@ def pipeline_oracles() -> dict[str, str]:
     out.update(similarity.oracles())
     out.update(multimodal.oracles())
     out.update(stateful.oracles())
+    out.update(pipeline.oracles())
     return out

@@ -30,17 +30,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebalance_narrow_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token/char counts, lexical diversity, mean token length, stopword
-    density — the quality-scoring feature block.
-
-    Staged selects: higher-order-function chains (split/filter) sit outside
-    whole-stage codegen, so they get no common-subexpression elimination — a
-    single flat select would re-tokenize the document for every derived
-    column. Aliasing ``toks`` in its own projection pins one evaluation
-    (CollapseProject keeps multi-use non-trivial aliases un-inlined)."""
+def stats_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level form of :func:`text_stats`: (doc_id, text) -> the quality
+    feature block. Reused by the end-to-end pipeline over arbitrary corpora
+    (e.g. the dedup-augmented corpus)."""
     staged = (
-        _docs(spark, sf_dir)
+        docs
         .select(
             F.col("doc_id"),
             F.length("text").cast("long").alias("n_chars"),
@@ -64,7 +59,19 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct_tokens"),
         F.floor(F.lit(1e6) * F.col("compact_len") / n_tokens).cast("long").alias("mean_token_chars_ppm"),
         F.floor(F.lit(1e6) * F.col("stop_hits") / n_tokens).cast("long").alias("stopword_ppm"),
-    ).orderBy("doc_id")
+    )
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char counts, lexical diversity, mean token length, stopword
+    density — the quality-scoring feature block.
+
+    Staged selects: higher-order-function chains (split/filter) sit outside
+    whole-stage codegen, so they get no common-subexpression elimination — a
+    single flat select would re-tokenize the document for every derived
+    column. Aliasing ``toks`` in its own projection pins one evaluation
+    (CollapseProject keeps multi-use non-trivial aliases un-inlined)."""
+    return stats_frame(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,24 +106,25 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]"
 
 
+def token_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level form of :func:`token_count`: (doc_id, text) -> counts."""
+    low = F.lower(F.col("text"))
+    # regexp_count, not size(regexp_extract_all(...)): counting stays in the
+    # regex engine with zero array materialization per row.
+    return docs.select(
+        F.col("doc_id"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(low, F.lit(BPE_PATTERN)).cast("long").alias("n_bpe_tokens"),
+        F.regexp_count(low, F.lit(r"[a-z]+")).cast("long").alias("n_word_runs"),
+        F.regexp_count(low, F.lit(r"[0-9]+")).cast("long").alias("n_digit_runs"),
+    )
+
+
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish regex
     pre-tokenization (the 'how many LLM tokens is this corpus' estimator).
     Map-only, JVM-side regex — no Python in the loop."""
-    low = F.lower(F.col("text"))
-    # regexp_count, not size(regexp_extract_all(...)): counting stays in the
-    # regex engine with zero array materialization per row.
-    return (
-        _docs(spark, sf_dir)
-        .select(
-            F.col("doc_id"),
-            F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
-            F.regexp_count(low, F.lit(BPE_PATTERN)).cast("long").alias("n_bpe_tokens"),
-            F.regexp_count(low, F.lit(r"[a-z]+")).cast("long").alias("n_word_runs"),
-            F.regexp_count(low, F.lit(r"[0-9]+")).cast("long").alias("n_digit_runs"),
-        )
-        .orderBy("doc_id")
-    )
+    return token_frame(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,14 +155,8 @@ QUALITY_WEIGHT = 250_000
 QUALITY_KEEP_PPM = 750_000
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite document-quality score: four Gopher/C4-style band checks
-    (token count, stopword density, lexical diversity, mean token length),
-    each worth QUALITY_WEIGHT ppm, plus the keep/drop verdict a training-data
-    pipeline filters on. Map-only over the text_stats feature block — at
-    100 TB this is the same single scan; the verdict column makes the
-    downstream filter a pushed-down boolean predicate."""
-    st = text_stats(spark, sf_dir)
+def quality_frame(st: DataFrame) -> DataFrame:
+    """Frame-level quality scoring over a stats_frame output."""
     n_tokens = F.col("n_tokens")
     checks = [
         n_tokens.between(QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS),
@@ -172,7 +174,17 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         score.cast("long").alias("quality_ppm"),
         (score >= QUALITY_KEEP_PPM).alias("keep"),
-    ).orderBy("doc_id")
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality score: four Gopher/C4-style band checks
+    (token count, stopword density, lexical diversity, mean token length),
+    each worth QUALITY_WEIGHT ppm, plus the keep/drop verdict a training-data
+    pipeline filters on. Map-only over the text_stats feature block — at
+    100 TB this is the same single scan; the verdict column makes the
+    downstream filter a pushed-down boolean predicate."""
+    return quality_frame(stats_frame(_docs(spark, sf_dir))).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -189,7 +201,9 @@ _STOP_SQL = " OR ".join(f"t = '{w}'" for w in STOPWORDS)
 _TOKS = DUCK_TOKENS.format(x="text")
 
 
-_STATS_BODY = f"""
+def stats_body_sql(src: str = "documents") -> str:
+    """DuckDB spelling of stats_frame over table/CTE ``src``."""
+    return f"""
             SELECT
                 doc_id,
                 CAST(length(text) AS BIGINT) AS n_chars,
@@ -197,7 +211,22 @@ _STATS_BODY = f"""
                 CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens,
                 CAST(FLOOR(1e6 * length(replace(text, ' ', '')) / len({_TOKS})) AS BIGINT) AS mean_token_chars_ppm,
                 CAST(FLOOR(1e6 * len(list_filter({_TOKS}, t -> {_STOP_SQL})) / len({_TOKS})) AS BIGINT) AS stopword_ppm
-            FROM documents"""
+            FROM {src}"""
+
+
+def token_body_sql(src: str = "documents") -> str:
+    """DuckDB spelling of token_frame over table/CTE ``src``."""
+    return f"""
+            SELECT
+                doc_id,
+                CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+                CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+                CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_word_runs,
+                CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_digit_runs
+            FROM {src}"""
+
+
+_STATS_BODY = stats_body_sql()
 
 _QUALITY_SCORE_SQL = " + ".join(
     f"(CASE WHEN {cond} THEN {QUALITY_WEIGHT} ELSE 0 END)"
@@ -229,14 +258,7 @@ def oracles() -> dict[str, str]:
                      THEN 'en' ELSE 'unk' END AS lang_pred
             FROM documents ORDER BY doc_id
         """,
-        "token_count": f"""
-            SELECT
-                doc_id,
-                CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
-                CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
-                CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_word_runs,
-                CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_digit_runs
-            FROM documents ORDER BY doc_id
+        "token_count": f"""{token_body_sql()} ORDER BY doc_id
         """,
         "fingerprint": f"""
             SELECT
