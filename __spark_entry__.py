@@ -32,6 +32,9 @@ _SQL_QUERIES = [
     "adhoc/events_agg_count",
     "adhoc/events_cte_join",
     "adhoc/events_daily",
+    "adhoc/events_rolling",
+    "adhoc/events_topk",
+    "adhoc/events_rollup",
     "adhoc/q1_decimal",
 ]
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..streaming import stateful
-    from . import dedup, multimodal, pipeline, similarity, text
+    from . import dedup, multimodal, pipeline, similarity, temporal, text
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(text.queries())
@@ -29,12 +29,13 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(multimodal.queries())
     out.update(stateful.queries())
     out.update(pipeline.queries())
+    out.update(temporal.queries())
     return out
 
 
 def pipeline_oracles() -> dict[str, str]:
     from ..streaming import stateful
-    from . import dedup, multimodal, pipeline, similarity, text
+    from . import dedup, multimodal, pipeline, similarity, temporal, text
 
     out: dict[str, str] = {}
     out.update(text.oracles())
@@ -43,4 +44,5 @@ def pipeline_oracles() -> dict[str, str]:
     out.update(multimodal.oracles())
     out.update(stateful.oracles())
     out.update(pipeline.oracles())
+    out.update(temporal.oracles())
     return out

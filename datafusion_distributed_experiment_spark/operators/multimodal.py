@@ -101,9 +101,31 @@ def fake_embed(content: bytes | None) -> list[float]:
     return [b / 256.0 for b in digest[:FEATURE_DIM]]
 
 
+# Pluggable bytes -> feature decoder. None -> fake_embed (container default:
+# no PIL/ffmpeg here). A real deployment installs its codec+model once via
+# set_decoder(); extract_features captures the hook at plan-build time, so
+# the closure ships it to every executor — the escape hatch is live plumbing
+# (proven in tests/test_multimodal.py with an injected decoder), not a dead
+# branch.
+_DECODER: Callable[[bytes | None], list[float]] | None = None
+
+
+def set_decoder(
+    fn: Callable[[bytes | None], list[float]] | None,
+) -> Callable[[bytes | None], list[float]] | None:
+    """Install the real decode+embed function (must return FEATURE_DIM
+    floats). Pass None to restore the deterministic fake; returns the
+    previous hook so callers can restore it."""
+    global _DECODER
+    prev = _DECODER
+    _DECODER = fn
+    return prev
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: streams Arrow batches through Python,
     emits (media_id, modality, n_bytes, feature[FEATURE_DIM])."""
+    embed = _DECODER or fake_embed  # bound now, serialized into the UDF
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -114,7 +136,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "n_bytes": pdf["content"].map(
                         lambda c: len(c) if c is not None else 0
                     ).astype("int64"),
-                    "feature": pdf["content"].map(fake_embed),
+                    "feature": pdf["content"].map(embed),
                 }
             )
 

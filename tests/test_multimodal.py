@@ -43,6 +43,28 @@ def test_sample_frames_fans_out(media):
     assert frames.schema == mm.MEDIA_SCHEMA
 
 
+def test_injected_decoder_reaches_executors(media):
+    """The real-codec escape hatch end-to-end: a custom decoder installed via
+    set_decoder must be serialized into the pandas UDF and produce the
+    features on executors (a deployment with PIL/ffmpeg plugs in exactly
+    like this fake)."""
+
+    def length_embed(content):
+        n = float(len(content)) if content is not None else -1.0
+        return [n] * mm.FEATURE_DIM
+
+    prev = mm.set_decoder(length_embed)
+    try:
+        out = {r.media_id: r.feature for r in mm.extract_features(media).collect()}
+    finally:
+        mm.set_decoder(prev)
+    assert out[0] == [10.0] * mm.FEATURE_DIM  # row 0 content is 10 bytes
+    assert all(f == [float(10 + i)] * mm.FEATURE_DIM for i, f in out.items())
+    # and the hook is cleanly restored: default path is the fake again
+    restored = {r.media_id: r.feature for r in mm.extract_features(media).collect()}
+    assert restored[0] == mm.fake_embed(bytes([0] * 10))
+
+
 def test_decode_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG...")
