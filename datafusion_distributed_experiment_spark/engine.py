@@ -139,6 +139,16 @@ class Engine:
         df.createOrReplaceTempView(name)
         return df
 
+    def register_json(
+        self, name: str, path: str, schema: StructType | str | None = None
+    ) -> DataFrame:
+        """Register a newline-delimited JSON table (beyond the reference's
+        parquet/CSV/mem surface; schema recommended — see
+        :func:`..sources.read_json_table`)."""
+        df = sources.read_json_table(self.spark, path, schema=schema)
+        df.createOrReplaceTempView(name)
+        return df
+
     def register_tbl(self, name: str, path: str, schema: StructType | str) -> DataFrame:
         """Register a TPC-H ``.tbl`` file: ``|``-delimited, no header, with a
         trailing ``|`` producing a placeholder column that is dropped

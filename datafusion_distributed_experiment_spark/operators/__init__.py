@@ -19,10 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from ..streaming import events as streaming_events
     from ..streaming import stateful
     from . import dedup, multimodal, pipeline, similarity, temporal, text
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(streaming_events.queries())
     out.update(text.queries())
     out.update(dedup.queries())
     out.update(similarity.queries())
@@ -34,10 +36,12 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def pipeline_oracles() -> dict[str, str]:
+    from ..streaming import events as streaming_events
     from ..streaming import stateful
     from . import dedup, multimodal, pipeline, similarity, temporal, text
 
     out: dict[str, str] = {}
+    out.update(streaming_events.oracles())
     out.update(text.oracles())
     out.update(dedup.oracles())
     out.update(similarity.oracles())

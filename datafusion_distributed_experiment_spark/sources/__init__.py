@@ -11,17 +11,21 @@ usable standalone on any SparkSession.
 from .tables import (
     memory_table,
     read_csv_table,
+    read_json_table,
     read_parquet_table,
     read_tbl_table,
     write_csv,
+    write_json,
     write_parquet,
 )
 
 __all__ = [
     "read_parquet_table",
     "read_csv_table",
+    "read_json_table",
     "read_tbl_table",
     "memory_table",
     "write_parquet",
     "write_csv",
+    "write_json",
 ]

@@ -71,6 +71,22 @@ def read_csv_table(
     return reader.csv(path)
 
 
+def read_json_table(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """Newline-delimited JSON. Schema should be supplied in production:
+    inference scans the data once extra, and at 100 TB that doubles the read
+    — the inferred path is for exploration only."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, compression: str = "gzip") -> None:
+    df.write.mode("overwrite").option("compression", compression).json(path)
+
+
 def read_tbl_table(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
     """TPC-H ``.tbl``: pipe-delimited, no header, trailing ``|`` producing a
     placeholder column dropped on load (reference benchmarks/src/tpch/

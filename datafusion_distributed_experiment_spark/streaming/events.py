@@ -36,17 +36,23 @@ EVENTS_RAW_SCHEMA = StructType(
 
 
 def read_events_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 8,
+    glob: str | None = None,
 ) -> DataFrame:
     """``readStream`` over a parquet directory of event files.
 
     ``max_files_per_trigger`` bounds micro-batch size (and lets tests force
-    multi-batch execution to exercise cross-batch state)."""
-    df = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
+    multi-batch execution to exercise cross-batch state). ``glob`` filters
+    filenames within the directory (the file source requires a directory
+    path, so a single-file layout is addressed as dir + glob)."""
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.parquet(path)
     # Watermarks require TIMESTAMP (with local timezone), not NTZ; the
     # session timezone is UTC so wall-clock values match the batch NTZ path.
     return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
@@ -77,14 +83,100 @@ def windowed_counts(
     )
 
 
-def run_to_completion(stream_df: DataFrame, query_name: str = "events_windowed") -> DataFrame:
+def click_view_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str = "40 days",
+) -> DataFrame:
+    """Stream-stream interval join: every click paired with the same user's
+    views from the preceding ``lookback`` — attribution as a streaming join.
+
+    Both sides are watermarked and the join carries event-time bounds, so
+    each side's buffered state is evicted once the other side's watermark
+    passes ``lookback`` — state stays O(users × lookback rate), not O(stream).
+    The ``watermark`` delay is the disorder tolerance: input arriving more
+    than that behind the max seen event time may be dropped, so bounded
+    replays that must be EXACT (the oracle-gated query below) use a delay
+    wider than the dataset's span; a live deployment tunes it to real lag.
+    Inner-join emissions are append-mode safe (a match is final when it
+    happens)."""
+    c = clicks.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    v = views.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    joined = c.join(
+        v,
+        F.expr(
+            f"c_user_id = v_user_id AND "
+            f"view_ts BETWEEN click_ts - INTERVAL {lookback} AND click_ts"
+        ),
+    )
+    return joined.select(
+        "click_id",
+        F.col("c_user_id").alias("user_id"),
+        F.expr("unix_micros(click_ts) DIV 1000").alias("click_ts_ms"),
+        "view_id",
+        F.expr("unix_micros(view_ts) DIV 1000").alias("view_ts_ms"),
+    )
+
+
+def stream_click_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing bounded replay of the stream-stream attribution join."""
+    out = click_view_join(
+        read_events_stream(spark, sf_dir, glob="events.parquet"),
+        read_events_stream(spark, sf_dir, glob="events.parquet"),
+    )
+    return run_to_completion(
+        out, query_name="stream_click_attr", output_mode="append"
+    ).orderBy("click_id", "view_id")
+
+
+LOOKBACK_MS = 600_000  # 10 minutes, mirrored in the oracle below
+
+
+def queries():
+    return {"stream_click_attr": stream_click_attr}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "stream_click_attr": f"""
+            WITH ev AS (
+                SELECT event_id, user_id, event_type,
+                       epoch_ns(ts) // 1000000 AS ts_ms
+                FROM events
+            )
+            SELECT c.event_id AS click_id, c.user_id,
+                   c.ts_ms AS click_ts_ms,
+                   v.event_id AS view_id, v.ts_ms AS view_ts_ms
+            FROM ev c JOIN ev v
+              ON v.user_id = c.user_id
+             AND c.event_type = 'click' AND v.event_type = 'view'
+             AND v.ts_ms BETWEEN c.ts_ms - {LOOKBACK_MS} AND c.ts_ms
+            ORDER BY click_id, view_id
+        """,
+    }
+
+
+def run_to_completion(
+    stream_df: DataFrame,
+    query_name: str = "events_windowed",
+    output_mode: str = "complete",
+) -> DataFrame:
     """Drain a bounded stream with an availableNow trigger into a memory sink
     and return the final table (test/verification harness)."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

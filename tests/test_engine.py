@@ -37,6 +37,22 @@ def test_register_csv_and_tbl(engine, tmp_path):
     assert df.count() == 25
 
 
+def test_register_json_roundtrip(engine, tmp_path):
+    src = engine.sql("SELECT n_nationkey, n_name FROM nation")
+    from datafusion_distributed_experiment_spark import sources
+
+    sources.write_json(src, str(tmp_path / "nation_json"))
+    engine.register_json(
+        "nation_json", str(tmp_path / "nation_json"),
+        schema="n_nationkey INT, n_name STRING",
+    )
+    df = engine.table("nation_json")
+    assert df.columns == ["n_nationkey", "n_name"]  # schema-first, no inference
+    assert df.count() == 25
+    got = {r.n_nationkey: r.n_name for r in df.collect()}
+    assert got == {r.n_nationkey: r.n_name for r in src.collect()}
+
+
 def test_register_mem(engine):
     df = engine.sql("SELECT * FROM region")
     engine.register_mem("region_mem", df, partitions=2)
