@@ -34,11 +34,10 @@ from .dedup import (
 from .text import (
     _QUALITY_SCORE_SQL,
     QUALITY_KEEP_PPM,
+    features_frame,
     quality_frame,
-    stats_frame,
     token_body_sql,
     stats_body_sql,
-    token_frame,
 )
 
 
@@ -46,18 +45,18 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus summary after filtering + dedup: how many documents
     survive, their token budget, and their aggregate quality mass."""
     corpus = _corpus(spark, sf_dir)
-    quality = quality_frame(stats_frame(corpus))
-    toks = token_frame(corpus)
+    # quality + token features fused into one corpus scan (features_frame);
+    # quality_frame carries the token counters through its projection, so
+    # the only joins left are against the broadcast-sized drop set.
+    feats = quality_frame(
+        features_frame(corpus), keep_cols=("n_bpe_tokens", "n_ws_tokens")
+    )
     drop = (
         connected_components(minhash_dedup_pairs(spark, sf_dir))
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )
-    kept = (
-        quality.filter(F.col("keep"))
-        .join(drop, "doc_id", "left_anti")
-        .join(toks, "doc_id")
-    )
+    kept = feats.filter(F.col("keep")).join(drop, "doc_id", "left_anti")
     return kept.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import DUCK_POLY_HASH, DUCK_TOKENS, poly_hash, tokens
@@ -30,10 +30,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebalance_narrow_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-def stats_frame(docs: DataFrame) -> DataFrame:
+def stats_frame(docs: DataFrame, extra: dict[str, Column] | None = None) -> DataFrame:
     """Frame-level form of :func:`text_stats`: (doc_id, text) -> the quality
     feature block. Reused by the end-to-end pipeline over arbitrary corpora
-    (e.g. the dedup-augmented corpus)."""
+    (e.g. the dedup-augmented corpus).
+
+    ``extra`` columns (computed from ``text``) are evaluated in the first
+    projection and carried through — how :func:`features_frame` fuses the
+    token-count block into the SAME scan instead of a second scan + join."""
+    extra = extra or {}
     staged = (
         docs
         .select(
@@ -41,6 +46,7 @@ def stats_frame(docs: DataFrame) -> DataFrame:
             F.length("text").cast("long").alias("n_chars"),
             F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long").alias("compact_len"),
             tokens(F.col("text")).alias("toks"),
+            *[c.alias(name) for name, c in extra.items()],
         )
         .select(
             F.col("doc_id"),
@@ -49,6 +55,7 @@ def stats_frame(docs: DataFrame) -> DataFrame:
             F.size("toks").cast("long").alias("n_tokens"),
             F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
             F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS))).cast("long").alias("stop_hits"),
+            *extra,
         )
     )
     n_tokens = F.col("n_tokens")
@@ -59,7 +66,25 @@ def stats_frame(docs: DataFrame) -> DataFrame:
         F.col("n_distinct_tokens"),
         F.floor(F.lit(1e6) * F.col("compact_len") / n_tokens).cast("long").alias("mean_token_chars_ppm"),
         F.floor(F.lit(1e6) * F.col("stop_hits") / n_tokens).cast("long").alias("stopword_ppm"),
+        *extra,
     )
+
+
+def features_frame(docs: DataFrame) -> DataFrame:
+    """stats_frame ∪ token_frame columns in ONE projection chain over one
+    scan — the fused form the corpus pipeline consumes, so a 100 TB corpus
+    is read once (the separate-frames-then-join form would scan twice and
+    shuffle both sides on doc_id). ``n_ws_tokens`` ≡ ``n_tokens``; only the
+    regex counters are genuinely new work."""
+    low = F.lower(F.col("text"))
+    return stats_frame(
+        docs,
+        extra={
+            "n_bpe_tokens": F.regexp_count(low, F.lit(BPE_PATTERN)).cast("long"),
+            "n_word_runs": F.regexp_count(low, F.lit(r"[a-z]+")).cast("long"),
+            "n_digit_runs": F.regexp_count(low, F.lit(r"[0-9]+")).cast("long"),
+        },
+    ).withColumn("n_ws_tokens", F.col("n_tokens"))
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,8 +180,10 @@ QUALITY_WEIGHT = 250_000
 QUALITY_KEEP_PPM = 750_000
 
 
-def quality_frame(st: DataFrame) -> DataFrame:
-    """Frame-level quality scoring over a stats_frame output."""
+def quality_frame(st: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Frame-level quality scoring over a stats_frame output. ``keep_cols``
+    are projected through unchanged (lets fused-feature callers keep their
+    counters without re-joining on doc_id)."""
     n_tokens = F.col("n_tokens")
     checks = [
         n_tokens.between(QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS),
@@ -174,6 +201,7 @@ def quality_frame(st: DataFrame) -> DataFrame:
         "doc_id",
         score.cast("long").alias("quality_ppm"),
         (score >= QUALITY_KEEP_PPM).alias("keep"),
+        *keep_cols,
     )
 
 

@@ -160,3 +160,25 @@ def test_bucketed_join_eliminates_exchanges(engine, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_corpus_pipeline_reads_documents_twice_only(spark):
+    """The fused feature block (features_frame) must keep the pipeline at
+    exactly TWO document scans — one for quality+token features, one for the
+    minhash dedup branch. A third scan means the stats/token fusion
+    regressed to the scan-per-frame + doc_id-join shape."""
+    import re
+
+    from datafusion_distributed_experiment_spark.operators.pipeline import (
+        corpus_pipeline,
+    )
+
+    from .conftest import SF_DIR
+
+    plan = (
+        corpus_pipeline(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"FileScan parquet.*documents", plan)) == 2, plan
