@@ -35,6 +35,8 @@ _SQL_QUERIES = [
     "adhoc/events_rolling",
     "adhoc/events_topk",
     "adhoc/events_rollup",
+    "adhoc/events_setops",
+    "adhoc/events_median",
     "adhoc/q1_decimal",
 ]
 

@@ -229,8 +229,14 @@ class Engine:
     # sinks (reference benchmarks/src/tpch/convert.rs:128-160)
     # ------------------------------------------------------------------ #
 
-    def write_parquet(self, df: DataFrame, path: str, compression: str = "zstd") -> None:
-        sources.write_parquet(df, path, compression=compression)
+    def write_parquet(
+        self,
+        df: DataFrame,
+        path: str,
+        compression: str = "zstd",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        sources.write_parquet(df, path, compression=compression, partition_by=partition_by)
 
     def write_bucketed(
         self,

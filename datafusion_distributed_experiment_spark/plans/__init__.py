@@ -77,3 +77,11 @@ def pushed_filters(df: DataFrame) -> list[str]:
     ``predicate=...`` scan snapshots, ``tests/distributed_repartitions.rs:71``)."""
     text = plan_string(df, "formatted")
     return re.findall(r"PushedFilters: \[([^\]]*)\]", text)
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters entries from the formatted plan — assert a filter on
+    a hive-layout partition column became directory pruning (no data files
+    listed, let alone read) rather than a post-scan predicate."""
+    text = plan_string(df, "formatted")
+    return [f for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", text) if f.strip()]

@@ -112,8 +112,20 @@ def memory_table(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df
 
 
-def write_parquet(df: DataFrame, path: str, compression: str = "zstd") -> None:
-    df.write.mode("overwrite").option("compression", compression).parquet(path)
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    compression: str = "zstd",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink. ``partition_by`` lays the table out hive-style
+    (``col=value/`` directories) — at 100 TB this is what turns a filter on
+    the partition column into directory pruning (zero data files touched)
+    instead of a full scan; see the PartitionFilters plan test."""
+    writer = df.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
 
 
 def write_csv(df: DataFrame, path: str, sep: str = ",", header: bool = True) -> None:

@@ -182,3 +182,23 @@ def test_corpus_pipeline_reads_documents_twice_only(spark):
         .toString()
     )
     assert len(re.findall(r"FileScan parquet.*documents", plan)) == 2, plan
+
+
+def test_partitioned_write_enables_partition_pruning(engine, tmp_path):
+    """Hive-layout writes (partitionBy) must turn a partition-column filter
+    into PartitionFilters (directory pruning) — the difference between
+    touching one partition and scanning the whole 100 TB table."""
+    from datafusion_distributed_experiment_spark.plans import partition_filters
+
+    spark = engine.spark
+    src = spark.table("orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
+    engine.write_parquet(
+        src, str(tmp_path / "orders_part"), partition_by=["o_orderpriority"]
+    )
+    back = spark.read.parquet(str(tmp_path / "orders_part"))
+    one = back.filter(back.o_orderpriority == "1-URGENT")
+    pf = partition_filters(one)
+    assert pf and any("o_orderpriority" in f for f in pf), pf
+    # pruning must not change results
+    want = src.filter(src.o_orderpriority == "1-URGENT").count()
+    assert one.count() == want and want > 0
