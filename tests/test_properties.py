@@ -153,3 +153,59 @@ def test_ann_ivf_recall_floor(spark):
     total = sum(len(truth[q]) for q in common_queries)
     recall = hits / total
     assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f} ({hits}/{total})"
+
+
+# ------------------------------------------------------------------ #
+# as-of join vs in-Python reference on adversarial shapes
+# ------------------------------------------------------------------ #
+
+def _py_asof(left_rows, right_rows, strict):
+    """Pure-Python as-of: for each (k, ts, lid) left row, the right payload
+    with the max right ts <= (or <) ts among equal keys."""
+    out = []
+    for k, ts, lid in left_rows:
+        cands = [
+            (rts, payload)
+            for rk, rts, payload in right_rows
+            if rk == k and (rts < ts if strict else rts <= ts)
+        ]
+        best = max(cands) if cands else (None, None)
+        out.append((k, ts, lid, best[0], best[1]))
+    return sorted(out)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)), max_size=25),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)), max_size=25, unique=True),
+    strict=st.booleans(),
+)
+def test_asof_join_property(spark, left, right, strict):
+    """Duplicate left timestamps, equal-ts collisions, keys with no right
+    rows, empty sides — the union+window kernel must agree with the
+    quadratic Python reference everywhere."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from datafusion_distributed_experiment_spark.operators.temporal import asof_join
+
+    left_rows = [(k, ts, i) for i, (k, ts) in enumerate(left)]
+    right_rows = [(k, ts, 1000 + k * 100 + ts) for k, ts in right]  # unique (k, ts)
+    l_schema = StructType(
+        [StructField(n, LongType()) for n in ("k", "ts", "lid")]
+    )
+    r_schema = StructType(
+        [StructField(n, LongType()) for n in ("k", "ts", "payload")]
+    )
+    ldf = spark.createDataFrame(left_rows, l_schema)
+    rdf = spark.createDataFrame(right_rows, r_schema)
+    got = sorted(
+        (r.k, r.ts, r.lid, r.ts_asof, r.payload)
+        for r in asof_join(
+            ldf, rdf, on=["k"], ts="ts", payloads=["payload"], strict=strict
+        ).collect()
+    )
+    assert got == _py_asof(left_rows, right_rows, strict)
