@@ -94,10 +94,19 @@ def run_benchmark(
 
 
 def mean_seconds(entry: dict) -> float | None:
+    """Median over iterations (name kept for artifact compatibility).
+
+    Median, not mean: a single driver-GC/cleanup stall in one iteration
+    (observed: one 16 s outlier against ~1 s neighbors in a 171-execution
+    run) would otherwise dominate a query's headline number and fabricate a
+    regression signal. All raw iterations stay in results.json."""
     its = entry.get("iterations") or []
     if not its:
         return None
-    return sum(i["elapsed_ms"] for i in its) / len(its) / 1000.0
+    vals = sorted(i["elapsed_ms"] for i in its)
+    n = len(vals)
+    mid = vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
+    return mid / 1000.0
 
 
 def compare_runs(current: dict, previous: dict) -> list[str]:

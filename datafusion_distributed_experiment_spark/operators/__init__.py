@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..streaming import events as streaming_events
     from ..streaming import stateful
-    from . import dedup, multimodal, pipeline, similarity, temporal, text
+    from . import curation, dedup, multimodal, pipeline, similarity, temporal, text
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(streaming_events.queries())
@@ -32,13 +32,14 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(stateful.queries())
     out.update(pipeline.queries())
     out.update(temporal.queries())
+    out.update(curation.queries())
     return out
 
 
 def pipeline_oracles() -> dict[str, str]:
     from ..streaming import events as streaming_events
     from ..streaming import stateful
-    from . import dedup, multimodal, pipeline, similarity, temporal, text
+    from . import curation, dedup, multimodal, pipeline, similarity, temporal, text
 
     out: dict[str, str] = {}
     out.update(streaming_events.oracles())
@@ -49,4 +50,5 @@ def pipeline_oracles() -> dict[str, str]:
     out.update(stateful.oracles())
     out.update(pipeline.oracles())
     out.update(temporal.oracles())
+    out.update(curation.oracles())
     return out

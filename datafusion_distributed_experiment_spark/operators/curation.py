@@ -1,0 +1,468 @@
+"""Corpus-curation operators: the dataset-assembly tier of a training-data
+pipeline (deterministic splits, stratified sampling, chunking, sequence
+packing, eval-set decontamination, PII scrubbing, corpus statistics).
+
+The reference engine stops at query execution; a 100 TB training-data
+pipeline additionally needs the curation stages that turn a filtered corpus
+into training shards. Like the rest of the pipeline tier these are engine
+extensions (reference analog: the custom-operator extension mechanism,
+reference ``tests/custom_extension_codec.rs:160-264``), built as JVM-side
+DataFrame expressions — no Python in any hot path — and every one is
+DuckDB-oracle-checked with exact integer arithmetic.
+
+Determinism doctrine: every sampling/splitting decision is a pure function
+of the data (polynomial hash of the stable ``doc_id``), never of partitioning,
+task order, or RNG state — so a 1000-executor re-run, a backfill, or a
+speculative retry assigns every document identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import DUCK_POLY_HASH, DUCK_TOKENS, poly_hash, shingles, tokens
+
+# Train/val/test split: hash-bucket 0-79 train, 80-89 val, 90-99 test.
+SPLIT_TRAIN_END = 80
+SPLIT_VAL_END = 90
+# Stratified sample size per (lang, source) stratum.
+SAMPLE_PER_STRATUM = 20
+# Fixed-width character chunking (context-window sharding stand-in).
+CHUNK_CHARS = 200
+# Sequence packing: token budget per packed training sequence, and the
+# deterministic parallel-packer fan-out (packing runs independently per
+# (source, packer-group) so the window sort never sees one giant partition).
+PACK_BUDGET_TOKENS = 512
+PACK_GROUPS = 8
+# Decontamination: eval membership = poly_hash(doc_id) % EVAL_MOD == 0
+# (~1% of the corpus stands in for a benchmark/eval set); overlap unit is a
+# DECON_K-token shingle.
+EVAL_MOD = 97
+DECON_K = 8
+# PII patterns — restricted to the regex subset with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): character classes, +, literal dot.
+EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+"
+LONGNUM_RE = r"[0-9][0-9][0-9]+"
+# Corpus n-gram statistics.
+NGRAM_K = 3
+NGRAM_TOP = 50
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import rebalance_narrow_scan
+
+    return rebalance_narrow_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _doc_hash() -> F.Column:
+    """Stable per-document int64: polynomial hash of the decimal doc_id
+    string. Exactly reproducible in DuckDB (same fold, same modulus), unlike
+    xxhash64/md5 whose cross-engine spellings differ."""
+    return poly_hash(F.col("doc_id").cast("string"))
+
+
+_DUCK_DOC_HASH = DUCK_POLY_HASH.format(x="CAST(doc_id AS VARCHAR)")
+
+
+# --------------------------------------------------------------------- #
+# split assignment
+# --------------------------------------------------------------------- #
+
+
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket.
+
+    Map-only: zero shuffles, zero coordination — each of the 1000 executors
+    assigns its own rows, and the same document lands in the same split on
+    every re-run and backfill (the property random() splits lack)."""
+    bucket = (_doc_hash() % 100).alias("bucket")
+    return (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id"), bucket)
+        .select(
+            "doc_id",
+            "bucket",
+            F.when(F.col("bucket") < SPLIT_TRAIN_END, "train")
+            .when(F.col("bucket") < SPLIT_VAL_END, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------- #
+# stratified sampling
+# --------------------------------------------------------------------- #
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample per (lang, source) stratum: the
+    SAMPLE_PER_STRATUM documents with the smallest (hash, doc_id) key.
+
+    One shuffle on the stratum key; rank truncation bounds the output per
+    stratum regardless of stratum skew. At 100 TB the per-stratum sort is the
+    cost — a production variant would pre-filter with an approximate hash
+    threshold (keep h < k/N_stratum * MOD) before the exact rank, shrinking
+    the sort input to ~k rows per stratum; the exact rank here IS the spec."""
+    w = Window.partitionBy("lang", "source").orderBy("h", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", "source", _doc_hash().alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_PER_STRATUM)
+        .select("lang", "source", "doc_id", F.col("rn").cast("long").alias("rn"))
+        .orderBy("lang", "source", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------- #
+# chunking
+# --------------------------------------------------------------------- #
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into fixed-width character chunks (the sharding
+    step before tokenization in a context-window pipeline).
+
+    Map-side explode — rows fan out by ceil(len/CHUNK_CHARS) with no shuffle;
+    empty documents yield one empty chunk (greatest(len,1) guards Spark's
+    descending-sequence behavior when start > stop)."""
+    n_chunks_minus1 = F.floor(
+        (F.greatest(F.length("text"), F.lit(1)) - 1) / F.lit(CHUNK_CHARS)
+    ).cast("long")
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks_minus1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.col("text")
+            .substr(
+                (F.col("chunk_id") * CHUNK_CHARS + 1).cast("int"),
+                F.lit(CHUNK_CHARS),
+            )
+            .alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# --------------------------------------------------------------------- #
+# sequence packing
+# --------------------------------------------------------------------- #
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing: documents stream in doc_id order
+    into PACK_BUDGET_TOKENS-token bins; emit per-bin document counts and
+    token totals.
+
+    Packing runs independently per (source, packer-group) — the group is a
+    hash bucket of the document, so PACK_GROUPS parallel packers per source
+    each fill their own bins deterministically. That keeps the running-sum
+    window partitioned (no single global cumsum, which would serialize a
+    100 TB corpus through one task) while staying a pure function of the
+    data. Contiguous fill (bin = floor(previous-cum / budget)) is the
+    deterministic, windowable relaxation of greedy first-fit: a bin may
+    overflow by at most one document, never underfill."""
+    w = (
+        Window.partitionBy("source", "grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            (_doc_hash() % PACK_GROUPS).alias("grp"),
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(PACK_BUDGET_TOKENS)).cast("long"),
+        )
+    )
+    return (
+        toks.groupBy("source", "grp", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("source", "grp", "pack_id")
+    )
+
+
+# --------------------------------------------------------------------- #
+# decontamination
+# --------------------------------------------------------------------- #
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    DECON_K-token shingle with the eval set (here: the deterministic ~1%
+    hash slice standing in for a held-out benchmark).
+
+    Scale shape: the eval shingle set is tiny relative to the corpus, so the
+    overlap check is a broadcast semi-join against a distinct eval-shingle
+    table — the corpus is scanned once, map-side, with no corpus shuffle.
+    Shingle explode fans out per token, which is inherent to n-gram overlap
+    (same cost class as the MinHash signature pass)."""
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+        (_doc_hash() % EVAL_MOD == 0).alias("is_eval"),
+    )
+    sh = base.select(
+        "doc_id",
+        "is_eval",
+        F.explode(F.array_distinct(shingles(F.col("toks"), DECON_K))).alias("ng"),
+    )
+    eval_ng = sh.filter("is_eval").select("ng").distinct()
+    contaminated = (
+        sh.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_ng), "ng", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        base.filter(~F.col("is_eval"))
+        .select("doc_id")
+        .join(contaminated, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("hit"), F.lit(False)).alias("contaminated"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------- #
+# PII scrubbing
+# --------------------------------------------------------------------- #
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count email-shaped and long-number spans,
+    and fingerprint the redacted text (emails -> <EMAIL>, 3+-digit runs ->
+    <NUM>). Map-only JVM regex; the fingerprint proves the redacted output
+    byte-identical across engines without shipping megabytes of text through
+    the comparison."""
+    low = F.lower(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(low, EMAIL_RE, "<EMAIL>"), LONGNUM_RE, "<NUM>"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.regexp_count(low, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+            F.regexp_count(low, F.lit(LONGNUM_RE)).cast("long").alias("n_longnums"),
+            poly_hash(redacted).alias("redacted_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------- #
+# corpus n-gram statistics
+# --------------------------------------------------------------------- #
+
+
+def ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-N n-gram frequencies (occurrence counts, not
+    document counts). Classic two-phase aggregate: map-side partial counts
+    absorb the explode fan-out before the shuffle; the final top-N is
+    Spark's TakeOrdered (no global sort materialization). Tie-break on the
+    n-gram string makes the cut deterministic cross-engine."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(shingles(tokens(F.col("text")), NGRAM_K)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(NGRAM_TOP)
+    )
+
+
+# --------------------------------------------------------------------- #
+# mixture weighting
+# --------------------------------------------------------------------- #
+
+
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token shares and uniform-target mixture weights (the
+    sampling multipliers that rebalance a skewed crawl toward a target
+    domain mixture).
+
+    Per-source aggregate (one shuffle on source), then a broadcast cross
+    join against the single-row corpus total — never a driver-side collect
+    and never a global window (an empty-frame window would funnel the whole
+    result through one partition)."""
+    per_src = (
+        _docs(spark, sf_dir)
+        .select("source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("src_tokens"))
+    )
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    share = F.floor(F.lit(1e6) * F.col("src_tokens") / F.col("total_tokens")).cast("long")
+    target = F.floor(F.lit(1e6) / F.col("n_sources")).cast("long")
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            share.alias("share_ppm"),
+            F.floor(F.lit(1e6) * target / share).cast("long").alias("weight_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "split_assign": split_assign,
+        "stratified_sample": stratified_sample,
+        "chunk_documents": chunk_documents,
+        "pack_sequences": pack_sequences,
+        "decontaminate": decontaminate,
+        "pii_scrub": pii_scrub,
+        "ngram_top": ngram_top,
+        "domain_mix": domain_mix,
+    }
+
+
+_TOKS = DUCK_TOKENS.format(x="text")
+
+
+def _duck_shingles(toks: str, k: int) -> str:
+    """DuckDB spelling of functions.text.shingles over list expression
+    ``toks`` (inclusive 1-based list slicing)."""
+    return (
+        f"CASE WHEN len({toks}) >= {k} "
+        f"THEN list_transform(generate_series(1, len({toks}) - {k - 1}), "
+        f"i -> array_to_string(({toks})[i:i+{k - 1}], ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "split_assign": f"""
+            WITH b AS (
+                SELECT doc_id, ({_DUCK_DOC_HASH}) % 100 AS bucket FROM documents
+            )
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < {SPLIT_TRAIN_END} THEN 'train'
+                        WHEN bucket < {SPLIT_VAL_END} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id
+        """,
+        "stratified_sample": f"""
+            WITH ranked AS (
+                SELECT lang, source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY {_DUCK_DOC_HASH}, doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT lang, source, doc_id, CAST(rn AS BIGINT) AS rn
+            FROM ranked WHERE rn <= {SAMPLE_PER_STRATUM}
+            ORDER BY lang, source, doc_id
+        """,
+        "chunk_documents": f"""
+            SELECT doc_id, i AS chunk_id,
+                   substring(text, CAST(i * {CHUNK_CHARS} + 1 AS INT), {CHUNK_CHARS}) AS chunk_text
+            FROM documents,
+                 UNNEST(generate_series(
+                     0,
+                     CAST(FLOOR((greatest(length(text), 1) - 1) / {CHUNK_CHARS}.0) AS BIGINT)
+                 )) AS t(i)
+            ORDER BY doc_id, chunk_id
+        """,
+        "pack_sequences": f"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       ({_DUCK_DOC_HASH}) % {PACK_GROUPS} AS grp,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), packed AS (
+                SELECT source, grp, n_tokens,
+                       CAST(FLOOR((SUM(n_tokens) OVER (
+                                       PARTITION BY source, grp ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING
+                                   ) - n_tokens) / {PACK_BUDGET_TOKENS}.0) AS BIGINT) AS pack_id
+                FROM toks
+            )
+            SELECT source, grp, pack_id,
+                   COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+            FROM packed GROUP BY source, grp, pack_id
+            ORDER BY source, grp, pack_id
+        """,
+        "decontaminate": f"""
+            WITH base AS (
+                SELECT doc_id, {_TOKS} AS toks,
+                       ({_DUCK_DOC_HASH}) % {EVAL_MOD} = 0 AS is_eval
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, is_eval,
+                       {_duck_shingles("toks", DECON_K)} AS ngs
+                FROM base
+            ), eval_ng AS (
+                SELECT DISTINCT ng FROM sh, UNNEST(ngs) AS t(ng) WHERE is_eval
+            ), contam AS (
+                SELECT DISTINCT doc_id
+                FROM sh, UNNEST(ngs) AS t(ng)
+                WHERE NOT is_eval AND ng IN (SELECT ng FROM eval_ng)
+            )
+            SELECT b.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+            FROM base b LEFT JOIN contam c ON b.doc_id = c.doc_id
+            WHERE NOT b.is_eval
+            ORDER BY b.doc_id
+        """,
+        "pii_scrub": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(lower(text), '{LONGNUM_RE}')) AS BIGINT) AS n_longnums,
+                   {DUCK_POLY_HASH.format(x=f"regexp_replace(regexp_replace(lower(text), '{EMAIL_RE}', '<EMAIL>', 'g'), '{LONGNUM_RE}', '<NUM>', 'g')")} AS redacted_fp
+            FROM documents ORDER BY doc_id
+        """,
+        "ngram_top": f"""
+            SELECT ngram, COUNT(*) AS n_occurrences
+            FROM (
+                SELECT unnest({_duck_shingles(_TOKS, NGRAM_K)}) AS ngram
+                FROM documents
+            )
+            GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram ASC
+            LIMIT {NGRAM_TOP}
+        """,
+        "domain_mix": f"""
+            WITH per_src AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       CAST(SUM(len({_TOKS})) AS BIGINT) AS src_tokens
+                FROM documents GROUP BY source
+            ), totals AS (
+                SELECT SUM(src_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per_src
+            )
+            SELECT source, n_docs, src_tokens,
+                   CAST(FLOOR(1e6 * src_tokens / total_tokens) AS BIGINT) AS share_ppm,
+                   CAST(FLOOR(1e6 * CAST(FLOOR(1e6 / n_sources) AS BIGINT)
+                              / CAST(FLOOR(1e6 * src_tokens / total_tokens) AS BIGINT)) AS BIGINT) AS weight_ppm
+            FROM per_src CROSS JOIN totals
+            ORDER BY source
+        """,
+    }

@@ -60,6 +60,11 @@ def default_spark_conf(
         # 128 MB scan splits — survives 100 TB inputs without driver OOM on
         # split enumeration while keeping per-task work meaningful.
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        # Shuffle/broadcast block cleanup rides on driver GC; with a large
+        # driver heap the default 30min periodic GC means a long multi-query
+        # session (or bench run) never cleans at all and state accumulates
+        # until a multi-second stop-the-world stall. 5min bounds the backlog.
+        "spark.cleaner.periodicGC.interval": "5min",
         "spark.sql.shuffle.partitions": str(
             shuffle_partitions
             if shuffle_partitions is not None

@@ -202,3 +202,55 @@ def test_partitioned_write_enables_partition_pruning(engine, tmp_path):
     # pruning must not change results
     want = src.filter(src.o_orderpriority == "1-URGENT").count()
     assert one.count() == want and want > 0
+
+
+def test_split_assign_is_map_only(spark):
+    """Split assignment must add no exchange over its input scan: a pure
+    hash-projection any executor applies independently (re-run/backfill
+    stable without coordination)."""
+    from datafusion_distributed_experiment_spark.operators.curation import split_assign
+    from datafusion_distributed_experiment_spark.sources.tables import (
+        rebalance_narrow_scan,
+    )
+
+    from .conftest import SF_DIR
+
+    base = stage_summary(rebalance_narrow_scan(spark.read.parquet(f"{SF_DIR}/documents.parquet")))
+    s = stage_summary(split_assign(spark, SF_DIR))
+    # the trailing orderBy adds one range exchange for presentation; beyond
+    # that the assignment itself must add nothing over the scan
+    assert s["exchanges"] <= base["exchanges"] + 1, (s, base)
+    assert s["aggregates"] == 0, s
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The eval-shingle overlap check must be a broadcast semi-join (tiny
+    eval side shipped to the corpus, never a corpus shuffle)."""
+    from datafusion_distributed_experiment_spark.operators.curation import decontaminate
+
+    from .conftest import SF_DIR
+
+    plan = decontaminate(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "Broadcast" in plan, plan[:2000]
+
+
+def test_pack_sequences_partitions_by_packer_group(spark):
+    """Sequence packing must never run one global cumulative window: the
+    running sum is partitioned by (source, packer-group), so the plan's
+    window spec carries both keys and PACK_GROUPS parallel packers exist
+    per source."""
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.operators.curation import (
+        PACK_GROUPS,
+        pack_sequences,
+    )
+
+    from .conftest import SF_DIR
+
+    df = pack_sequences(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(source" in plan and "grp" in plan, plan[:3000]
+    n_groups = df.select("source", "grp").distinct().groupBy("source").count()
+    assert n_groups.agg(F.max("count")).collect()[0][0] <= PACK_GROUPS
