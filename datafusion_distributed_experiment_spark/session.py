@@ -60,6 +60,16 @@ def default_spark_conf(
         # 128 MB scan splits — survives 100 TB inputs without driver OOM on
         # split enumeration while keeping per-task work meaningful.
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        # RocksDB state store with changelog checkpointing for all stateful
+        # streaming: the default HDFS-backed store snapshots whole state maps
+        # per commit (measured 2.7-6.6s/replay on the stream-stream join vs
+        # 2.4-2.5s stable here) and holds state on-heap — a non-starter for
+        # production-sized join/session state. Changelog checkpointing ships
+        # per-batch deltas instead of full snapshots.
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
         # Shuffle/broadcast block cleanup rides on driver GC; with a large
         # driver heap the default 30min periodic GC means a long multi-query
         # session (or bench run) never cleans at all and state accumulates
