@@ -37,6 +37,7 @@ _SQL_QUERIES = [
     "adhoc/events_rollup",
     "adhoc/events_setops",
     "adhoc/events_median",
+    "adhoc/events_latest",
     "adhoc/q1_decimal",
 ]
 

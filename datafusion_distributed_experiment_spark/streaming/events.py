@@ -130,6 +130,88 @@ def click_view_join(
 STREAM_STATE_PARTITIONS = 8
 
 
+class _stream_partitions:
+    """Scope ``spark.sql.shuffle.partitions`` to stream volume for the
+    duration of a bounded replay (see stream_click_attr's docstring), then
+    restore the batch session's width."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: one row per (user-bucket, event type, day)
+    key, state evicted by watermark (``dropDuplicatesWithinWatermark``).
+
+    The streaming half of exact dedup: per-key state lives only until the
+    watermark passes, so a continuous deployment holds O(active keys within
+    the disorder window) rather than O(stream history). Only the key columns
+    are emitted — which physical row survives depends on arrival order, and
+    must not leak into the result. On a bounded replay with a watermark wider
+    than the dataset span this is exactly batch DISTINCT (the oracle)."""
+    with _stream_partitions(spark):
+        ev = read_events_stream(spark, sf_dir, glob="events.parquet")
+        result = run_to_completion(
+            dedup_keys_stream(ev), query_name="stream_dedup", output_mode="append"
+        )
+    return result.orderBy("user_bucket", "event_type", "day")
+
+
+def dedup_keys_stream(ev: DataFrame, watermark: str = "40 days") -> DataFrame:
+    """Frame-level streaming distinct on (user-bucket, event type, day)."""
+    return (
+        ev.withWatermark("ts", watermark)
+        .select(
+            (F.col("user_id") % 100).alias("user_bucket"),
+            F.col("event_type"),
+            # date_trunc (timestamp), not to_date: a DATE column round-trips
+            # to pandas differently per engine; the truncated timestamp is
+            # the same dtype on both sides (events_daily convention).
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("ts"),
+        )
+        .dropDuplicatesWithinWatermark(["user_bucket", "event_type", "day"])
+        .select("user_bucket", "event_type", "day")
+    )
+
+
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + running aggregate: the event stream
+    joins the static customer dimension (broadcast to every micro-batch —
+    the stream side never shuffles for the join), then aggregates per
+    (segment, event type).
+
+    The canonical ingest shape: dimension lookup stays map-side however
+    large the stream; only the tiny post-join aggregate state shuffles.
+    Complete-mode emission of a finite-cardinality aggregate."""
+    with _stream_partitions(spark):
+        ev = read_events_stream(spark, sf_dir, glob="events.parquet")
+        cust = (
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        )
+        agg = (
+            ev.join(F.broadcast(cust), "user_id")
+            .groupBy("c_mktsegment", "event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                (F.sum(F.round(F.col("value") * 1e4).cast("long")) / F.lit(1e4)).alias(
+                    "total_value"
+                ),
+            )
+        )
+        result = run_to_completion(agg, query_name="stream_enrich", output_mode="complete")
+    return result.orderBy("c_mktsegment", "event_type")
+
+
 def stream_click_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing bounded replay of the stream-stream attribution join.
 
@@ -140,9 +222,7 @@ def stream_click_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
     production stream would size it up again). The conf is bound at query
     start and restored after, so batch queries on the session are
     unaffected."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
-    try:
+    with _stream_partitions(spark):
         out = click_view_join(
             read_events_stream(spark, sf_dir, glob="events.parquet"),
             read_events_stream(spark, sf_dir, glob="events.parquet"),
@@ -150,8 +230,6 @@ def stream_click_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = run_to_completion(
             out, query_name="stream_click_attr", output_mode="append"
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return result.orderBy("click_id", "view_id")
 
 
@@ -159,11 +237,29 @@ LOOKBACK_MS = 600_000  # 10 minutes, mirrored in the oracle below
 
 
 def queries():
-    return {"stream_click_attr": stream_click_attr}
+    return {
+        "stream_click_attr": stream_click_attr,
+        "stream_dedup": stream_dedup,
+        "stream_enrich": stream_enrich,
+    }
 
 
 def oracles() -> dict[str, str]:
     return {
+        "stream_dedup": """
+            SELECT DISTINCT user_id % 100 AS user_bucket, event_type,
+                   date_trunc('day', ts) AS day
+            FROM events
+            ORDER BY user_bucket, event_type, day
+        """,
+        "stream_enrich": """
+            SELECT c_mktsegment, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   SUM(CAST(ROUND(value * 1e4) AS BIGINT)) / 1e4 AS total_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment, event_type
+            ORDER BY c_mktsegment, event_type
+        """,
         "stream_click_attr": f"""
             WITH ev AS (
                 SELECT event_id, user_id, event_type,

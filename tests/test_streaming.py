@@ -291,3 +291,45 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == table.num_rows  # a.parquet not reprocessed, b fully in
     assert out.select("event_id").distinct().count() == table.num_rows
+
+
+def test_stream_dedup_converges_across_batches(spark, tmp_path, duck):
+    """Streaming distinct must emit each key exactly once even when the
+    key's occurrences span micro-batches (interleaved stripes, one file per
+    trigger): dedup state persists across batches until the watermark clears
+    it. Oracle: batch DISTINCT."""
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    from datafusion_distributed_experiment_spark.streaming.events import (
+        dedup_keys_stream,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    table = ds.dataset(f"{SF_DIR}/events.parquet").to_table()
+    d = tmp_path / "dd_striped"
+    d.mkdir()
+    for i in range(3):
+        idx = [j for j in range(table.num_rows) if j % 3 == i]
+        pq.write_table(table.take(idx), d / f"stripe-{i}.parquet")
+
+    got = (
+        run_to_completion(
+            dedup_keys_stream(read_events_stream(spark, str(d), max_files_per_trigger=1)),
+            "t_stream_dedup",
+            output_mode="append",
+        )
+        .orderBy("user_bucket", "event_type", "day")
+        .toPandas()
+    )
+    want = duck.execute(
+        f"""
+        SELECT DISTINCT user_id % 100 AS user_bucket, event_type,
+               date_trunc('day', ts) AS day
+        FROM '{SF_DIR}/events.parquet'
+        ORDER BY user_bucket, event_type, day
+        """
+    ).df()
+    assert len(got) < table.num_rows  # the dedup actually collapsed rows
+    assert_frames_match(got, want, "stream_dedup_vs_batch_distinct")
