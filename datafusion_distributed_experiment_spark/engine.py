@@ -149,6 +149,13 @@ class Engine:
         df.createOrReplaceTempView(name)
         return df
 
+    def register_orc(self, name: str, path: str) -> DataFrame:
+        """Register an ORC table (columnar source beyond the reference's
+        parquet/CSV/mem surface; same pushdown machinery as parquet)."""
+        df = sources.read_orc_table(self.spark, path)
+        df.createOrReplaceTempView(name)
+        return df
+
     def register_tbl(self, name: str, path: str, schema: StructType | str) -> DataFrame:
         """Register a TPC-H ``.tbl`` file: ``|``-delimited, no header, with a
         trailing ``|`` producing a placeholder column that is dropped
@@ -271,6 +278,16 @@ class Engine:
 
     def write_csv(self, df: DataFrame, path: str, sep: str = ",", header: bool = True) -> None:
         sources.write_csv(df, path, sep=sep, header=header)
+
+    def write_orc(self, df: DataFrame, path: str, compression: str = "zstd") -> None:
+        sources.write_orc(df, path, compression=compression)
+
+    def overwrite_partitions(
+        self, df: DataFrame, path: str, partition_by: list[str], compression: str = "zstd"
+    ) -> None:
+        """Replace only the hive partitions present in ``df`` (dynamic
+        partition overwrite) — the incremental daily-reingest primitive."""
+        sources.overwrite_partitions(df, path, partition_by, compression=compression)
 
     def stop(self) -> None:
         self.spark.stop()

@@ -10,12 +10,15 @@ usable standalone on any SparkSession.
 
 from .tables import (
     memory_table,
+    overwrite_partitions,
     read_csv_table,
     read_json_table,
+    read_orc_table,
     read_parquet_table,
     read_tbl_table,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
 )
 
@@ -28,4 +31,7 @@ __all__ = [
     "write_parquet",
     "write_csv",
     "write_json",
+    "read_orc_table",
+    "write_orc",
+    "overwrite_partitions",
 ]

@@ -87,6 +87,41 @@ def write_json(df: DataFrame, path: str, compression: str = "gzip") -> None:
     df.write.mode("overwrite").option("compression", compression).json(path)
 
 
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (columnar alternative to parquet; same pushdown/pruning
+    machinery — ``spark.sql.orc.filterPushdown`` is on by default)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str], compression: str = "zstd"
+) -> None:
+    """Incremental hive-layout write: replace ONLY the partitions present in
+    ``df``, leaving all other partitions untouched (dynamic partition
+    overwrite).
+
+    The daily-ingest primitive at 100 TB: re-running one day's pipeline
+    rewrites that day's directory instead of truncating the whole table
+    (static overwrite mode would). Scoped conf — the session default is
+    untouched outside the write."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .option("compression", compression)
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def read_tbl_table(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
     """TPC-H ``.tbl``: pipe-delimited, no header, trailing ``|`` producing a
     placeholder column dropped on load (reference benchmarks/src/tpch/

@@ -129,3 +129,48 @@ def test_register_sf_dir_isolates_per_table(engine, tmp_path):
     failures = engine.register_sf_dir(str(tmp_path), tables=["bad", "good"])
     assert set(failures) == {"bad"}
     assert engine.sql("SELECT COUNT(*) AS n FROM good").collect()[0].n == 5
+
+
+def test_orc_round_trip(engine, tmp_path):
+    """ORC sink -> source round trip preserves rows and schema."""
+    src = engine.spark.table("nation")
+    engine.write_orc(src, str(tmp_path / "nation_orc"))
+    back = engine.register_orc("nation_orc", str(tmp_path / "nation_orc"))
+    assert back.schema == src.schema
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in src.collect()
+    )
+
+
+def test_dynamic_partition_overwrite_replaces_only_written_partitions(engine, tmp_path):
+    """Rewriting one partition's data must leave every other partition's
+    files intact — the incremental-ingest contract (static overwrite would
+    truncate the table)."""
+    from pyspark.sql import functions as F
+
+    spark = engine.spark
+    path = str(tmp_path / "orders_inc")
+    src = spark.table("orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
+    engine.write_parquet(src, path, partition_by=["o_orderpriority"])
+    before = spark.read.parquet(path).count()
+    assert before == src.count()
+
+    # Re-ingest ONE priority with doubled prices.
+    one = src.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    engine.overwrite_partitions(one, path, ["o_orderpriority"])
+
+    back = spark.read.parquet(path)
+    assert back.count() == before  # untouched partitions still present
+    got = back.filter(F.col("o_orderpriority") == "1-URGENT").agg(
+        F.sum("o_totalprice")
+    ).collect()[0][0]
+    want = 2 * src.filter(F.col("o_orderpriority") == "1-URGENT").agg(
+        F.sum("o_totalprice")
+    ).collect()[0][0]
+    assert abs(got - want) < 1e-6
+    # session conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static") != "dynamic"
+    )
