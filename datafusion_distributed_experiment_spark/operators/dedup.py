@@ -384,38 +384,53 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     graphs with large diameter would swap this loop for the O(log n)-round
     large-star/small-star variant, same join primitive."""
     pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
-    edges = pairs.unionAll(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-    for _ in range(MAX_CC_ITERS):
-        if prev_sum is None:  # empty graph
-            break
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-            .groupBy(F.col("doc_b").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
+    spark = pairs.sparkSession
+    # Size the loop's shuffle width to the GRAPH's volume, not the corpus
+    # session default: the label/edge tables are pairs-sized (far smaller
+    # than the corpus that produced them), and every round pays per-task
+    # scheduling on every shuffle partition — 32-wide rounds over a few
+    # thousand edges measured ~2x slower than 4-wide. Grows back toward the
+    # session width as the edge count grows (100k edges per partition).
+    n_edges = pairs.count()
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cc_width = max(4, min(session_width, n_edges // 100_000 + 1))
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(cc_width))
+    try:
+        edges = pairs.unionAll(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
         labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
-                    "cluster_id"
-                ),
-            )
+            edges.select(F.col("doc_a").alias("doc_id"))
+            .distinct()
+            .withColumn("cluster_id", F.col("doc_id"))
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+        prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        for _ in range(MAX_CC_ITERS):
+            if prev_sum is None:  # empty graph
+                break
+            nbr_min = (
+                edges.join(labels.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+                .groupBy(F.col("doc_b").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("nbr_min"))
+            )
+            labels = (
+                labels.join(nbr_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                        "cluster_id"
+                    ),
+                )
+                .localCheckpoint()
+            )
+            new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
     return labels
 
 
