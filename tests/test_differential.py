@@ -16,8 +16,21 @@ from .conftest import SF_DIR
 
 # A representative slice: aggregation-only, join-heavy, subquery, anti-join,
 # plus the iterative (connected-components) and window-rollup operators whose
-# determinism under re-partitioning is worth pinning explicitly.
-_SAMPLE = ["q1", "q5", "q17", "q21", "events_cte_join", "dedup_clusters", "sessionize"]
+# determinism under re-partitioning is worth pinning explicitly. The curation
+# ops (pack_sequences especially: windowed running sums; stratified_sample:
+# rank truncation) carry a determinism-under-repartitioning CLAIM — pin it.
+_SAMPLE = [
+    "q1",
+    "q5",
+    "q17",
+    "q21",
+    "events_cte_join",
+    "dedup_clusters",
+    "sessionize",
+    "pack_sequences",
+    "stratified_sample",
+    "decontaminate",
+]
 
 
 @pytest.mark.parametrize("name", _SAMPLE)

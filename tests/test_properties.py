@@ -209,3 +209,58 @@ def test_asof_join_property(spark, left, right, strict):
         ).collect()
     )
     assert got == _py_asof(left_rows, right_rows, strict)
+
+
+def test_text_ops_tolerate_null_and_empty_documents(spark):
+    """A 100 TB crawl WILL contain null and empty text; the text tier must
+    process such rows without raising, and emit row-preserving output (null
+    feature values are acceptable, lost or crashed rows are not)."""
+    from datafusion_distributed_experiment_spark.operators.text import (
+        quality_frame,
+        stats_frame,
+        token_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, None), (4, "   "), (5, "x")],
+        "doc_id long, text string",
+    )
+    for frame in (stats_frame(docs), token_frame(docs), quality_frame(stats_frame(docs))):
+        rows = frame.collect()
+        assert len(rows) == 5, rows
+        assert {r["doc_id"] for r in rows} == {1, 2, 3, 4, 5}
+
+
+def test_curation_ops_tolerate_null_and_empty_documents(spark, tmp_path):
+    """Same hardening for the curation tier: chunking, packing and splits
+    over a corpus containing null/empty/whitespace-only documents."""
+    from datafusion_distributed_experiment_spark.operators.curation import (
+        chunk_documents,
+        pack_sequences,
+        split_assign,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "some real text here", "en", "srcA", 19),
+            (2, "", "en", "srcA", 0),
+            (3, None, "en", "srcB", None),
+            (4, "   ", "unk", "srcB", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "docs")
+    docs.write.parquet(f"{d}/documents.parquet")
+
+    splits = split_assign(spark, d).collect()
+    assert {r["doc_id"] for r in splits} == {1, 2, 3, 4}
+
+    chunks = chunk_documents(spark, d).collect()
+    # row-preserving: null/empty docs yield exactly one chunk (null/empty text)
+    assert {r["doc_id"] for r in chunks} == {1, 2, 3, 4}
+    by_id = {r["doc_id"]: r for r in chunks if r["doc_id"] in (2, 3)}
+    assert by_id[2]["chunk_text"] == ""
+    assert by_id[3]["chunk_text"] is None
+
+    packs = pack_sequences(spark, d).collect()
+    assert sum(r["n_docs"] for r in packs) >= 3  # null-token doc may drop
