@@ -167,18 +167,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select("doc_id", *cols).orderBy("doc_id")
 
 
-def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate generation + exact-Jaccard verification.
-
-    Band keys shuffle-partition the corpus; only documents sharing a band
-    bucket are compared (no cross join — the standard scale-out LSH plan)."""
-    # localCheckpoint, not persist: three consumers (both self-join sides +
-    # the bucket-cap count) race a lazily-populated cache and recompute the
-    # HOF chain concurrently on miss; eager checkpoint materializes once.
-    sigs = _with_signature(_corpus(spark, sf_dir)).select("doc_id", "toks", "sig").localCheckpoint()
-    # Slim band rows: only (doc_id, band key) travels through the LSH
-    # shuffle; token arrays are joined back per *pair*, not per band.
-    bands = sigs.select(
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """Slim LSH band rows: only (doc_id, band_idx, x, y) travels through the
+    band shuffle; token arrays are joined back per *pair*, not per band."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -193,7 +185,18 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.*")
-    bands = _cap_buckets(bands, ["band_idx", "x", "y"])
+
+
+def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    Band keys shuffle-partition the corpus; only documents sharing a band
+    bucket are compared (no cross join — the standard scale-out LSH plan)."""
+    # localCheckpoint, not persist: three consumers (both self-join sides +
+    # the bucket-cap count) race a lazily-populated cache and recompute the
+    # HOF chain concurrently on miss; eager checkpoint materializes once.
+    sigs = _with_signature(_corpus(spark, sf_dir)).select("doc_id", "toks", "sig").localCheckpoint()
+    bands = _cap_buckets(_band_rows(sigs), ["band_idx", "x", "y"])
     a, b2 = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -220,6 +223,94 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", jaccard.alias("jaccard_ppm"))
         .filter(F.col("jaccard_ppm") >= JACCARD_MIN_PPM)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------- #
+# incremental dedup: new batch vs existing corpus index
+# --------------------------------------------------------------------- #
+
+def _incremental_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(index, incoming) split of the documents table.
+
+    index    = even-doc_id half (the already-ingested historical corpus);
+    incoming = odd docs (genuinely new) + near-dup copies of every 10th doc
+               (whose sources are all index members — the observable
+               duplicates, same augmentation rule as ``_corpus``)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    index = docs.filter(F.col("doc_id") % 2 == 0)
+    aug = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + AUG_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(AUG_SUFFIX)).alias("text"),
+    )
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).unionAll(aug)
+    return index, incoming
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup check of a NEW document batch against an existing corpus
+    index — the daily-ingest shape of dedup at 100 TB, where re-mining all
+    pairs over the full corpus per batch (``minhash_dedup_pairs``) would be
+    quadratic in days.
+
+    Scale design: the historical corpus is the big side and NEVER shuffles.
+    Incoming band rows (a daily batch, orders of magnitude smaller than the
+    corpus) broadcast to the index band scan — a map-side hash join — and
+    the surviving candidate pairs (bounded by |incoming| x BANDS x bucket
+    cap) broadcast again to fetch index token sets for exact-Jaccard
+    verification. Index band buckets are capped like the self-join path
+    (hub suppression = skew guard). In production the index signatures/bands
+    are a persisted table (built once per corpus via
+    ``Engine.write_bucketed``, reference analog: the reference re-reads its
+    listing tables per query, ``tests/tpch.rs:149-161``); here they are
+    recomputed from parquet, which adds scans but no shuffles.
+
+    Returns one row per incoming document: (doc_id, is_dup)."""
+    index, incoming = _incremental_sides(spark, sf_dir)
+    idx_sigs = _with_signature(index).select("doc_id", "toks", "sig")
+    inc_sigs = (
+        _with_signature(incoming).select("doc_id", "toks", "sig").localCheckpoint()
+    )
+    idx_bands = _cap_buckets(_band_rows(idx_sigs), ["band_idx", "x", "y"])
+    inc_bands = _band_rows(inc_sigs)
+    cand = (
+        idx_bands.alias("i")
+        .join(
+            F.broadcast(inc_bands.alias("n")),
+            (F.col("i.band_idx") == F.col("n.band_idx"))
+            & (F.col("i.x") == F.col("n.x"))
+            & (F.col("i.y") == F.col("n.y")),
+        )
+        .select(F.col("i.doc_id").alias("idx_id"), F.col("n.doc_id").alias("new_id"))
+        .dropDuplicates(["idx_id", "new_id"])
+    )
+    pairs = (
+        idx_sigs.select(F.col("doc_id").alias("idx_id"), F.col("toks").alias("toks_i"))
+        .join(F.broadcast(cand), "idx_id")
+        .join(
+            F.broadcast(
+                inc_sigs.select(F.col("doc_id").alias("new_id"), F.col("toks").alias("toks_n"))
+            ),
+            "new_id",
+        )
+    )
+    jaccard = F.floor(
+        F.lit(1e6)
+        * F.size(F.array_intersect("toks_i", "toks_n"))
+        / F.size(F.array_union("toks_i", "toks_n"))
+    ).cast("long")
+    dups = (
+        pairs.select("new_id", jaccard.alias("jaccard_ppm"))
+        .filter(F.col("jaccard_ppm") >= JACCARD_MIN_PPM)
+        .select("new_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        inc_sigs.select("doc_id")
+        .join(F.broadcast(dups.withColumnRenamed("new_id", "doc_id")), "doc_id", "left")
+        .select("doc_id", F.coalesce("is_dup", F.lit(0)).cast("long").alias("is_dup"))
+        .orderBy("doc_id")
     )
 
 
@@ -453,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "minhash_signatures": minhash_signatures,
         "minhash_dedup_pairs": minhash_dedup_pairs,
+        "dedup_incremental": dedup_incremental,
         "simhash_signatures": simhash_signatures,
         "simhash_dedup_pairs": simhash_dedup_pairs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -531,6 +623,41 @@ _DUCK_MINHASH_PAIRS = f"""bands AS (
 )"""
 
 
+# Incremental-dedup side predicates over the combined sig CTE (index =
+# even originals; incoming = odd originals + all augmented copies).
+_IDX_PRED = f"doc_id < {AUG_OFFSET} AND doc_id % 2 = 0"
+_INC_PRED = f"(doc_id >= {AUG_OFFSET} OR doc_id % 2 = 1)"
+
+
+def _duck_bands(pred: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, sig[{lo + 1}] AS x, sig[{hi + 1}] AS y "
+        f"FROM sig WHERE {pred}"
+        for i, (lo, hi) in enumerate(BANDS)
+    )
+
+
+_DUCK_INCREMENTAL = f"""idx_bands AS (
+    SELECT * FROM (
+        SELECT doc_id, band_idx, x, y,
+               COUNT(*) OVER (PARTITION BY band_idx, x, y) AS bucket_n
+        FROM ({_duck_bands(_IDX_PRED)})
+    ) WHERE bucket_n <= {MAX_BAND_BUCKET}
+), inc_bands AS (
+    {_duck_bands(_INC_PRED)}
+), cand AS (
+    SELECT DISTINCT i.doc_id AS idx_id, n.doc_id AS new_id
+    FROM idx_bands i JOIN inc_bands n
+      ON i.band_idx = n.band_idx AND i.x = n.x AND i.y = n.y
+), dups AS (
+    SELECT DISTINCT new_id FROM cand
+    JOIN sig si ON si.doc_id = cand.idx_id
+    JOIN sig sn ON sn.doc_id = cand.new_id
+    WHERE FLOOR(1e6 * len(list_intersect(si.dtoks, sn.dtoks))
+                / len(list_distinct(list_concat(si.dtoks, sn.dtoks)))) >= {JACCARD_MIN_PPM}
+)"""
+
+
 def oracles() -> dict[str, str]:
     return {
         "dedup_exact": f"""
@@ -548,6 +675,14 @@ def oracles() -> dict[str, str]:
         "minhash_dedup_pairs": f"""
             WITH {_DUCK_CORPUS}, {_DUCK_SIG}, {_DUCK_MINHASH_PAIRS}
             SELECT doc_a, doc_b, jaccard_ppm FROM pairs ORDER BY doc_a, doc_b
+        """,
+        "dedup_incremental": f"""
+            WITH {_DUCK_CORPUS}, {_DUCK_SIG}, {_DUCK_INCREMENTAL}
+            SELECT s.doc_id,
+                   CAST(CASE WHEN d.new_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+            FROM sig s LEFT JOIN dups d ON d.new_id = s.doc_id
+            WHERE {_INC_PRED.replace("doc_id", "s.doc_id")}
+            ORDER BY s.doc_id
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_DUCK_CORPUS}, {_DUCK_SIG}, {_DUCK_MINHASH_PAIRS}, edges AS (

@@ -254,3 +254,18 @@ def test_pack_sequences_partitions_by_packer_group(spark):
     assert "windowspecdefinition(source" in plan and "grp" in plan, plan[:3000]
     n_groups = df.select("source", "grp").distinct().groupBy("source").count()
     assert n_groups.agg(F.max("count")).collect()[0][0] <= PACK_GROUPS
+
+
+def test_dedup_incremental_never_shuffles_the_index_side(spark):
+    """The incremental-dedup contract at 100 TB: the historical corpus (the
+    big side) must reach every join as a broadcast-hash-join probe side —
+    zero sort-merge / shuffled-hash joins anywhere in the plan. The only
+    exchange allowed is the final result sort over the (batch-sized)
+    output."""
+    from datafusion_distributed_experiment_spark.operators.dedup import dedup_incremental
+    from .conftest import SF_DIR
+
+    plan = dedup_incremental(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "ShuffledHashJoin" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
