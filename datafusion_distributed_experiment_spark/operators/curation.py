@@ -49,6 +49,8 @@ LONGNUM_RE = r"[0-9][0-9][0-9]+"
 # Corpus n-gram statistics.
 NGRAM_K = 3
 NGRAM_TOP = 50
+# Deterministic training-shard fan-out.
+N_SHARDS = 16
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,6 +333,71 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- #
+# deterministic shard shuffle
+# --------------------------------------------------------------------- #
+
+
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into N_SHARDS training shards: shard =
+    hash % N, position within shard = rank of (hash, doc_id).
+
+    This is the "shuffle the corpus before training" step done without RNG
+    state: the hash IS the permutation, so every re-run, backfill, and
+    speculative retry writes byte-identical shards. One shuffle on the shard
+    key; the within-shard sort is bounded by corpus/N_SHARDS and runs as a
+    partial sort per shard, never a global order-by (at 100 TB pick N_SHARDS
+    so a shard's key column fits a task's spill budget — the sort is on the
+    8-byte hash, not the document payload, so even 1e9-row shards sort fine)."""
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", _doc_hash().alias("h"))
+        .withColumn("shard", (F.col("h") % N_SHARDS).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("shard", "pos", "doc_id")
+        .orderBy("shard", "pos")
+    )
+
+
+# --------------------------------------------------------------------- #
+# repetition statistics (quality signals)
+# --------------------------------------------------------------------- #
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (the Gopher-rules family): token
+    count, distinct-token count, 2-gram total and the top 2-gram's
+    occurrence count — the inputs to duplicate-token-fraction and
+    top-n-gram-concentration quality filters.
+
+    One corpus scan; the 2-gram explode is absorbed by a map-side partial
+    count before the (doc_id, gram) shuffle, and the second aggregate down
+    to doc_id re-uses the same hash partitioning family. No Python, no
+    per-row UDF — pure JVM expressions end to end."""
+    ex = (
+        _docs(spark, sf_dir)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).cast("long").alias("n_uniq_tokens"),
+            F.explode(shingles(F.col("toks"), 2)).alias("g"),
+        )
+    )
+    per_gram = ex.groupBy("doc_id", "n_tokens", "n_uniq_tokens", "g").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        per_gram.groupBy("doc_id", "n_tokens", "n_uniq_tokens")
+        .agg(
+            F.sum("c").cast("long").alias("n_2grams"),
+            F.max("c").cast("long").alias("top_2gram_count"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "split_assign": split_assign,
@@ -341,6 +408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": pii_scrub,
         "ngram_top": ngram_top,
         "domain_mix": domain_mix,
+        "shuffle_shards": shuffle_shards,
+        "repetition_stats": repetition_stats,
     }
 
 
@@ -464,5 +533,35 @@ def oracles() -> dict[str, str]:
                               / CAST(FLOOR(1e6 * src_tokens / total_tokens) AS BIGINT)) AS BIGINT) AS weight_ppm
             FROM per_src CROSS JOIN totals
             ORDER BY source
+        """,
+        "shuffle_shards": f"""
+            WITH h AS (
+                SELECT doc_id, {_DUCK_DOC_HASH} AS h FROM documents
+            )
+            SELECT CAST(h % {N_SHARDS} AS BIGINT) AS shard,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY h % {N_SHARDS} ORDER BY h, doc_id
+                   ) AS BIGINT) AS pos,
+                   doc_id
+            FROM h ORDER BY shard, pos
+        """,
+        "repetition_stats": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), ex AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+                       g
+                FROM toks, UNNEST({_duck_shingles("toks", 2)}) AS t(g)
+            ), per_gram AS (
+                SELECT doc_id, n_tokens, n_uniq_tokens, g, COUNT(*) AS c
+                FROM ex GROUP BY doc_id, n_tokens, n_uniq_tokens, g
+            )
+            SELECT doc_id, n_tokens, n_uniq_tokens,
+                   CAST(SUM(c) AS BIGINT) AS n_2grams,
+                   CAST(MAX(c) AS BIGINT) AS top_2gram_count
+            FROM per_gram GROUP BY doc_id, n_tokens, n_uniq_tokens
+            ORDER BY doc_id
         """,
     }

@@ -30,6 +30,7 @@ _SAMPLE = [
     "pack_sequences",
     "stratified_sample",
     "decontaminate",
+    "shuffle_shards",
 ]
 
 
