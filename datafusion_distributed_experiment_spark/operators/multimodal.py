@@ -263,12 +263,31 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by payload digest within each modality — the
+    "same file uploaded twice" primitive, the media analog of
+    ``dedup_exact``. One hash-partitioned shuffle on (modality, digest);
+    only the digest (16 bytes) shuffles, never the payload. At 100 TB the
+    digest is computed at ingest and stored as a column, making this a
+    payload-free groupBy; here it is derived inline from ``content``."""
+    media = synthetic_media(spark, sf_dir)
+    return (
+        media.groupBy("modality", F.md5("content").alias("content_hash"))
+        .agg(
+            F.min("media_id").cast("long").alias("keep_media_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .orderBy("modality", "content_hash")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "media_features": media_features,
         "media_frames": media_frames,
         "media_meta_stats": media_meta_stats,
         "media_resize": media_resize,
+        "media_dedup": media_dedup,
     }
 
 
@@ -328,6 +347,16 @@ def oracles() -> dict[str, str]:
                    CAST({RESIZE_W} AS BIGINT) AS width,
                    CAST({RESIZE_H} AS BIGINT) AS height
             FROM media ORDER BY media_id
+        """,
+        # content = utf-8 bytes of text, so DuckDB's md5(varchar) over the
+        # same string hashes identical bytes -> identical lowercase hex
+        "media_dedup": f"""
+            WITH {_DUCK_MEDIA}
+            SELECT modality, md5(text) AS content_hash,
+                   CAST(MIN(media_id) AS BIGINT) AS keep_media_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM media GROUP BY modality, md5(text)
+            ORDER BY modality, content_hash
         """,
     }
 
