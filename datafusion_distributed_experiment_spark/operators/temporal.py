@@ -38,34 +38,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 # --------------------------------------------------------------------- #
-# shared events source (same raw-nanos convention as streaming.stateful)
+# shared events source (unit-adaptive; see sources/events.py)
 # --------------------------------------------------------------------- #
+
+from ..sources.events import DUCK_EVENTS_MS as _DUCK_EVENTS_MS
+from ..sources.events import read_events as _events_ms
 
 MS_PER_DAY = 86_400_000
 MS_PER_HOUR = 3_600_000
-
-
-def _events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts_ms`` (exact integer ms from the raw nanos column) and
-    ``value_cents`` (deterministic money form)."""
-    from ..streaming.events import EVENTS_RAW_SCHEMA
-
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    return raw.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.expr("ts DIV 1000000").alias("ts_ms"),
-        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
-    )
-
-
-_DUCK_EVENTS_MS = """
-    SELECT event_id, user_id, event_type,
-           epoch_ns(ts) // 1000000 AS ts_ms,
-           CAST(ROUND(value * 100) AS BIGINT) AS value_cents
-    FROM events
-"""
 
 
 # --------------------------------------------------------------------- #

@@ -1,0 +1,122 @@
+"""Unit-adaptive events source — the ONE place that knows how ``ts`` is
+physically encoded in ``events.parquet``.
+
+The driver's synthetic events table has shipped two encodings across rounds:
+TIMESTAMP(NANOS) (surfaced as BIGINT nanoseconds under
+``spark.sql.legacy.parquet.nanosAsLong``) and ``timestamp[us]`` (surfaced as
+TIMESTAMP_NTZ). Hardcoding either assumption silently corrupts every derived
+timestamp when the data drifts — exactly what schema-inference-driven loading
+in the reference avoids (reference tests/tpch.rs:155,
+benchmarks/src/tpch/run.rs:329). This module probes the parquet footer
+(driver-side metadata only — no data read, one footer fetch even at 100 TB)
+and derives:
+
+- ``ts_ms``  — exact integer epoch-milliseconds (BIGINT), the batch currency
+  shared with the DuckDB oracles (``epoch_ns(ts) // 1000000``);
+- event-time TIMESTAMP (with local timezone, session tz = UTC) — the
+  watermark-capable form Structured Streaming requires.
+
+Both derivations truncate toward floor on positive epochs, so
+ns → μs → ms double-truncation equals direct ns → ms truncation and the
+batch/stream/oracle values agree bit-for-bit whichever encoding the file has.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+
+def probe_ts_type(path: str, pattern: str | None = None) -> str:
+    """Physical arrow type string of the ``ts`` column (e.g. ``timestamp[us]``,
+    ``timestamp[ns]``, ``int64``) from footer metadata only.
+
+    ``path`` may be a single parquet file or a directory of event files;
+    ``pattern`` narrows a directory the way the streaming source's
+    ``pathGlobFilter`` does. Falls back to ``timestamp[us]`` (the driver's
+    current encoding) when nothing is probeable."""
+    candidates = [path] if os.path.isfile(path) else sorted(
+        _glob.glob(os.path.join(path, pattern or "*"))
+    )
+    for cand in candidates:
+        try:
+            import pyarrow.dataset as ds
+
+            return str(ds.dataset(cand, format="parquet").schema.field("ts").type)
+        except Exception:  # noqa: BLE001 - skip non-parquet/dissimilar files
+            continue
+    return "timestamp[us]"
+
+
+def ts_is_raw_nanos(path: str, pattern: str | None = None) -> bool:
+    """True when Spark will surface ``ts`` as BIGINT nanoseconds: either the
+    file stores raw int64 epoch-nanos, or TIMESTAMP(NANOS) which the
+    ``nanosAsLong`` conf maps to BIGINT (Spark has no nanosecond timestamp)."""
+    t = probe_ts_type(path, pattern)
+    return t == "int64" or t.startswith("timestamp[ns")
+
+
+def events_raw_schema(path: str, pattern: str | None = None) -> StructType:
+    """Explicit read schema for the events table, ``ts`` typed to match the
+    file's physical encoding (streaming file sources cannot infer)."""
+    ts_type = LongType() if ts_is_raw_nanos(path, pattern) else TimestampNTZType()
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def ts_ms_expr(df: DataFrame, col: str = "ts") -> Column:
+    """Exact integer epoch-ms from ``col`` whatever form it arrived in.
+    Matches the DuckDB spelling ``epoch_ns(ts) // 1000000`` bit-for-bit."""
+    if dict(df.dtypes).get(col) == "bigint":  # raw nanoseconds
+        return F.expr(f"{col} DIV 1000000")
+    return F.expr(f"unix_micros(CAST({col} AS TIMESTAMP)) DIV 1000")
+
+
+def ts_event_time_expr(df: DataFrame, col: str = "ts") -> Column:
+    """Watermark-capable TIMESTAMP (with local timezone; session tz is UTC so
+    wall-clock values match the NTZ batch path)."""
+    if dict(df.dtypes).get(col) == "bigint":  # raw nanoseconds -> microseconds
+        return F.expr(f"timestamp_micros({col} DIV 1000)")
+    return F.col(col).cast("timestamp")
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch events in the shared normalized form: ``ts_ms`` (exact BIGINT ms)
+    and ``value_cents`` (deterministic integer money), one row per event.
+
+    DuckDB-oracle equivalent: :data:`DUCK_EVENTS_MS`."""
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ts_ms_expr(raw).alias("ts_ms"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+
+
+DUCK_EVENTS_MS = """
+    SELECT event_id, user_id, event_type,
+           epoch_ns(ts) // 1000000 AS ts_ms,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+    FROM events
+"""

@@ -11,28 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampNTZType,
-)
 
-# Streaming file sources require an explicit schema (no inference at runtime).
-# ``ts`` arrives as BIGINT nanos (the driver parquet's physical type under
-# nanosAsLong) and is converted below — same convention as the batch source.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from ..sources.events import events_raw_schema, ts_event_time_expr
 
 
 def read_events_stream(
@@ -43,11 +23,15 @@ def read_events_stream(
 ) -> DataFrame:
     """``readStream`` over a parquet directory of event files.
 
-    ``max_files_per_trigger`` bounds micro-batch size (and lets tests force
-    multi-batch execution to exercise cross-batch state). ``glob`` filters
-    filenames within the directory (the file source requires a directory
-    path, so a single-file layout is addressed as dir + glob)."""
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option(
+    Streaming file sources require an explicit schema (no inference at
+    runtime); the schema is probed from the files' footers so ``ts`` matches
+    whichever physical encoding the data has — BIGINT nanos or timestamp —
+    instead of hardcoding one (sources/events.py). ``max_files_per_trigger``
+    bounds micro-batch size (and lets tests force multi-batch execution to
+    exercise cross-batch state). ``glob`` filters filenames within the
+    directory (the file source requires a directory path, so a single-file
+    layout is addressed as dir + glob)."""
+    reader = spark.readStream.schema(events_raw_schema(path, glob)).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
     if glob is not None:
@@ -55,7 +39,7 @@ def read_events_stream(
     df = reader.parquet(path)
     # Watermarks require TIMESTAMP (with local timezone), not NTZ; the
     # session timezone is UTC so wall-clock values match the batch NTZ path.
-    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df.withColumn("ts", ts_event_time_expr(df))
 
 
 def windowed_counts(

@@ -140,7 +140,7 @@ def sessionize_stateful(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS) -> Data
     # attribute metadata, and projecting it away silently disables
     # watermarking (state.getCurrentWatermarkMs then raises -> no eviction).
     keyed = events.select(
-        "user_id", "ts", (F.unix_micros("ts") / 1000).cast("long").alias("ts_ms")
+        "user_id", "ts", F.expr("unix_micros(ts) DIV 1000").alias("ts_ms")
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
         fn,
@@ -176,7 +176,7 @@ def sessionize_batch(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS) -> DataFra
     """Closed-form batch sessionization (lag window): the oracle the
     streaming operator converges to on bounded input."""
     keyed = events.select(
-        "user_id", (F.unix_micros("ts") / 1000).cast("long").alias("ts_ms")
+        "user_id", F.expr("unix_micros(ts) DIV 1000").alias("ts_ms")
     )
     return sessionize_rollup(keyed, gap_ms)
 
@@ -184,13 +184,12 @@ def sessionize_batch(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS) -> DataFra
 def sessionize(spark, sf_dir: str) -> DataFrame:
     """Driver-facing batch sessionization over the events table.
 
-    ``ts_ms`` is derived from the raw BIGINT nanosecond column with integer
-    division (``ts DIV 1e6``) — exact, unlike float µs/1000 — so the DuckDB
-    oracle (``epoch_ns(ts) // 1000000``) lands on identical values."""
-    from .events import EVENTS_RAW_SCHEMA
+    ``ts_ms`` is integer-exact whichever physical encoding the parquet has
+    (unit-adaptive shared reader, sources/events.py), so the DuckDB oracle
+    (``epoch_ns(ts) // 1000000``) lands on identical values."""
+    from ..sources.events import read_events
 
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    keyed = raw.select("user_id", F.expr("ts DIV 1000000").alias("ts_ms"))
+    keyed = read_events(spark, sf_dir).select("user_id", "ts_ms")
     return sessionize_rollup(keyed).orderBy("user_id")
 
 

@@ -76,15 +76,16 @@ def _run_sessionize(spark, events_dir, table_name, max_files_per_trigger=8):
 
 
 def _batch_oracle(spark):
-    from pyspark.sql import functions as F
-
     from datafusion_distributed_experiment_spark.streaming.stateful import (
         sessionize_batch,
     )
 
-    batch_events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
-        "user_id", F.expr("timestamp_micros(ts DIV 1000)").alias("ts")
+    from datafusion_distributed_experiment_spark.sources.events import (
+        ts_event_time_expr,
     )
+
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch_events = raw.select("user_id", ts_event_time_expr(raw).alias("ts"))
     return sessionize_batch(batch_events).toPandas()
 
 
