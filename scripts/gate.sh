@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# CI-style pre-snapshot gate: refuses a green verdict unless the FULL pytest
+# suite and the FULL sf0.001 oracle sweep both pass, and records their complete
+# output in a committed artifact (GATE.txt) so the pass counts are reproducible
+# evidence rather than prose (round 3's silent rot — data drift breaking 10
+# tests with nobody noticing — is exactly what this catches).
+#
+# Usage: bash scripts/gate.sh        # from the repo root
+# Exit 0 = safe to snapshot; nonzero = DO NOT commit a green claim.
+set -u
+cd "$(dirname "$0")/.."
+ART=GATE.txt
+{
+  echo "== gate run $(date -u +%Y-%m-%dT%H:%M:%SZ) @ $(git rev-parse --short HEAD 2>/dev/null || echo 'no-commit') =="
+  echo
+  echo "-- pytest tests/ -q --"
+} > "$ART"
+
+python -m pytest tests/ -q >> "$ART" 2>&1
+PYTEST_RC=$?
+
+{
+  echo
+  echo "-- oracle sweep sf0.001 (scripts/verify_correctness.py) --"
+} >> "$ART"
+python scripts/verify_correctness.py /root/testdata/sf0.001 >> "$ART" 2>&1
+ORACLE_RC=$?
+
+{
+  echo
+  echo "== result: pytest rc=$PYTEST_RC oracle rc=$ORACLE_RC =="
+} >> "$ART"
+
+tail -n 5 "$ART"
+if [ "$PYTEST_RC" -ne 0 ] || [ "$ORACLE_RC" -ne 0 ]; then
+  echo "GATE RED — do not snapshot. Full output in $ART" >&2
+  exit 1
+fi
+echo "GATE GREEN — $ART updated"
