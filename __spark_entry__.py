@@ -89,6 +89,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return _run_corpus("tpch/q1")(spark, "/root/testdata/sf0.001")
 
 
+def preload_mem(spark: SparkSession, sf_dir: str, partitions: int | None = None) -> None:
+    """Reference ``--mem-table`` analog (benchmarks/src/tpch/run.rs:226-235):
+    materialize every table in memory N-ways and pin the registration, so
+    SQL-corpus queries read the cached MemTable instead of parquet.
+    DataFrame-native operator queries read parquet by path and are unaffected
+    — same scope as the reference flag, which only feeds its SQL benchmark."""
+    from datafusion_distributed_experiment_spark.engine import _TPCH_TABLES
+    from datafusion_distributed_experiment_spark.sources.tables import (
+        read_parquet_table,
+    )
+
+    eng = Engine(spark)
+    for t in _TPCH_TABLES:
+        eng.register_mem(
+            t, read_parquet_table(spark, f"{sf_dir}/{t}.parquet"), partitions=partitions
+        )
+        _registered.add((id(spark), sf_dir, t))
+
+
 def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], DataFrame]]]]:
     """Queries grouped by tier, gate-ordered (volatile tiers inside the
     driver's first-50 oracle window). The bench re-orders tiers for

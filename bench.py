@@ -27,8 +27,11 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # Reference default is 3 iterations (benchmarks/src/util/options.rs:36-37);
-    # single-iteration timings are too noisy for a regression signal.
-    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERATIONS", "3"))
+    # we default to 5: with occasional multi-second scheduler stalls on this
+    # host, a median of 3 moves whenever ONE iteration stalls — measured
+    # back-to-back agreement at 3 iterations was 65% of queries within 1.2x;
+    # the median of 5 tolerates two stalled iterations.
+    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERATIONS", "5"))
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -49,8 +52,21 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Reference --mem-table analog (benchmarks/src/tpch/run.rs:226-235):
+    # preload every table into memory N-ways; cache eviction is disabled so
+    # the MemTables survive the whole run.
+    mem_mode = os.environ.get("SPARK_GRAFT_BENCH_MEM", "") == "1"
+    if mem_mode:
+        entry_mod.preload_mem(spark, sf_dir, partitions=int(cpus))
+
     results = run_benchmark(
-        spark, None, sf_dir, iterations=iterations, tiers=entry_mod.query_tiers()
+        spark,
+        None,
+        sf_dir,
+        iterations=iterations,
+        tiers=entry_mod.query_tiers(),
+        clear_cache=not mem_mode,
+        warm_epoch=os.environ.get("SPARK_GRAFT_BENCH_WARM_EPOCH", "1") != "0",
     )
     write_results(results, os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json"))
 

@@ -66,14 +66,30 @@ def run_benchmark(
     iterations: int = 1,
     warmup: bool = True,
     tiers: list[tuple[str, dict[str, Callable[[SparkSession, str], DataFrame]]]] | None = None,
+    clear_cache: bool = True,
+    warm_epoch: bool = True,
 ) -> dict:
     """Time every query; returns the reference-shaped results dict.
 
     When ``tiers`` is given, queries run grouped by tier with isolation
-    (cache eviction + forced cleanup + settle) at every tier boundary, one
-    unmeasured tier-warmup execution of each tier's first query, and the
-    tiers named in :data:`MEASURE_LAST_TIERS` moved to the end so their
-    lingering background threads cannot contaminate batch timings."""
+    (cache eviction + forced cleanup + settle) at every tier boundary, and
+    the tiers named in :data:`MEASURE_LAST_TIERS` moved to the end so their
+    lingering background threads cannot contaminate batch timings.
+
+    ``warm_epoch`` runs EVERY query once, unmeasured, before the measured
+    iterations. Measured A/B on this machine: a fresh environment runs the
+    first ~4 minutes degraded machine-wide (cold page cache for the multi-GB
+    jar/class tree loaded lazily during codegen, cold JIT) — a back-to-back
+    rerun of the identical binary went 120.5s -> 68.4s total with q1 at
+    5.4s -> 1.0s and ALL of q1's iterations slow in the cold run, so
+    per-query warmup cannot fix it; only sustained execution warms the
+    machine. One epoch costs one extra pass (~1-2 min) and moves every
+    measured iteration into the warm regime — the difference between a
+    regression signal and noise when each round benches in a fresh container.
+
+    ``clear_cache=False`` is for mem-table mode (reference ``--mem-table``):
+    preloaded MemTables must survive across queries, so nothing is evicted —
+    at the cost of operator-internal persist()s accumulating too."""
     if tiers is None:
         tiers = [("all", dict(queries or {}))]
     tiers = [t for t in tiers if t[0] not in MEASURE_LAST_TIERS] + [
@@ -101,19 +117,33 @@ def run_benchmark(
             ).count()
         except Exception:  # noqa: BLE001 - warmup is best-effort
             pass
+    if warm_epoch:
+        # Full unmeasured pass in the same tier order (streaming still last,
+        # its state-store threads drain during the isolation boundary below).
+        for _, tier_queries in tiers:
+            for fn in tier_queries.values():
+                try:
+                    _force(fn(spark, sf_dir))
+                except Exception:  # noqa: BLE001 - warmup is best-effort
+                    pass
+                if clear_cache:
+                    spark.catalog.clearCache()
+        if clear_cache:
+            _isolate(spark)
     for tier_name, tier_queries in tiers:
         if not tier_queries:
             continue
-        if warmup:
+        if warmup and not warm_epoch:
             # Tier-level warmup: the tier's first query pays codegen +
             # FS-listing + (for UDF tiers) Arrow serializer setup once,
             # unmeasured, so the first MEASURED query isn't structurally
-            # slower than its neighbors.
+            # slower than its neighbors. Subsumed by the full warm epoch.
             try:
                 _force(next(iter(tier_queries.values()))(spark, sf_dir))
             except Exception:  # noqa: BLE001 - warmup is best-effort
                 pass
-            spark.catalog.clearCache()
+            if clear_cache:
+                spark.catalog.clearCache()
         for name, fn in tier_queries.items():
             entry = {
                 "query": name,
@@ -139,8 +169,10 @@ def run_benchmark(
             # signature tables, etc.). Evict between queries so cached blocks
             # from earlier queries can't skew later timings or accumulate
             # executor memory across the 72-query run.
-            spark.catalog.clearCache()
-        _isolate(spark)
+            if clear_cache:
+                spark.catalog.clearCache()
+        if clear_cache:
+            _isolate(spark)
     return results
 
 

@@ -56,7 +56,8 @@ N_SHARDS = 16
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import rebalance_narrow_scan
 
-    return rebalance_narrow_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    path = f"{sf_dir}/documents.parquet"
+    return rebalance_narrow_scan(spark.read.parquet(path), path)
 
 
 def _doc_hash() -> F.Column:

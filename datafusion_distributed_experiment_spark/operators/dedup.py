@@ -61,9 +61,10 @@ def _corpus(spark: SparkSession, sf_dir: str, rebalance: bool = True) -> DataFra
     extra exchange would be pure overhead."""
     from ..sources.tables import rebalance_narrow_scan
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    path = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(path).select("doc_id", "text")
     if rebalance:
-        docs = rebalance_narrow_scan(docs)
+        docs = rebalance_narrow_scan(docs, path)
     aug = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + AUG_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(AUG_SUFFIX)).alias("text"),

@@ -168,6 +168,67 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+# Raw-file ingestion: extension -> modality. Unknown extensions pass through
+# as 'unknown' rather than erroring — a 100 TB landing zone always contains
+# strays, and dropping them silently would corrupt dataset accounting.
+MODALITY_BY_EXT = {
+    "jpg": "image",
+    "jpeg": "image",
+    "png": "image",
+    "gif": "image",
+    "webp": "image",
+    "wav": "audio",
+    "mp3": "audio",
+    "flac": "audio",
+    "ogg": "audio",
+    "mp4": "video",
+    "mkv": "video",
+    "webm": "video",
+    "avi": "video",
+}
+
+
+def read_media_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Ingest a directory of raw media files as MEDIA_SCHEMA rows via Spark's
+    ``binaryFile`` source — the path from object-store dumps (s3://bucket/
+    imgs/*.jpg) into the typed media table the rest of this module operates
+    on.
+
+    Scale notes: ``binaryFile`` ships each file whole to one task (files are
+    not splittable; the source caps at 2 GB/file), so parallelism = #files —
+    right for media corpora of many small-to-medium objects. Only ``path``/
+    ``length``/``modificationTime`` are touched for listing; ``content`` is
+    only read by tasks that consume it, and a metadata-only projection never
+    loads payloads. ``media_id`` is ``xxhash64(path)`` — stable across
+    re-runs, so incremental ingests and dedup joins key consistently. The
+    ``meta`` struct is typed-null here: geometry/duration come from the
+    decode stage (stubbed in this container — see module docstring), not the
+    ingest."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    modality = F.coalesce(
+        *[F.when(ext == e, F.lit(m)) for e, m in MODALITY_BY_EXT.items()],
+        F.lit("unknown"),
+    )
+    null_i = F.lit(None).cast("integer")
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        modality.alias("modality"),
+        F.col("content"),
+        F.struct(
+            null_i.alias("width"),
+            null_i.alias("height"),
+            null_i.alias("sample_rate"),
+            null_i.alias("duration_ms"),
+        ).alias("meta"),
+        F.col("path"),
+        F.col("length").alias("n_bytes"),
+    )
+
+
 def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table derived from ``documents`` (the container
     ships no real media fixtures): payload = utf-8 bytes of the text, typed
@@ -175,8 +236,9 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the DuckDB oracles, so every downstream op stays hash-comparable."""
     from ..sources.tables import rebalance_narrow_scan
 
+    path = f"{sf_dir}/documents.parquet"
     docs = rebalance_narrow_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        spark.read.parquet(path).select("doc_id", "text"), path
     )
     mod = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),

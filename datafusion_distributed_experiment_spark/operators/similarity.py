@@ -68,7 +68,8 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # One parquet row group = one scan task; the per-row dot-product folds
     # downstream are the expensive part and must fan out to all cores.
-    df = rebalance_narrow_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    path = f"{sf_dir}/embeddings.parquet"
+    df = rebalance_narrow_scan(spark.read.parquet(path), path)
     return df.select("vec_id", F.col("embedding").cast("array<double>").alias("v")).withColumn(
         "nrm", norm(F.col("v"))
     )

@@ -27,7 +27,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import rebalance_narrow_scan
 
     # Single-row-group file; fan the HOF-heavy map stages out to all cores.
-    return rebalance_narrow_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    path = f"{sf_dir}/documents.parquet"
+    return rebalance_narrow_scan(spark.read.parquet(path), path)
 
 
 def stats_frame(docs: DataFrame, extra: dict[str, Column] | None = None) -> DataFrame:

@@ -25,7 +25,39 @@ def nano_timestamp_columns(path: str) -> list[tuple[str, bool]]:
         return []
 
 
-def rebalance_narrow_scan(df: DataFrame) -> DataFrame:
+def _parquet_scan_width(spark: SparkSession, path: str, cap: int) -> int | None:
+    """Upper bound on the effective scan parallelism of a parquet source,
+    from footer metadata only.
+
+    Effective parallelism is bounded by BOTH byte-range splits
+    (``spark.sql.files.maxPartitionBytes``) and row-group layout (a split
+    only does work for row groups whose midpoint it contains, so one giant
+    single-row-group file is one task however it is split). Driver cost is
+    bounded: if the listing already shows >= ``cap`` files the scan cannot
+    be narrow and no footer is opened."""
+    try:
+        import math
+        import os
+
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+
+        files = list(ds.dataset(path, format="parquet").files)
+        if len(files) >= cap:
+            return cap
+        try:
+            max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        except Exception:  # noqa: BLE001 - conf may carry a size suffix
+            max_bytes = 128 * 1024 * 1024
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        total_rgs = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+        byte_splits = max(1, math.ceil(total_bytes / max_bytes))
+        return min(byte_splits, max(1, total_rgs))
+    except Exception:  # noqa: BLE001 - probing is best-effort
+        return None
+
+
+def rebalance_narrow_scan(df: DataFrame, path: str | None = None) -> DataFrame:
     """Round-robin repartition up to cluster parallelism when a scan yields
     fewer partitions than cores.
 
@@ -35,8 +67,17 @@ def rebalance_narrow_scan(df: DataFrame) -> DataFrame:
     nearly single-threaded. The guard makes this a no-op exactly when it
     would hurt: a 100 TB table already scans with thousands of partitions,
     so no extra shuffle is introduced there — only genuinely narrow inputs
-    pay one tiny rebalancing exchange."""
+    pay one tiny rebalancing exchange.
+
+    Pass ``path`` when the source is a parquet location: narrowness is then
+    decided from footer metadata alone (no ``df.rdd`` materialization — on a
+    100 TB listing the RDD conversion plans the whole scan driver-side just
+    to count partitions)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if path is not None:
+        width = _parquet_scan_width(df.sparkSession, path, cap=target)
+        if width is not None:
+            return df.repartition(target) if width < target else df
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
     return df

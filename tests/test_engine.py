@@ -174,3 +174,35 @@ def test_dynamic_partition_overwrite_replaces_only_written_partitions(engine, tm
     assert (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static") != "dynamic"
     )
+
+
+def test_narrow_scan_width_estimate_agrees_with_rdd(spark, tmp_path):
+    """Footer-based narrowness (the 100 TB-safe path — no df.rdd
+    materialization) must agree with the RDD-derived partition count on both
+    a genuinely narrow source and a many-file one."""
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.sources.tables import (
+        _parquet_scan_width,
+        rebalance_narrow_scan,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+
+    # Narrow: the single-file test table.
+    narrow_path = f"{SF_DIR}/documents.parquet"
+    df = spark.read.parquet(narrow_path)
+    width = _parquet_scan_width(spark, narrow_path, cap=target)
+    assert width is not None and width < target
+    assert width <= df.rdd.getNumPartitions()
+    assert rebalance_narrow_scan(df, narrow_path).rdd.getNumPartitions() == target
+
+    # Wide: at least `target` files -> capped without opening any footer,
+    # and no repartition is injected.
+    wide_path = str(tmp_path / "wide.parquet")
+    spark.range(1000).repartition(target).withColumn(
+        "x", F.col("id") * 2
+    ).write.parquet(wide_path)
+    assert _parquet_scan_width(spark, wide_path, cap=target) == target
+    wide = spark.read.parquet(wide_path)
+    assert rebalance_narrow_scan(wide, wide_path) is wide

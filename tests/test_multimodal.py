@@ -80,3 +80,38 @@ def test_decode_branches_on_codec_availability(monkeypatch):
     monkeypatch.setattr(mm, "_codec_available", lambda: True)
     with pytest.raises(NotImplementedError, match="intentionally unimplemented"):
         mm.decode_image(b"x")
+
+
+def test_read_media_files_ingests_binary_dir(spark, tmp_path):
+    """binaryFile ingestion: extension->modality mapping, stable path-hash
+    ids, payload fidelity, and a metadata-only projection that never loads
+    content. Feeds straight into the feature/dedup stages."""
+    payloads = {
+        "a.jpg": b"\xff\xd8fakejpeg",
+        "b.JPG": b"\xff\xd8fakejpeg2",  # extension case-insensitive
+        "c.wav": b"RIFFfakewav",
+        "d.mp4": b"\x00\x00fakemp4",
+        "e.bin": b"stray",  # unknown extension survives as 'unknown'
+    }
+    for name, blob in payloads.items():
+        (tmp_path / name).write_bytes(blob)
+
+    media = mm.read_media_files(spark, str(tmp_path))
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert set(rows) == set(payloads)
+    assert rows["a.jpg"].modality == "image"
+    assert rows["b.JPG"].modality == "image"
+    assert rows["c.wav"].modality == "audio"
+    assert rows["d.mp4"].modality == "video"
+    assert rows["e.bin"].modality == "unknown"
+    assert all(bytes(rows[n].content) == payloads[n] for n in payloads)
+    assert all(r.n_bytes == len(payloads[n]) for n, r in rows.items())
+    # ids are distinct and stable across a re-read (path-hash, not zipWithIndex)
+    again = {r.path.rsplit("/", 1)[-1]: r.media_id for r in mm.read_media_files(spark, str(tmp_path)).collect()}
+    assert len(set(again.values())) == len(payloads)
+    assert all(rows[n].media_id == again[n] for n in payloads)
+
+    # glob narrows the listing; downstream feature extraction runs unchanged
+    imgs = mm.read_media_files(spark, str(tmp_path), glob="*.jpg")
+    feats = mm.extract_features(imgs.select("media_id", "modality", "content")).collect()
+    assert len(feats) == 1 and len(feats[0].feature) == mm.FEATURE_DIM

@@ -1,0 +1,78 @@
+"""The unit-adaptive events source must yield identical ts_ms for every
+physical encoding the driver data has ever shipped: TIMESTAMP(NANOS)
+(r1-r2), timestamp[us] (r3+), and raw int64 epoch-nanos — round 3's only
+correctness rot was a hardcoded-unit assumption meeting drifted data."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datafusion_distributed_experiment_spark.sources.events import (
+    events_raw_schema,
+    read_events,
+    ts_event_time_expr,
+    ts_is_raw_nanos,
+    ts_ms_expr,
+)
+
+# epoch-ns values with sub-ms digits, so unit mistakes cannot cancel out
+TS_NS = [1_704_105_870_589_123_000, 1_704_105_999_123_456_000, 1_706_000_000_000_789_000]
+WANT_MS = [t // 1_000_000 for t in TS_NS]
+
+
+def _write(tmp_path, encoding: str) -> str:
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(TS_NS)),
+            "ts": TS_NS,
+            "user_id": [7] * len(TS_NS),
+            "event_type": ["click"] * len(TS_NS),
+            "value": [1.5] * len(TS_NS),
+            "props": ["{}"] * len(TS_NS),
+        }
+    )
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    if encoding != "int64":
+        unit = encoding  # 'ns' | 'us' | 'ms'
+        div = {"ns": 1, "us": 1_000, "ms": 1_000_000}[unit]
+        ts = pa.array([t // div for t in TS_NS], type=pa.timestamp(unit))
+        table = table.set_column(table.schema.get_field_index("ts"), "ts", ts)
+    d = tmp_path / encoding
+    d.mkdir()
+    pq.write_table(table, d / "events.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("encoding", ["int64", "ns", "us", "ms"])
+def test_ts_ms_identical_across_encodings(spark, tmp_path, encoding):
+    sf_dir = _write(tmp_path, encoding)
+    out = read_events(spark, sf_dir).orderBy("event_id").collect()
+    assert [r.ts_ms for r in out] == WANT_MS
+    assert all(r.value_cents == 150 for r in out)
+
+
+@pytest.mark.parametrize("encoding", ["int64", "ns", "us"])
+def test_event_time_expr_matches_ms_expr(spark, tmp_path, encoding):
+    """The watermark-capable TIMESTAMP and the integer ts_ms must describe
+    the same instant (stream vs batch paths can't drift)."""
+    from pyspark.sql import functions as F
+
+    sf_dir = _write(tmp_path, encoding)
+    raw = spark.read.schema(events_raw_schema(sf_dir)).parquet(f"{sf_dir}/events.parquet")
+    got = raw.select(
+        ts_ms_expr(raw).alias("ms"),
+        F.unix_micros(ts_event_time_expr(raw)).alias("us2"),
+    ).collect()
+    assert all(r.ms == r.us2 // 1000 for r in got)
+
+
+@pytest.mark.parametrize(
+    "encoding,want", [("int64", True), ("ns", True), ("us", False), ("ms", False)]
+)
+def test_probe_classifies_encodings(tmp_path, encoding, want):
+    sf_dir = _write(tmp_path, encoding)
+    assert ts_is_raw_nanos(sf_dir) is want
+    assert ts_is_raw_nanos(f"{sf_dir}/events.parquet") is want  # file path too

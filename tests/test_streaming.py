@@ -19,6 +19,16 @@ from datafusion_distributed_experiment_spark.streaming.events import run_to_comp
 from ._compare import assert_frames_match
 from .conftest import SF_DIR
 
+# Cross-batch convergence is asserted at BOTH scale factors: the tiny one for
+# fast iteration, the driver's verify scale so its data (including any future
+# encoding drift) exercises watermark semantics too — these tests are the only
+# coverage of cross-batch state correctness.
+SF_DIRS = [SF_DIR, "/root/testdata/sf0.01"]
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+
 
 @pytest.fixture(scope="module")
 def events_dir(tmp_path_factory):
@@ -75,7 +85,7 @@ def _run_sessionize(spark, events_dir, table_name, max_files_per_trigger=8):
     return _final_sessions(spark, table_name)
 
 
-def _batch_oracle(spark):
+def _batch_oracle(spark, sf_dir=SF_DIR):
     from datafusion_distributed_experiment_spark.streaming.stateful import (
         sessionize_batch,
     )
@@ -84,7 +94,7 @@ def _batch_oracle(spark):
         ts_event_time_expr,
     )
 
-    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     batch_events = raw.select("user_id", ts_event_time_expr(raw).alias("ts"))
     return sessionize_batch(batch_events).toPandas()
 
@@ -96,7 +106,8 @@ def test_stateful_sessionize_matches_batch(spark, events_dir):
     assert_frames_match(result, _batch_oracle(spark), "stateful_sessionize_vs_batch")
 
 
-def test_stateful_sessionize_order_independent_across_batches(spark, tmp_path):
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=_sf_tag)
+def test_stateful_sessionize_order_independent_across_batches(spark, tmp_path, sf_dir):
     """Events split across micro-batches in NON-event-time order (interleaved
     event_id stripes, one file per trigger) must still converge to the batch
     oracle: the interval-merge state bridges/extends sessions for late rows
@@ -104,7 +115,7 @@ def test_stateful_sessionize_order_independent_across_batches(spark, tmp_path):
     import pyarrow.dataset as ds
     import pyarrow.parquet as pq
 
-    table = ds.dataset(f"{SF_DIR}/events.parquet").to_table()
+    table = ds.dataset(f"{sf_dir}/events.parquet").to_table()
     d = tmp_path / "striped"
     d.mkdir()
     n_stripes = 4
@@ -114,13 +125,16 @@ def test_stateful_sessionize_order_independent_across_batches(spark, tmp_path):
         # older than ones already processed -> genuine cross-batch disorder
         pq.write_table(table.take(idx), d / f"stripe-{i}.parquet")
 
-    result = _run_sessionize(spark, str(d), "t_sessions_striped", max_files_per_trigger=1)
+    result = _run_sessionize(
+        spark, str(d), f"t_sessions_striped_{_sf_tag(sf_dir)}", max_files_per_trigger=1
+    )
     assert_frames_match(
-        result, _batch_oracle(spark), "stateful_sessionize_multibatch_vs_batch"
+        result, _batch_oracle(spark, sf_dir), "stateful_sessionize_multibatch_vs_batch"
     )
 
 
-def test_stream_stream_join_converges_across_batches(spark, tmp_path, duck):
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=_sf_tag)
+def test_stream_stream_join_converges_across_batches(spark, tmp_path, duck, sf_dir):
     """The stream-stream attribution join must find click↔view matches whose
     two sides arrive in DIFFERENT micro-batches (interleaved stripes, one
     file per trigger): buffered join state carries each side until the other
@@ -134,7 +148,7 @@ def test_stream_stream_join_converges_across_batches(spark, tmp_path, duck):
         run_to_completion,
     )
 
-    table = ds.dataset(f"{SF_DIR}/events.parquet").to_table()
+    table = ds.dataset(f"{sf_dir}/events.parquet").to_table()
     d = tmp_path / "ss_striped"
     d.mkdir()
     for i in range(3):
@@ -146,7 +160,7 @@ def test_stream_stream_join_converges_across_batches(spark, tmp_path, duck):
         read_events_stream(spark, str(d), max_files_per_trigger=1),
     )
     got = (
-        run_to_completion(out, "t_ss_join", output_mode="append")
+        run_to_completion(out, f"t_ss_join_{_sf_tag(sf_dir)}", output_mode="append")
         .orderBy("click_id", "view_id")
         .toPandas()
     )
@@ -154,7 +168,7 @@ def test_stream_stream_join_converges_across_batches(spark, tmp_path, duck):
         f"""
         WITH ev AS (
             SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms
-            FROM '{SF_DIR}/events.parquet'
+            FROM '{sf_dir}/events.parquet'
         )
         SELECT c.event_id AS click_id, c.user_id, c.ts_ms AS click_ts_ms,
                v.event_id AS view_id, v.ts_ms AS view_ts_ms
@@ -294,7 +308,8 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
     assert out.select("event_id").distinct().count() == table.num_rows
 
 
-def test_stream_dedup_converges_across_batches(spark, tmp_path, duck):
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=_sf_tag)
+def test_stream_dedup_converges_across_batches(spark, tmp_path, duck, sf_dir):
     """Streaming distinct must emit each key exactly once even when the
     key's occurrences span micro-batches (interleaved stripes, one file per
     trigger): dedup state persists across batches until the watermark clears
@@ -308,7 +323,7 @@ def test_stream_dedup_converges_across_batches(spark, tmp_path, duck):
         run_to_completion,
     )
 
-    table = ds.dataset(f"{SF_DIR}/events.parquet").to_table()
+    table = ds.dataset(f"{sf_dir}/events.parquet").to_table()
     d = tmp_path / "dd_striped"
     d.mkdir()
     for i in range(3):
@@ -318,7 +333,7 @@ def test_stream_dedup_converges_across_batches(spark, tmp_path, duck):
     got = (
         run_to_completion(
             dedup_keys_stream(read_events_stream(spark, str(d), max_files_per_trigger=1)),
-            "t_stream_dedup",
+            f"t_stream_dedup_{_sf_tag(sf_dir)}",
             output_mode="append",
         )
         .orderBy("user_bucket", "event_type", "day")
@@ -328,7 +343,7 @@ def test_stream_dedup_converges_across_batches(spark, tmp_path, duck):
         f"""
         SELECT DISTINCT user_id % 100 AS user_bucket, event_type,
                date_trunc('day', ts) AS day
-        FROM '{SF_DIR}/events.parquet'
+        FROM '{sf_dir}/events.parquet'
         ORDER BY user_bucket, event_type, day
         """
     ).df()
