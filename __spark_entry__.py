@@ -35,6 +35,7 @@ _SQL_QUERIES = [
     "adhoc/events_rolling",
     "adhoc/events_topk",
     "adhoc/events_rollup",
+    "adhoc/events_cube",
     "adhoc/events_setops",
     "adhoc/events_median",
     "adhoc/events_latest",

@@ -334,6 +334,36 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature-resampling toward the uniform domain
+    mixture: every document gets an integer copy count whose expectation is
+    exactly :func:`domain_mix`'s ``weight_ppm`` — ``floor(w)`` copies always,
+    one more iff the document's hash-ppm falls under the fractional
+    remainder. Over-represented domains downsample (0/1 copies), under-
+    represented ones upsample (≥1), and the decision is a pure function of
+    (doc_id, corpus mixture): re-runs, backfills, and speculative retries
+    agree byte-for-byte with no RNG state.
+
+    Scale shape: the per-source weight table is a handful of rows —
+    broadcast onto one corpus scan, map-only assignment; no shuffle beyond
+    the weight aggregation itself. The copy count is emitted as a column
+    (consumers explode it); materializing duplicates here would multiply
+    the shuffled bytes for no information."""
+    weights = domain_mix(spark, sf_dir).select("source", "weight_ppm")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", (_doc_hash() % 1_000_000).alias("hh")
+    )
+    n_copies = F.expr("weight_ppm DIV 1000000") + (
+        F.col("hh") < F.col("weight_ppm") % 1_000_000
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(weights), "source")
+        .select("doc_id", "source", n_copies.cast("long").alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------- #
 # deterministic shard shuffle
 # --------------------------------------------------------------------- #
@@ -409,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": pii_scrub,
         "ngram_top": ngram_top,
         "domain_mix": domain_mix,
+        "domain_resample": domain_resample,
         "shuffle_shards": shuffle_shards,
         "repetition_stats": repetition_stats,
     }
@@ -534,6 +565,29 @@ def oracles() -> dict[str, str]:
                               / CAST(FLOOR(1e6 * src_tokens / total_tokens) AS BIGINT)) AS BIGINT) AS weight_ppm
             FROM per_src CROSS JOIN totals
             ORDER BY source
+        """,
+        "domain_resample": f"""
+            WITH per_src AS (
+                SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS src_tokens
+                FROM documents GROUP BY source
+            ), totals AS (
+                SELECT SUM(src_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per_src
+            ), w AS (
+                SELECT source,
+                       CAST(FLOOR(1e6 * CAST(FLOOR(1e6 / n_sources) AS BIGINT)
+                                  / CAST(FLOOR(1e6 * src_tokens / total_tokens) AS BIGINT)) AS BIGINT) AS weight_ppm
+                FROM per_src CROSS JOIN totals
+            ), d AS (
+                SELECT doc_id, source, ({_DUCK_DOC_HASH}) % 1000000 AS hh FROM documents
+            )
+            SELECT d.doc_id, d.source,
+                   CAST(w.weight_ppm // 1000000
+                        + CASE WHEN d.hh < w.weight_ppm % 1000000 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_copies
+            FROM d JOIN w USING (source)
+            WHERE w.weight_ppm // 1000000
+                  + CASE WHEN d.hh < w.weight_ppm % 1000000 THEN 1 ELSE 0 END > 0
+            ORDER BY doc_id
         """,
         "shuffle_shards": f"""
             WITH h AS (

@@ -67,6 +67,51 @@ def windowed_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 day",
+    slide: str = "12 hours",
+    watermark: str = "40 days",
+) -> DataFrame:
+    """Sliding-window counts/sums per event type: each event lands in
+    ``window/slide`` overlapping windows (Spark expands it to all of them
+    map-side; state is per (window, type) exactly like the tumbling case,
+    just window/slide times as many entries within the watermark horizon).
+
+    The trend-smoothing shape (24 h totals refreshed every 12 h). On bounded
+    input it converges to the closed-form batch expansion the oracle spells
+    as a two-way UNION ALL (window = 2 x slide here)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), F.col("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 1e4).cast("long")) / F.lit(1e4)
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing bounded replay of the sliding-window aggregate."""
+    with _stream_partitions(spark):
+        ev = read_events_stream(spark, sf_dir, glob="events.parquet")
+        result = run_to_completion(
+            sliding_counts(ev), query_name="stream_sliding", output_mode="complete"
+        )
+    return result.orderBy("win_start", "event_type")
+
+
+SLIDE_MS = 43_200_000  # 12 hours; window = 2 x slide, mirrored in the oracle
+
+
 def click_view_join(
     clicks: DataFrame,
     views: DataFrame,
@@ -225,6 +270,7 @@ def queries():
         "stream_click_attr": stream_click_attr,
         "stream_dedup": stream_dedup,
         "stream_enrich": stream_enrich,
+        "stream_sliding": stream_sliding,
     }
 
 
@@ -258,6 +304,26 @@ def oracles() -> dict[str, str]:
              AND c.event_type = 'click' AND v.event_type = 'view'
              AND v.ts_ms BETWEEN c.ts_ms - {LOOKBACK_MS} AND c.ts_ms
             ORDER BY click_id, view_id
+        """,
+        # Closed-form expansion of the sliding window (window = 2 x slide,
+        # epoch-aligned like Spark's): each event contributes to the slide
+        # bucket it falls in and the one before it.
+        "stream_sliding": f"""
+            WITH ev AS (
+                SELECT event_type, epoch_ns(ts) // 1000000 AS ts_ms, value
+                FROM events
+            ), exp AS (
+                SELECT event_type, value,
+                       (ts_ms // {SLIDE_MS}) * {SLIDE_MS} AS win_ms FROM ev
+                UNION ALL
+                SELECT event_type, value,
+                       (ts_ms // {SLIDE_MS}) * {SLIDE_MS} - {SLIDE_MS} AS win_ms FROM ev
+            )
+            SELECT make_timestamp(win_ms * 1000) AS win_start, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   SUM(CAST(ROUND(value * 1e4) AS BIGINT)) / 1e4 AS total_value
+            FROM exp GROUP BY win_ms, event_type
+            ORDER BY win_start, event_type
         """,
     }
 

@@ -269,3 +269,38 @@ def test_dedup_incremental_never_shuffles_the_index_side(spark):
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "ShuffledHashJoin" not in plan, plan[:2000]
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+
+
+def test_domain_resample_broadcasts_weights(spark):
+    """The per-source weight table (a handful of rows) must reach the corpus
+    as a broadcast join — resampling adds no shuffle over the corpus scan
+    beyond the weight aggregation itself."""
+    from datafusion_distributed_experiment_spark.operators.curation import (
+        domain_resample,
+    )
+    from datafusion_distributed_experiment_spark.plans import stage_summary
+
+    from .conftest import SF_DIR
+
+    s = stage_summary(domain_resample(spark, SF_DIR))
+    assert s["broadcasts"] >= 1, s
+    # corpus-side work: scan + hash-ppm projection + the weight agg's own
+    # shuffle + presentation sort; no corpus-wide hash exchange for the join
+    plan = domain_resample(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_events_cube_is_single_expand_aggregate(engine):
+    """CUBE must plan as ONE scan + Expand + partial/final aggregate — four
+    grouping sets may not become four scans or four shuffles."""
+    import re
+
+    from datafusion_distributed_experiment_spark import queries as corpus
+    from datafusion_distributed_experiment_spark.plans import plan_string, stage_summary
+
+    df = engine.sql(corpus.load("adhoc/events_cube"))
+    plan = plan_string(df, "simple")
+    assert "Expand" in plan
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+    # one exchange for the grouped aggregate, one range exchange for ORDER BY
+    assert stage_summary(df)["exchanges"] <= 2
