@@ -245,6 +245,20 @@ class Engine:
     ) -> None:
         sources.write_parquet(df, path, compression=compression, partition_by=partition_by)
 
+    def write_clustered(
+        self,
+        df: DataFrame,
+        path: str,
+        cluster_by: list[str],
+        partitions: int | None = None,
+        compression: str = "zstd",
+    ) -> None:
+        """Range-clustered parquet layout for min/max data skipping on a
+        high-cardinality dimension (see :func:`sources.write_clustered`)."""
+        sources.write_clustered(
+            df, path, cluster_by, partitions=partitions, compression=compression
+        )
+
     def write_bucketed(
         self,
         df: DataFrame,

@@ -8,6 +8,7 @@ compression). :class:`..engine.Engine` delegates here; the functions are also
 usable standalone on any SparkSession.
 """
 
+from .events import read_events
 from .tables import (
     memory_table,
     overwrite_partitions,
@@ -16,6 +17,7 @@ from .tables import (
     read_orc_table,
     read_parquet_table,
     read_tbl_table,
+    write_clustered,
     write_csv,
     write_json,
     write_orc,
@@ -23,12 +25,14 @@ from .tables import (
 )
 
 __all__ = [
+    "read_events",
     "read_parquet_table",
     "read_csv_table",
     "read_json_table",
     "read_tbl_table",
     "memory_table",
     "write_parquet",
+    "write_clustered",
     "write_csv",
     "write_json",
     "read_orc_table",

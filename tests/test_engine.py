@@ -206,3 +206,44 @@ def test_narrow_scan_width_estimate_agrees_with_rdd(spark, tmp_path):
     assert _parquet_scan_width(spark, wide_path, cap=target) == target
     wide = spark.read.parquet(wide_path)
     assert rebalance_narrow_scan(wide, wide_path) is wide
+
+
+def test_write_clustered_produces_skippable_layout(engine, spark, tmp_path):
+    """Range-clustered layout: row-group user_id intervals must be (near-)
+    disjoint, so parquet min/max stats prune a selective filter to O(1)
+    row groups — against the unclustered write they overlap heavily."""
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_id", "user_id")
+
+    def intervals(path):
+        out = []
+        for f in ds.dataset(path, format="parquet").files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("user_id")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                out.append((st.min, st.max))
+        return sorted(out)
+
+    def overlap_fraction(iv):
+        overlapping = sum(
+            1 for (a, b), (c, d) in zip(iv, iv[1:]) if c <= b  # next starts inside prev
+        )
+        return overlapping / max(1, len(iv) - 1)
+
+    clustered = str(tmp_path / "clustered")
+    engine.write_clustered(src, clustered, ["user_id"], partitions=8)
+    plain = str(tmp_path / "plain")
+    engine.write_parquet(src.repartition(8), plain)
+
+    iv_c = intervals(clustered)
+    iv_p = intervals(plain)
+    assert len(iv_c) >= 4  # the range exchange actually fanned out
+    # clustered: adjacent intervals disjoint (range bounds may duplicate at
+    # the single boundary key); unclustered: nearly every interval overlaps
+    assert overlap_fraction(iv_c) <= 0.35, iv_c
+    assert overlap_fraction(iv_p) >= 0.9, iv_p
+    # fidelity: same rows back
+    assert spark.read.parquet(clustered).count() == src.count()
