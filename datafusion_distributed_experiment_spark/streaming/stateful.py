@@ -193,8 +193,45 @@ def sessionize(spark, sf_dir: str) -> DataFrame:
     return sessionize_rollup(keyed).orderBy("user_id")
 
 
+def user_sessions(spark, sf_dir: str, gap_ms: int = DEFAULT_GAP_MS) -> DataFrame:
+    """Per-session interval table: one row per (user, session) with start,
+    end, and event count — the drill-down companion to :func:`sessionize`'s
+    per-user rollup (funnels, dwell-time analysis, session sampling all
+    consume session rows, not user totals).
+
+    Same lag-window session-start marks, then a running SUM numbers the
+    sessions and one groupBy rolls them up. All three window/agg steps
+    partition on ``user_id``, so EnsureRequirements reuses ONE hash
+    exchange — adding the drill-down costs no extra shuffle over the
+    rollup."""
+    from ..sources.events import read_events
+
+    keyed = read_events(spark, sf_dir).select("user_id", "ts_ms")
+    w = Window.partitionBy("user_id").orderBy("ts_ms")
+    gaps = keyed.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_ms").over(w).isNull()
+            | ((F.col("ts_ms") - F.lag("ts_ms").over(w)) > gap_ms),
+            1,
+        ).otherwise(0),
+    )
+    numbered = gaps.withColumn(
+        "session_no", F.sum("new_session").over(w).cast("long")
+    )
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts_ms").cast("long").alias("start_ms"),
+            F.max("ts_ms").cast("long").alias("end_ms"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
 def queries():
-    return {"sessionize": sessionize}
+    return {"sessionize": sessionize, "user_sessions": user_sessions}
 
 
 def oracles() -> dict[str, str]:
@@ -214,5 +251,29 @@ def oracles() -> dict[str, str]:
                    CAST(SUM(new_session) AS BIGINT) AS n_sessions,
                    CAST(MAX(ts_ms) AS BIGINT) AS last_ts_ms
             FROM gaps GROUP BY user_id ORDER BY user_id
+        """,
+        "user_sessions": f"""
+            WITH keyed AS (
+                SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+            ), gaps AS (
+                SELECT user_id, ts_ms,
+                       CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+                              OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) > {DEFAULT_GAP_MS}
+                            THEN 1 ELSE 0 END AS new_session
+                FROM keyed
+            ), numbered AS (
+                SELECT user_id, ts_ms,
+                       CAST(SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts_ms
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_no
+                FROM gaps
+            )
+            SELECT user_id, session_no,
+                   CAST(MIN(ts_ms) AS BIGINT) AS start_ms,
+                   CAST(MAX(ts_ms) AS BIGINT) AS end_ms,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM numbered GROUP BY user_id, session_no
+            ORDER BY user_id, session_no
         """,
     }

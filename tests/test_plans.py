@@ -304,3 +304,20 @@ def test_events_cube_is_single_expand_aggregate(engine):
     assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
     # one exchange for the grouped aggregate, one range exchange for ORDER BY
     assert stage_summary(df)["exchanges"] <= 2
+
+
+def test_user_sessions_reuses_one_user_exchange(spark):
+    """The lag window, the running-sum window, and the per-session rollup
+    all partition on user_id: EnsureRequirements must plan exactly ONE hash
+    exchange (plus the presentation ORDER BY's range exchange) — the
+    drill-down costs no extra shuffle over the rollup."""
+    from datafusion_distributed_experiment_spark.plans import stage_summary
+    from datafusion_distributed_experiment_spark.streaming.stateful import (
+        user_sessions,
+    )
+
+    from .conftest import SF_DIR
+
+    s = stage_summary(user_sessions(spark, SF_DIR))
+    assert s["exchanges"] == 2, s  # one hash (user_id), one range (ORDER BY)
+    assert s["broadcasts"] == 0, s

@@ -264,3 +264,50 @@ def test_curation_ops_tolerate_null_and_empty_documents(spark, tmp_path):
 
     packs = pack_sequences(spark, d).collect()
     assert sum(r["n_docs"] for r in packs) >= 3  # null-token doc may drop
+
+
+# ------------------------------------------------------------------ #
+# range join vs brute force
+# ------------------------------------------------------------------ #
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 500)), min_size=1, max_size=25),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 200)),
+        min_size=1,
+        max_size=15,
+    ),
+    st.sampled_from([7, 64, 1000]),
+)
+def test_range_join_property(spark, probes, raw_ivs, bucket_ms):
+    """Bucketed-explode range join vs the quadratic Python reference:
+    duplicate probes/intervals, zero-length intervals, interval lengths
+    spanning less than one bucket up to many buckets, keys with no match —
+    each qualifying (probe, interval) pair must appear EXACTLY once
+    (the single-bucket membership argument), with multiplicity preserved
+    for duplicates."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from datafusion_distributed_experiment_spark.operators.temporal import (
+        range_join_intervals,
+    )
+
+    ivs = [(k, s, s + ln) for k, s, ln in raw_ivs]
+    p_schema = StructType([StructField(n, LongType()) for n in ("k", "ts")])
+    i_schema = StructType([StructField(n, LongType()) for n in ("k", "s", "e")])
+    pdf = spark.createDataFrame(probes, p_schema)
+    idf = spark.createDataFrame(ivs, i_schema)
+    got = sorted(
+        (r.k, r.ts, r.s, r.e)
+        for r in range_join_intervals(
+            pdf, idf, on=["k"], ts="ts", start="s", end="e", bucket_ms=bucket_ms
+        ).collect()
+    )
+    want = sorted(
+        (pk, pt, ik_s, ik_e)
+        for pk, pt in probes
+        for ik, ik_s, ik_e in ivs
+        if pk == ik and ik_s <= pt <= ik_e
+    )
+    assert got == want
