@@ -31,6 +31,14 @@ _SAMPLE = [
     "stratified_sample",
     "decontaminate",
     "shuffle_shards",
+    # round-4 additions: union+window as-of kernel, bucketed-explode range
+    # join, Expand-based cube, hash-ppm resampling, session numbering —
+    # each claims partition-count-independent determinism
+    "events_asof",
+    "events_range_join",
+    "events_cube",
+    "domain_resample",
+    "user_sessions",
 ]
 
 
