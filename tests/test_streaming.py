@@ -349,3 +349,61 @@ def test_stream_dedup_converges_across_batches(spark, tmp_path, duck, sf_dir):
     ).df()
     assert len(got) < table.num_rows  # the dedup actually collapsed rows
     assert_frames_match(got, want, "stream_dedup_vs_batch_distinct")
+
+
+def test_stateful_sessionize_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState state must persist across a QUERY RESTART via
+    the checkpointed RocksDB store: half the events stream in run 1, the
+    query stops, the rest arrive, and run 2 (same checkpoint) must resume
+    from restored per-user interval state — sessions spanning the restart
+    boundary merge correctly and the final rollup equals the batch oracle
+    over ALL events. This is the continuous-deployment contract: a deploy
+    restart must not corrupt or forget session state."""
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.streaming.stateful import (
+        sessionize_stateful,
+    )
+
+    table = ds.dataset(f"{SF_DIR}/events.parquet").to_table()
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    sink = str(tmp_path / "restart_sink")
+    ckpt = str(tmp_path / "restart_ckpt")
+    half = table.num_rows // 2
+    pq.write_table(table.slice(0, half), src / "a.parquet")
+
+    def run_once():
+        stream = read_events_stream(spark, str(src))
+
+        # update-mode emissions land in parquet via foreachBatch (the file
+        # sink itself is append-only)
+        def write_batch(bdf, _bid):
+            bdf.write.mode("append").parquet(sink)
+
+        q = (
+            sessionize_stateful(stream)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    pq.write_table(table.slice(half), src / "b.parquet")
+    run_once()
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("emit_seq"))
+    final = (
+        spark.read.parquet(sink)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "n_sessions", "last_ts_ms")
+        .toPandas()
+    )
+    assert_frames_match(final, _batch_oracle(spark), "restart_sessionize_vs_batch")
