@@ -407,3 +407,15 @@ def test_stateful_sessionize_state_survives_restart(spark, tmp_path):
         .toPandas()
     )
     assert_frames_match(final, _batch_oracle(spark), "restart_sessionize_vs_batch")
+
+
+# NOTE (round 4): a test asserting that rows arriving AFTER the watermark
+# passed their window are DROPPED was written and then removed after
+# empirical verification: Spark's watermark contract is one-directional —
+# data within the delay is guaranteed kept, but dropping beyond it is
+# best-effort in every output mode (observed numRowsDroppedByWatermark == 0
+# for a 10-days-late row under a 1-hour delay, in update AND append, with
+# the row aggregated and emitted). The guaranteed side (convergence with a
+# delay wider than the disorder) is what the tests above assert; state
+# BOUNDING under watermarks is asserted by
+# test_stateful_sessionize_watermark_bounds_state.
