@@ -321,3 +321,18 @@ def test_user_sessions_reuses_one_user_exchange(spark):
     s = stage_summary(user_sessions(spark, SF_DIR))
     assert s["exchanges"] == 2, s  # one hash (user_id), one range (ORDER BY)
     assert s["broadcasts"] == 0, s
+
+
+def test_aqe_coalesces_shuffle_partitions_at_runtime(engine):
+    """AQE must be live, not just configured: after execution, the final
+    adaptive plan reads the aggregate's shuffle through an AQEShuffleRead
+    marked `coalesced` — runtime stats shrank a small shuffle below the
+    static partition count. This is the knob that keeps a 32-wide (or
+    1000-wide) static setting from fragmenting small intermediate results."""
+    df = engine.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+    )
+    df.collect()  # AQE finalizes the plan during execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan isFinalPlan=true" in plan, plan[:500]
+    assert "AQEShuffleRead coalesced" in plan, plan[:2000]
