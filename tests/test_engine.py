@@ -247,3 +247,24 @@ def test_write_clustered_produces_skippable_layout(engine, spark, tmp_path):
     assert overlap_fraction(iv_p) >= 0.9, iv_p
     # fidelity: same rows back
     assert spark.read.parquet(clustered).count() == src.count()
+
+
+def test_preload_mem_serves_sql_from_cached_tables(spark, tmp_path):
+    """The --mem-table analog: preload_mem materializes every table in
+    memory and pins the registration, so SQL-corpus queries read the cached
+    MemTable (InMemoryTableScan in the plan) instead of parquet."""
+    import __spark_entry__ as entry_mod
+
+    entry_mod.preload_mem(spark, SF_DIR, partitions=4)
+    try:
+        df = entry_mod.queries()["q6"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan[:2000]
+        assert len(df.collect()) == 1
+    finally:
+        spark.catalog.clearCache()
+        # restore parquet-backed registrations for other tests
+        from datafusion_distributed_experiment_spark import Engine
+
+        entry_mod._registered.clear()
+        Engine(spark).register_sf_dir(SF_DIR)
