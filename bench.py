@@ -49,6 +49,7 @@ def main() -> int:
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
         app_name="bench",
+        extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

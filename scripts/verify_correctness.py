@@ -65,9 +65,11 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures: list[str] = []
+    attempted = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        attempted += 1
         t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -112,7 +114,7 @@ def main() -> int:
         else:
             print(f"PASS {name}: rows={len(sdf)} hash match [{spark_s:.1f}s]")
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} passed")
+    print(f"\n{attempted - len(failures)}/{attempted} passed")
     return 1 if failures else 0
 
 
