@@ -110,9 +110,13 @@ def preload_mem(spark: SparkSession, sf_dir: str, partitions: int | None = None)
 
 
 def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], DataFrame]]]]:
-    """Queries grouped by tier, gate-ordered (volatile tiers inside the
-    driver's first-50 oracle window). The bench re-orders tiers for
-    measurement isolation; see ``operators.pipeline_tiers``."""
+    """Queries grouped by tier, gate-ordered: the driver oracle-checks the
+    FIRST 50 entries, so the window rotates round-over-round until every
+    query has a driver-verified CORRECTNESS row (round 5: the
+    dedup/similarity/multimodal/curation tiers lead — 28 entries — followed
+    by q1..q22 of the SQL corpus; everything displaced holds a green row in
+    CORRECTNESS_r04). The bench re-orders tiers for measurement isolation;
+    see ``operators.pipeline_tiers``."""
     sql: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _SQL_QUERIES:
         sql[name.split("/", 1)[1]] = _run_corpus(name)
@@ -120,7 +124,10 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
 
     from datafusion_distributed_experiment_spark.operators import pipeline_tiers
 
-    return [("sql", sql), *pipeline_tiers()]
+    tiers = pipeline_tiers()
+    lead = [t for t in tiers if t[0] in ("dedup", "similarity", "multimodal", "curation")]
+    rest = [t for t in tiers if t not in lead]
+    return [*lead, ("sql", sql), *rest]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

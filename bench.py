@@ -39,7 +39,9 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from datafusion_distributed_experiment_spark import build_session
     from datafusion_distributed_experiment_spark.bench import (
-        mean_seconds,
+        FASTER_RATIO,
+        headline_seconds,
+        mean_iter_seconds,
         run_benchmark,
         spread_ratio,
         write_results,
@@ -73,15 +75,40 @@ def main() -> int:
 
     per_query = {}
     spread = {}
+    means = {}
     total = 0.0
     for q in results["queries"]:
-        s = mean_seconds(q)
+        s = headline_seconds(q)
         if s is not None:
-            per_query[q["query"]] = round(s, 3)
+            # 2 decimals: the summary line must fit the driver's 2000-char
+            # tail capture (r4's line, with 3-decimal values plus a spread
+            # map, overflowed it and BENCH_r04 recorded "parsed": null).
+            per_query[q["query"]] = round(s, 2)
             total += s
         r = spread_ratio(q)
         if r is not None:
             spread[q["query"]] = r
+        m = mean_iter_seconds(q)
+        if m is not None:
+            means[q["query"]] = round(m, 3)
+    # Detail lines FIRST (free to be long / truncated by tail capture):
+    # per-query mean alongside the min headline, and an explicit flag for
+    # every query whose within-run spread exceeds the reference's 1.2x
+    # regression threshold — the class of intermittent regressions the min
+    # estimator cannot see on its own.
+    print(json.dumps({"detail": "mean_seconds_per_query", "means": means}))
+    print(json.dumps({"detail": "spread_ratio_per_query", "spread": spread}))
+    unstable = sorted(
+        (name for name, r in spread.items() if r > FASTER_RATIO),
+        key=lambda n: -spread[n],
+    )
+    if unstable:
+        print(
+            "spread>1.2x (headline cannot support a regression verdict at the "
+            "1.2x threshold): "
+            + ", ".join(f"{n}={spread[n]}x" for n in unstable)
+        )
+    # Compact summary line LAST — the driver parses the tail of stdout.
     print(
         json.dumps(
             {
@@ -89,7 +116,6 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
-                "spread": spread,
                 "sf": sf,
             }
         )

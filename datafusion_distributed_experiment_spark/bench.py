@@ -22,6 +22,14 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 FASTER_RATIO = 1.2  # reference util/run.rs:246-252
+# Outlier re-run policy: a query whose within-run spread (max/min elapsed)
+# exceeds this after the interleaved passes gets RERUN_EXTRA additional timed
+# iterations. Rationale: contamination on this host is additive and episodic;
+# when an episode hits several of a query's passes, one or two clean extra
+# iterations restore a reachable minimum — measured back-to-back agreement on
+# the worst queries (q15/q16 spreads 3.9-7.5x) is what this targets.
+RERUN_SPREAD = 2.0
+RERUN_EXTRA = 2
 
 
 def _force(df: DataFrame) -> int:
@@ -176,11 +184,41 @@ def run_benchmark(
         # before the next pass's batch queries are timed.
         if clear_cache:
             _isolate(spark)
+    # Outlier re-runs: queries whose spread still exceeds RERUN_SPREAD after
+    # the interleaved passes get extra iterations (tier order preserved, so
+    # streaming re-runs stay last and cannot contaminate batch re-runs).
+    if iterations > 1:
+        for tier_name, tier_queries in tiers:
+            reran = False
+            for name, fn in tier_queries.items():
+                entry = entries[name]
+                if not entry["success"]:
+                    continue
+                r = spread_ratio(entry)
+                if r is None or r <= RERUN_SPREAD:
+                    continue
+                reran = True
+                for _ in range(RERUN_EXTRA):
+                    t0 = time.perf_counter()
+                    try:
+                        n = _force(fn(spark, sf_dir))
+                        elapsed = time.perf_counter() - t0
+                        entry["iterations"].append(
+                            {"elapsed_ms": round(elapsed * 1000, 1), "row_count": n, "rerun": True}
+                        )
+                    except Exception as exc:  # noqa: BLE001
+                        entry["success"] = False
+                        entry["error"] = str(exc).splitlines()[0][:200]
+                        break
+                    if clear_cache:
+                        spark.catalog.clearCache()
+            if reran and clear_cache and tier_name in MEASURE_LAST_TIERS:
+                _isolate(spark)
     return results
 
 
-def mean_seconds(entry: dict) -> float | None:
-    """Minimum over iterations (name kept for artifact compatibility).
+def headline_seconds(entry: dict) -> float | None:
+    """Headline estimator: MINIMUM over iterations.
 
     Min, not mean or median: every contamination mechanism observed on this
     host is strictly ADDITIVE (scheduler stalls, GC pauses, state-store
@@ -192,11 +230,34 @@ def mean_seconds(entry: dict) -> float | None:
     detects it. Back-to-back agreement: 36% of queries within 1.2x
     (median-of-3, cold), 65% (median-of-3, warm), 86% (median-of-5);
     min-of-5 is what the stability gate runs on. All raw iterations stay in
-    results.json."""
+    results.json.
+
+    The min structurally masks regressions that raise only SOME iterations
+    (intermittent spill, GC pressure from a larger footprint) — which is why
+    :func:`mean_iter_seconds` is reported alongside and queries with
+    ``spread_ratio`` beyond the 1.2x reference threshold are flagged
+    explicitly in the bench output rather than read as silently green."""
     its = entry.get("iterations") or []
     if not its:
         return None
     return min(i["elapsed_ms"] for i in its) / 1000.0
+
+
+# Backwards-compat alias: earlier rounds' artifacts/scripts call this
+# mean_seconds even though the estimator is the minimum (behavior change
+# predates the rename; the JSON artifact shape never encoded the name).
+mean_seconds = headline_seconds
+
+
+def mean_iter_seconds(entry: dict) -> float | None:
+    """Arithmetic mean over iterations — the reference's estimator
+    (BenchQuery::avg, reference benchmarks/src/util/run.rs:263-270).
+    Reported alongside the min so a min-stable/mean-degraded query (the
+    intermittent-regression class the min cannot see) is visible."""
+    its = entry.get("iterations") or []
+    if not its:
+        return None
+    return sum(i["elapsed_ms"] for i in its) / len(its) / 1000.0
 
 
 def spread_ratio(entry: dict) -> float | None:
@@ -218,8 +279,8 @@ def compare_runs(current: dict, previous: dict) -> list[str]:
     lines = []
     for q in current["queries"]:
         name = q["query"]
-        cur_s = mean_seconds(q)
-        prev_s = mean_seconds(prev.get(name, {}))
+        cur_s = headline_seconds(q)
+        prev_s = headline_seconds(prev.get(name, {}))
         if cur_s is None or prev_s is None or cur_s == 0:
             continue
         ratio = prev_s / cur_s

@@ -4,6 +4,9 @@ failure isolation, min/spread estimators, and measure-last tier ordering."""
 from __future__ import annotations
 
 from datafusion_distributed_experiment_spark.bench import (
+    RERUN_EXTRA,
+    headline_seconds,
+    mean_iter_seconds,
     mean_seconds,
     run_benchmark,
     spread_ratio,
@@ -83,7 +86,46 @@ def test_failing_query_is_isolated_and_skipped_in_later_passes():
 
 def test_min_estimator_and_spread():
     entry = {"iterations": [{"elapsed_ms": v} for v in (1058.0, 11500.0, 10329.0, 800.0, 770.0)]}
-    assert mean_seconds(entry) == 0.77  # min recovers the uncontaminated cost
+    assert headline_seconds(entry) == 0.77  # min recovers the uncontaminated cost
+    assert mean_seconds is headline_seconds  # compat alias
     assert spread_ratio(entry) == round(11500.0 / 770.0, 2)
-    assert mean_seconds({"iterations": []}) is None
+    assert headline_seconds({"iterations": []}) is None
     assert spread_ratio({"iterations": [{"elapsed_ms": 5.0}]}) is None
+    # reference-protocol mean (BenchQuery::avg, util/run.rs:263-270)
+    assert mean_iter_seconds(entry) == (1058.0 + 11500.0 + 10329.0 + 800.0 + 770.0) / 5 / 1000
+    assert mean_iter_seconds({"iterations": []}) is None
+
+
+def test_high_spread_queries_get_outlier_reruns(monkeypatch):
+    """A query whose spread exceeds RERUN_SPREAD after the interleaved passes
+    earns RERUN_EXTRA extra iterations; stable queries do not."""
+    from datafusion_distributed_experiment_spark import bench as bench_mod
+
+    # Scripted clock: perf_counter is called exactly twice per measured
+    # iteration (t0, then elapsed); feed deltas in call order.
+    # passes (interleaved): noisy .1s, stable .1s | noisy 1.0s, stable .1s
+    # re-runs (noisy only): .1s, .1s
+    deltas = iter([0.1, 0.1, 1.0, 0.1, 0.1, 0.1])
+    clock = {"t": 0.0, "pending": None}
+
+    def fake_perf_counter():
+        if clock["pending"] is None:
+            clock["pending"] = next(deltas)
+            return clock["t"]
+        clock["t"] += clock["pending"]
+        clock["pending"] = None
+        return clock["t"]
+
+    monkeypatch.setattr(bench_mod.time, "perf_counter", fake_perf_counter)
+    log: list[str] = []
+    tiers = [("sql", {"noisy": _q(log, "noisy"), "stable": _q(log, "stable")})]
+    results = run_benchmark(
+        _FakeSpark(), None, "sf", iterations=2, warmup=False, tiers=tiers,
+        clear_cache=False, warm_epoch=False,
+    )
+    by_name = {e["query"]: e for e in results["queries"]}
+    assert len(by_name["noisy"]["iterations"]) == 2 + RERUN_EXTRA
+    assert all(i.get("rerun") for i in by_name["noisy"]["iterations"][2:])
+    assert len(by_name["stable"]["iterations"]) == 2
+    # the re-runs restored a reachable minimum
+    assert headline_seconds(by_name["noisy"]) == 0.1
