@@ -45,6 +45,19 @@ AUG_OFFSET = 1_000_000
 # cap. At the test scale (500-2000 vectors / 256 buckets) nothing is capped;
 # at cluster scale this is what keeps the bucket join from degenerating.
 VEC_BUCKET_CAP = 128
+# The guard itself costs a second corpus pass (bucket groupBy-count) plus a
+# broadcast job — pure overhead on a corpus small enough that even a
+# degenerate hub bucket is cheap to join. At or below this base-table row
+# count the guard is SKIPPED — and the oracle SQL encodes the identical size
+# gate (`bucket_n <= cap OR total <= threshold`), so Spark and DuckDB stay
+# exactly comparable at EVERY corpus size, not just the tested ones. The
+# bound is chosen so the no-guard worst case (ALL rows sharing one sign
+# bucket) is ~5e7 candidate pairs — trivially cheap even single-node — while
+# every test/bench scale (500-2000 vectors) takes the single-pass plan.
+# Guard skipping is perf-neutral-or-better and never changes results: the
+# cap only ever REMOVES candidates, and below the gate the oracle removes
+# none either.
+VEC_CAP_MIN_ROWS = 10_000
 # IVF parameters: K deterministic seed centroids (the vectors with the K
 # smallest vec_ids — one assignment pass, no iterative training, so the
 # index is exactly reproducible in the DuckDB oracle), N_PROBE probed lists.
@@ -61,6 +74,25 @@ def _ivf_k(n: int) -> int:
     import math
 
     return max(IVF_K_MIN, math.ceil(math.sqrt(n)))
+
+
+def _base_rows(path: str) -> int | None:
+    """Parquet-footer row count — one driver-side metadata read, no Spark
+    job (the same footer-probe pattern as ``sources.events.probe_ts_type``).
+    Returns None when the path is not a single probeable file (e.g. a
+    directory dataset at cluster scale); callers treat unknown as LARGE and
+    keep the skew guard on — the safe default."""
+    try:
+        import pyarrow.parquet as pq
+
+        return int(pq.ParquetFile(path).metadata.num_rows)
+    except Exception:  # noqa: BLE001 - unknown size -> guard stays on
+        return None
+
+
+def _needs_bucket_cap(sf_dir: str) -> bool:
+    n = _base_rows(f"{sf_dir}/embeddings.parquet")
+    return n is None or n > VEC_CAP_MIN_ROWS
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,9 +146,13 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hub buckets (> VEC_BUCKET_CAP vectors) are suppressed on both sides
     before the bucket join — the broadcast anti-join skew guard shared with
-    the text LSH tier."""
+    the text LSH tier. The guard is size-gated (VEC_CAP_MIN_ROWS): below the
+    gate the query is a single corpus pass with a broadcast of the tiny
+    query side — the guard's extra count pass cost more than the join it
+    protects at small scale (measured 0.61s -> 1.28s at sf0.1)."""
     vecs = _vectors(spark, sf_dir).withColumn("bucket", _bucket(F.col("v")))
-    vecs = _cap_buckets(vecs, ["bucket"], cap=VEC_BUCKET_CAP)
+    if _needs_bucket_cap(sf_dir):
+        vecs = _cap_buckets(vecs, ["bucket"], cap=VEC_BUCKET_CAP)
     queries = vecs.filter(F.col("vec_id") < LSH_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -253,8 +289,11 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionAll(aug).withColumn("bucket", _bucket(F.col("v")))
     # Skew guard: pairs inside a bucket are quadratic; suppress hub buckets
-    # (identical cap in the oracle) so no single key can dominate the join.
-    corpus = _cap_buckets(corpus, ["bucket"], cap=VEC_BUCKET_CAP)
+    # (identical cap + identical size gate in the oracle) so no single key
+    # can dominate the join. Size-gated like ann_lsh: the guard's extra
+    # corpus pass is pure overhead below VEC_CAP_MIN_ROWS.
+    if _needs_bucket_cap(sf_dir):
+        corpus = _cap_buckets(corpus, ["bucket"], cap=VEC_BUCKET_CAP)
     a, b = corpus.alias("a"), corpus.alias("b")
     pairs = a.join(
         b,
@@ -313,6 +352,7 @@ def oracles() -> dict[str, str]:
                            COUNT(*) OVER (PARTITION BY CAST({_DUCK_BUCKET} AS BIGINT)) AS bucket_n
                     FROM vecs
                 ) WHERE bucket_n <= {VEC_BUCKET_CAP}
+                   OR (SELECT COUNT(*) FROM embeddings) <= {VEC_CAP_MIN_ROWS}
             ), q AS (
                 SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket
                 FROM bucketed WHERE vec_id < {LSH_QUERIES}
@@ -374,6 +414,7 @@ def oracles() -> dict[str, str]:
                            COUNT(*) OVER (PARTITION BY CAST({_DUCK_BUCKET} AS BIGINT)) AS bucket_n
                     FROM withaug
                 ) WHERE bucket_n <= {VEC_BUCKET_CAP}
+                   OR (SELECT COUNT(*) FROM embeddings) <= {VEC_CAP_MIN_ROWS}
             ), pairs AS (
                 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                        CAST(FLOOR(1e6 * {DUCK_DOT.format(a="a.v", b="b.v", n=DIM)} / (a.nrm * b.nrm)) AS BIGINT) AS cos_ppm

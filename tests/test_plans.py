@@ -80,20 +80,35 @@ def test_normalized_plan_is_stable_across_analyses(engine):
     assert "#N" in a  # expression ids scrubbed
 
 
-def test_vector_lsh_paths_have_bucket_skew_guard(spark):
-    """ann_lsh and embedding_dedup must carry the frequent-bucket suppression
-    (broadcast anti-join against the tiny oversized-bucket list) — the skew
-    guard that keeps the bucket self-join from degenerating at scale."""
-    from datafusion_distributed_experiment_spark.operators.similarity import (
-        ann_lsh,
-        embedding_dedup,
-    )
+def test_vector_lsh_paths_have_bucket_skew_guard(spark, monkeypatch):
+    """Above the size gate, ann_lsh and embedding_dedup must carry the
+    frequent-bucket suppression (broadcast anti-join against the tiny
+    oversized-bucket list) — the skew guard that keeps the bucket self-join
+    from degenerating at scale. Forced on here by zeroing the gate."""
+    from datafusion_distributed_experiment_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "VEC_CAP_MIN_ROWS", -1)
     from .conftest import SF_DIR
 
-    for op in (ann_lsh, embedding_dedup):
+    for op in (similarity.ann_lsh, similarity.embedding_dedup):
         plan = op(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert "LeftAnti" in plan, f"{op.__name__}: no anti-join skew guard\n{plan[:2000]}"
         assert "Broadcast" in plan, f"{op.__name__}: guard not broadcast\n{plan[:2000]}"
+
+
+def test_vector_lsh_guard_is_size_gated(spark):
+    """Below VEC_CAP_MIN_ROWS the guard (and its extra corpus count pass)
+    must be ABSENT: the query is a single corpus scan with a broadcast of
+    the tiny query side — the r01 plan shape the perf baseline was set on.
+    The oracle SQL encodes the identical gate, so skipping is result-exact."""
+    from datafusion_distributed_experiment_spark.operators import similarity
+    from .conftest import SF_DIR
+
+    assert not similarity._needs_bucket_cap(SF_DIR)  # test corpus is small
+    plan = similarity.ann_lsh(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan, plan[:2000]
+    # unknown corpus size (unprobeable path) -> guard stays on, safe default
+    assert similarity._needs_bucket_cap("/nonexistent")
 
 
 def test_ivf_k_scales_with_corpus_and_lists_stay_bounded(spark):
