@@ -486,11 +486,22 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     n_edges = pairs.count()
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cc_width = max(4, min(session_width, n_edges // 100_000 + 1))
-    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(cc_width))
+    # The width is scoped to a SIBLING session (shared context/cache, own
+    # SQLConf) instead of set/restored on the shared session — concurrent
+    # queries on the caller's session never observe the override. The
+    # checkpointed pairs cross sessions via a global temp view (the public
+    # cross-session handle; its lifetime is this function).
+    from ..session import scoped_session
+
+    cc_spark = scoped_session(spark, {"spark.sql.shuffle.partitions": str(cc_width)})
+    import uuid
+
+    view = f"cc_pairs_{uuid.uuid4().hex}"
+    pairs.createGlobalTempView(view)
     try:
-        edges = pairs.unionAll(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        pairs_cc = cc_spark.table(f"global_temp.{view}")
+        edges = pairs_cc.unionAll(
+            pairs_cc.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
         labels = (
             edges.select(F.col("doc_a").alias("doc_id"))
@@ -522,7 +533,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
                 break
             prev_sum = new_sum
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+        spark.catalog.dropGlobalTempView(view)
     return labels
 
 

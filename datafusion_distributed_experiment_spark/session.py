@@ -111,6 +111,44 @@ def configure_session(
     return spark
 
 
+_scoped_cache: dict[tuple[int, frozenset], SparkSession] = {}
+
+
+def scoped_session(spark: SparkSession, overrides: Mapping[str, str]) -> SparkSession:
+    """A sibling session with conf ``overrides`` applied — conf scoping
+    WITHOUT mutating the shared session.
+
+    ``SparkSession.newSession()`` shares the SparkContext, table cache and
+    global temp views but gets its own SQLConf and temp-view catalog, so two
+    operators needing different shuffle widths can run concurrently without
+    racing on ``spark.conf`` (the set/restore pattern this replaces was
+    single-thread-correct only). The parent's *runtime* confs are copied
+    first (``SET`` enumerates every explicitly-set conf — engine confs
+    applied by :func:`configure_session` at runtime would otherwise be lost,
+    since a fresh session only inherits context-level conf), then the
+    overrides. Static/immutable confs are skipped per-key.
+
+    Clones are cached per (parent, overrides): the streaming harness and the
+    CC loop call this once per query invocation, and session-state (catalog,
+    conf map) should not accumulate across a 76-query bench run. Parent conf
+    changes made *after* the clone was built are not re-copied — the
+    overrides are the confs callers care about."""
+    key = (id(spark), frozenset(overrides.items()))
+    cached = _scoped_cache.get(key)
+    if cached is not None:
+        return cached
+    clone = spark.newSession()
+    for row in spark.sql("SET").collect():
+        try:
+            clone.conf.set(row["key"], row["value"])
+        except Exception:  # noqa: BLE001 - static/read-only confs
+            pass
+    for k, v in overrides.items():
+        clone.conf.set(k, str(v))
+    _scoped_cache[key] = clone
+    return clone
+
+
 def build_session(
     app_name: str = "datafusion-distributed-experiment-spark",
     master: str | None = None,

@@ -147,20 +147,16 @@ def overwrite_partitions(
 
     The daily-ingest primitive at 100 TB: re-running one day's pipeline
     rewrites that day's directory instead of truncating the whole table
-    (static overwrite mode would). Scoped conf — the session default is
-    untouched outside the write."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.write.mode("overwrite")
-            .option("compression", compression)
-            .partitionBy(*partition_by)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (static overwrite mode would). The mode is a per-write
+    DataFrameWriter option (it overrides the session conf), so the shared
+    session is never mutated — safe under concurrent writers."""
+    (
+        df.write.mode("overwrite")
+        .option("compression", compression)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
 
 
 def read_tbl_table(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:

@@ -101,11 +101,10 @@ def sliding_counts(
 
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing bounded replay of the sliding-window aggregate."""
-    with _stream_partitions(spark):
-        ev = read_events_stream(spark, sf_dir, glob="events.parquet")
-        result = run_to_completion(
-            sliding_counts(ev), query_name="stream_sliding", output_mode="complete"
-        )
+    ev = read_events_stream(_stream_session(spark), sf_dir, glob="events.parquet")
+    result = run_to_completion(
+        sliding_counts(ev), query_name="stream_sliding", output_mode="complete"
+    )
     return result.orderBy("win_start", "event_type")
 
 
@@ -159,21 +158,18 @@ def click_view_join(
 STREAM_STATE_PARTITIONS = 8
 
 
-class _stream_partitions:
-    """Scope ``spark.sql.shuffle.partitions`` to stream volume for the
-    duration of a bounded replay (see stream_click_attr's docstring), then
-    restore the batch session's width."""
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """Sibling session with ``spark.sql.shuffle.partitions`` scoped to
+    stream volume (see stream_click_attr's docstring). Replaces the old
+    set/restore-on-the-shared-session pattern: state partitioning binds at
+    query start from the DataFrame's own session, so rooting the stream in
+    a clone leaves concurrent batch queries on the caller's session — and
+    the caller's conf — untouched."""
+    from ..session import scoped_session
 
-    def __init__(self, spark: SparkSession):
-        self.spark = spark
-
-    def __enter__(self):
-        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
-
-    def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
-        return False
+    return scoped_session(
+        spark, {"spark.sql.shuffle.partitions": str(STREAM_STATE_PARTITIONS)}
+    )
 
 
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,11 +182,10 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are emitted — which physical row survives depends on arrival order, and
     must not leak into the result. On a bounded replay with a watermark wider
     than the dataset span this is exactly batch DISTINCT (the oracle)."""
-    with _stream_partitions(spark):
-        ev = read_events_stream(spark, sf_dir, glob="events.parquet")
-        result = run_to_completion(
-            dedup_keys_stream(ev), query_name="stream_dedup", output_mode="append"
-        )
+    ev = read_events_stream(_stream_session(spark), sf_dir, glob="events.parquet")
+    result = run_to_completion(
+        dedup_keys_stream(ev), query_name="stream_dedup", output_mode="append"
+    )
     return result.orderBy("user_bucket", "event_type", "day")
 
 
@@ -221,23 +216,23 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     The canonical ingest shape: dimension lookup stays map-side however
     large the stream; only the tiny post-join aggregate state shuffles.
     Complete-mode emission of a finite-cardinality aggregate."""
-    with _stream_partitions(spark):
-        ev = read_events_stream(spark, sf_dir, glob="events.parquet")
-        cust = (
-            spark.read.parquet(f"{sf_dir}/customer.parquet")
-            .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    stream_spark = _stream_session(spark)
+    ev = read_events_stream(stream_spark, sf_dir, glob="events.parquet")
+    cust = (
+        stream_spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 1e4).cast("long")) / F.lit(1e4)).alias(
+                "total_value"
+            ),
         )
-        agg = (
-            ev.join(F.broadcast(cust), "user_id")
-            .groupBy("c_mktsegment", "event_type")
-            .agg(
-                F.count("*").cast("long").alias("n_events"),
-                (F.sum(F.round(F.col("value") * 1e4).cast("long")) / F.lit(1e4)).alias(
-                    "total_value"
-                ),
-            )
-        )
-        result = run_to_completion(agg, query_name="stream_enrich", output_mode="complete")
+    )
+    result = run_to_completion(agg, query_name="stream_enrich", output_mode="complete")
     return result.orderBy("c_mktsegment", "event_type")
 
 
@@ -248,17 +243,17 @@ def stream_click_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pays its setup every micro-batch, so state partitioning should track
     stream VOLUME, not the batch session's shuffle width (32 partitions cost
     ~7 s of store churn on this replay vs ~2.5 s at 8; a high-volume
-    production stream would size it up again). The conf is bound at query
-    start and restored after, so batch queries on the session are
-    unaffected."""
-    with _stream_partitions(spark):
-        out = click_view_join(
-            read_events_stream(spark, sf_dir, glob="events.parquet"),
-            read_events_stream(spark, sf_dir, glob="events.parquet"),
-        )
-        result = run_to_completion(
-            out, query_name="stream_click_attr", output_mode="append"
-        )
+    production stream would size it up again). The width lives on a scoped
+    sibling session, so batch queries on the caller's session are unaffected
+    even when running concurrently."""
+    stream_spark = _stream_session(spark)
+    out = click_view_join(
+        read_events_stream(stream_spark, sf_dir, glob="events.parquet"),
+        read_events_stream(stream_spark, sf_dir, glob="events.parquet"),
+    )
+    result = run_to_completion(
+        out, query_name="stream_click_attr", output_mode="append"
+    )
     return result.orderBy("click_id", "view_id")
 
 

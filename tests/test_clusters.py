@@ -67,3 +67,61 @@ def test_dedup_clusters_canonical_flag(spark):
     # exactly one canonical doc per cluster
     canon = [r for r in rows if r["is_canonical"]]
     assert len(canon) == len({r["cluster_id"] for r in rows})
+
+
+def test_scoped_width_is_concurrency_safe(spark):
+    """Two shuffle-width-scoped operators (CC loop at width 4, streaming
+    replay at width 8) running concurrently with batch queries must never
+    leak their width into the shared session — the conf lives on sibling
+    sessions (session.scoped_session), not on a set/restore of the caller's.
+
+    This is the failure mode the old pattern had: thread B's batch groupBy
+    planned while thread A held the narrowed conf."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.operators.dedup import (
+        connected_components,
+    )
+    from datafusion_distributed_experiment_spark.streaming.events import stream_dedup
+
+    from .conftest import SF_DIR
+
+    parent_width = spark.conf.get("spark.sql.shuffle.partitions")
+    errors: list[BaseException] = []
+
+    def guard(fn):
+        def run():
+            try:
+                fn()
+            except BaseException as exc:  # noqa: BLE001 - surfaced below
+                errors.append(exc)
+
+        return run
+
+    def run_cc():
+        # three triangle components; diameter 2 -> converges well inside
+        # MAX_CC_ITERS even under concurrency
+        edges = [(b, b + 1) for b in (10, 20, 30)] + [(b + 1, b + 2) for b in (10, 20, 30)]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+        assert got == {b + i: b for b in (10, 20, 30) for i in range(3)}, got
+
+    def run_stream():
+        rows = stream_dedup(spark, SF_DIR).collect()
+        assert len(rows) > 0
+
+    def run_batch():
+        for _ in range(8):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == parent_width
+            n = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count().count()
+            assert n == 7
+
+    threads = [threading.Thread(target=guard(f)) for f in (run_cc, run_stream, run_batch)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parent_width
