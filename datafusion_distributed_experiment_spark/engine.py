@@ -222,11 +222,10 @@ class Engine:
             if df is not None and df.columns:
                 result = df
         if result_statement is not None:
-            picked = results[result_statement]
-            if picked is not None and picked.columns:
-                # Materialize before any later DROP VIEW invalidates it.
-                return picked
-            return picked
+            # Safe to return lazily even after a later DROP VIEW: Spark
+            # resolves views eagerly at DataFrame creation, so the picked
+            # statement's plan no longer references the catalog entry.
+            return results[result_statement]
         return result
 
     def table(self, name: str) -> DataFrame:

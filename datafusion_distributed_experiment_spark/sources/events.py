@@ -45,7 +45,12 @@ def probe_ts_type(path: str, pattern: str | None = None) -> str:
     ``path`` may be a single parquet file or a directory of event files;
     ``pattern`` narrows a directory the way the streaming source's
     ``pathGlobFilter`` does. Falls back to ``timestamp[us]`` (the driver's
-    current encoding) when nothing is probeable."""
+    current encoding) when nothing is probeable — with a warning, so a wrong
+    path or corrupt file surfaces HERE instead of as a downstream
+    schema/read error (a successful probe that happens to match the
+    fallback stays silent; only the un-probed fallback warns)."""
+    import warnings
+
     candidates = [path] if os.path.isfile(path) else sorted(
         _glob.glob(os.path.join(path, pattern or "*"))
     )
@@ -56,6 +61,20 @@ def probe_ts_type(path: str, pattern: str | None = None) -> str:
             return str(ds.dataset(cand, format="parquet").schema.field("ts").type)
         except Exception:  # noqa: BLE001 - skip non-parquet/dissimilar files
             continue
+    if not candidates:
+        warnings.warn(
+            f"probe_ts_type: no file found at {path!r}"
+            + (f" (pattern {pattern!r})" if pattern else "")
+            + "; assuming ts is timestamp[us]",
+            stacklevel=2,
+        )
+    else:
+        warnings.warn(
+            f"probe_ts_type: none of {len(candidates)} candidate file(s) under "
+            f"{path!r} was probeable parquet with a 'ts' column; assuming "
+            "timestamp[us]",
+            stacklevel=2,
+        )
     return "timestamp[us]"
 
 
@@ -83,11 +102,31 @@ def events_raw_schema(path: str, pattern: str | None = None) -> StructType:
     )
 
 
+_UTC_ALIASES = {"UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "+00:00", "GMT0", "UCT"}
+
+
+def _require_utc_session(df: DataFrame, why: str) -> None:
+    """The NTZ ⇄ TIMESTAMP casts below interpret wall-clock values in the
+    SESSION timezone; on a non-UTC session they would silently shift every
+    epoch value. The engine sets UTC (session.default_spark_conf), so this
+    only trips externally-built sessions — fail loudly with the fix instead
+    of corrupting timestamps."""
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if tz not in _UTC_ALIASES:
+        raise ValueError(
+            f"{why} requires spark.sql.session.timeZone=UTC (got {tz!r}): "
+            "NTZ timestamps are interpreted in the session timezone. Apply "
+            "datafusion_distributed_experiment_spark.session.configure_session "
+            "(or set the conf) before reading events."
+        )
+
+
 def ts_ms_expr(df: DataFrame, col: str = "ts") -> Column:
     """Exact integer epoch-ms from ``col`` whatever form it arrived in.
     Matches the DuckDB spelling ``epoch_ns(ts) // 1000000`` bit-for-bit."""
     if dict(df.dtypes).get(col) == "bigint":  # raw nanoseconds
         return F.expr(f"{col} DIV 1000000")
+    _require_utc_session(df, f"ts_ms_expr({col!r})")
     return F.expr(f"unix_micros(CAST({col} AS TIMESTAMP)) DIV 1000")
 
 
@@ -96,6 +135,7 @@ def ts_event_time_expr(df: DataFrame, col: str = "ts") -> Column:
     wall-clock values match the NTZ batch path)."""
     if dict(df.dtypes).get(col) == "bigint":  # raw nanoseconds -> microseconds
         return F.expr(f"timestamp_micros({col} DIV 1000)")
+    _require_utc_session(df, f"ts_event_time_expr({col!r})")
     return F.col(col).cast("timestamp")
 
 

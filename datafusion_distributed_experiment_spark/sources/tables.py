@@ -45,16 +45,32 @@ def _parquet_scan_width(spark: SparkSession, path: str, cap: int) -> int | None:
         files = list(ds.dataset(path, format="parquet").files)
         if len(files) >= cap:
             return cap
-        try:
-            max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
-        except Exception:  # noqa: BLE001 - conf may carry a size suffix
-            max_bytes = 128 * 1024 * 1024
+        max_bytes = parse_byte_size(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+        )
         total_bytes = sum(os.path.getsize(f) for f in files)
         total_rgs = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
         byte_splits = max(1, math.ceil(total_bytes / max_bytes))
         return min(byte_splits, max(1, total_rgs))
     except Exception:  # noqa: BLE001 - probing is best-effort
         return None
+
+
+def parse_byte_size(value: str | None, default: int = 128 * 1024 * 1024) -> int:
+    """Spark byte-size conf parser: bare bytes or a k/m/g/t/p suffix
+    (optionally with ``b``, case-insensitive) — the same grammar Spark's
+    ``JavaUtils.byteStringAsBytes`` accepts. A tuned conf like ``128m`` must
+    not silently fall back to the default (it would mis-estimate scan
+    narrowness); only an absent/unparseable value does."""
+    if value is None:
+        return default
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?)b?\s*", str(value), flags=re.IGNORECASE)
+    if not m:
+        return default
+    mult = 1024 ** ("kmgtp".index(m.group(2).lower()) + 1) if m.group(2) else 1
+    return int(m.group(1)) * mult
 
 
 def rebalance_narrow_scan(df: DataFrame, path: str | None = None) -> DataFrame:

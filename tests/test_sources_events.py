@@ -76,3 +76,62 @@ def test_probe_classifies_encodings(tmp_path, encoding, want):
     sf_dir = _write(tmp_path, encoding)
     assert ts_is_raw_nanos(sf_dir) is want
     assert ts_is_raw_nanos(f"{sf_dir}/events.parquet") is want  # file path too
+
+
+def test_probe_warns_on_missing_path_and_unprobeable_files(tmp_path):
+    """A wrong path or corrupt events file must surface at the probe (with a
+    distinguishing message), not as a confusing downstream schema error."""
+    import warnings
+
+    from datafusion_distributed_experiment_spark.sources.events import probe_ts_type
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert probe_ts_type(str(tmp_path / "nope")) == "timestamp[us]"
+    assert any("no file found" in str(x.message) for x in w), [str(x.message) for x in w]
+
+    junk = tmp_path / "junk.parquet"
+    junk.write_bytes(b"not parquet at all")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert probe_ts_type(str(tmp_path), "junk.parquet") == "timestamp[us]"
+    assert any("was probeable" in str(x.message) for x in w), [str(x.message) for x in w]
+
+
+def test_ntz_expressions_refuse_non_utc_session(spark, tmp_path):
+    """The NTZ branch of ts_ms_expr/ts_event_time_expr silently shifts epochs
+    on a non-UTC session — it must raise with a pointer to the fix instead."""
+    from datafusion_distributed_experiment_spark.sources.events import (
+        ts_event_time_expr,
+        ts_ms_expr,
+    )
+
+    df = spark.sql("SELECT TIMESTAMP_NTZ'2024-01-02 03:04:05' AS ts")
+    ts_ms_expr(df)  # UTC session: fine
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            ts_ms_expr(df)
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            ts_event_time_expr(df)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # raw-nanos branch is timezone-independent and must stay usable anywhere
+    ndf = spark.sql("SELECT CAST(1704164645000000000 AS BIGINT) AS ts")
+    assert ts_ms_expr(ndf) is not None
+
+
+def test_parse_byte_size_accepts_spark_suffixes():
+    from datafusion_distributed_experiment_spark.sources.tables import parse_byte_size
+
+    assert parse_byte_size("134217728") == 128 * 1024 * 1024
+    assert parse_byte_size("128m") == 128 * 1024 * 1024
+    assert parse_byte_size("128M") == 128 * 1024 * 1024
+    assert parse_byte_size("128mb") == 128 * 1024 * 1024
+    assert parse_byte_size("1g") == 1024**3
+    assert parse_byte_size("512k") == 512 * 1024
+    assert parse_byte_size("2t") == 2 * 1024**4
+    assert parse_byte_size(None) == 128 * 1024 * 1024
+    assert parse_byte_size("garbage") == 128 * 1024 * 1024
+    assert parse_byte_size("64m", default=1) == 64 * 1024 * 1024
