@@ -111,7 +111,11 @@ def _require_utc_session(df: DataFrame, why: str) -> None:
     epoch value. The engine sets UTC (session.default_spark_conf), so this
     only trips externally-built sessions — fail loudly with the fix instead
     of corrupting timestamps."""
-    tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    # No fallback arg: RuntimeConfig.get VALIDATES an explicit default
+    # against the conf entry (an empty-string fallback throws
+    # INVALID_CONF_VALUE on sessions that never set the key); the no-default
+    # form resolves to the entry's own default (the JVM timezone).
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     if tz not in _UTC_ALIASES:
         raise ValueError(
             f"{why} requires spark.sql.session.timeZone=UTC (got {tz!r}): "

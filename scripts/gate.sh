@@ -26,13 +26,28 @@ PYTEST_RC=$?
 python scripts/verify_correctness.py /root/testdata/sf0.001 >> "$ART" 2>&1
 ORACLE_RC=$?
 
+# sf0.1 subset: the most data-sensitive operators (timestamp handling,
+# watermark-bounded state, LSH candidate volume, iterative convergence) —
+# the class where correctness rot has historically tracked DATA SCALE, not
+# code (round 3's timestamp-unit drift passed at sf0.001). The driver only
+# verifies sf0.01; the bench runs sf0.1; this closes that gap.
 {
   echo
-  echo "== result: pytest rc=$PYTEST_RC oracle rc=$ORACLE_RC =="
+  echo "-- oracle sweep sf0.1 subset (data-sensitive operators) --"
+} >> "$ART"
+python scripts/verify_correctness.py /root/testdata/sf0.1 \
+  events_asof events_range_join events_kmv_distinct sessionize user_sessions \
+  stream_click_attr stream_dedup stream_enrich stream_sliding \
+  minhash_dedup_pairs dedup_incremental dedup_clusters >> "$ART" 2>&1
+SF01_RC=$?
+
+{
+  echo
+  echo "== result: pytest rc=$PYTEST_RC oracle rc=$ORACLE_RC sf0.1-subset rc=$SF01_RC =="
 } >> "$ART"
 
 tail -n 5 "$ART"
-if [ "$PYTEST_RC" -ne 0 ] || [ "$ORACLE_RC" -ne 0 ]; then
+if [ "$PYTEST_RC" -ne 0 ] || [ "$ORACLE_RC" -ne 0 ] || [ "$SF01_RC" -ne 0 ]; then
   echo "GATE RED — do not snapshot. Full output in $ART" >&2
   exit 1
 fi
