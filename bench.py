@@ -47,13 +47,41 @@ def main() -> int:
         write_results,
     )
 
+    extra_conf = {"spark.ui.enabled": "false"}
+    # Spill-pressure mode — the reference's --memory-limit/--mem-pool-type/
+    # --sort-spill-reservation-bytes knobs (benchmarks/src/util/options.rs:
+    # 46-59,90-115) map onto Spark's UnifiedMemoryManager (a fair pool by
+    # construction; there is no greedy analog):
+    #   SPARK_GRAFT_BENCH_MEM_FRACTION  -> spark.memory.fraction (shrink the
+    #       unified execution+storage pool, e.g. 0.1, to force spills)
+    #   SPARK_GRAFT_BENCH_FORCE_SPILL_ROWS -> force-spill row threshold for
+    #       shuffle/sort/window buffers (the --sort-spill-reservation-bytes
+    #       analog, expressed in rows as Spark's thresholds are)
+    #   SPARK_GRAFT_DRIVER_MEM          -> total local-mode heap (--memory-limit)
+    mem_fraction = os.environ.get("SPARK_GRAFT_BENCH_MEM_FRACTION")
+    if mem_fraction:
+        extra_conf["spark.memory.fraction"] = mem_fraction
+    spill_rows = os.environ.get("SPARK_GRAFT_BENCH_FORCE_SPILL_ROWS")
+    if spill_rows:
+        extra_conf["spark.shuffle.spill.numElementsForceSpillThreshold"] = spill_rows
+        extra_conf["spark.sql.windowExec.buffer.spill.threshold"] = spill_rows
+        extra_conf["spark.sql.sortMergeJoinExec.buffer.spill.threshold"] = spill_rows
+
     spark = build_session(
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
         app_name="bench",
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Reference --sorted analog: rewrite the tables range-clustered + sorted
+    # on their primary keys and bench against the sorted copies.
+    if os.environ.get("SPARK_GRAFT_BENCH_SORTED", "") == "1":
+        from datafusion_distributed_experiment_spark.bench import prepare_sorted_dir
+
+        dest = os.environ.get("SPARK_GRAFT_BENCH_SORTED_DIR", "/tmp/bench_sorted_sf")
+        sf_dir = prepare_sorted_dir(spark, sf_dir, dest)
 
     # Reference --mem-table analog (benchmarks/src/tpch/run.rs:226-235):
     # preload every table into memory N-ways; cache eviction is disabled so

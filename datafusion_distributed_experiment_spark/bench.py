@@ -42,6 +42,44 @@ def _force(df: DataFrame) -> int:
     return len(df.collect())
 
 
+# Reference --sorted (benchmarks/src/util/options.rs:60-66): the bench can
+# run against data pre-sorted on each table's primary access keys. Spark has
+# no "declare this parquet sorted" registration; the idiomatic equivalent is
+# the range-clustered layout (repartitionByRange + sortWithinPartitions):
+# every file/row group covers a narrow key interval, so parquet min/max
+# stats prune selective filters to O(1) row groups — the same benefit the
+# reference gets from sortedness-aware planning, delivered by the scan layer.
+TABLE_SORT_KEYS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderdate", "o_orderkey"],
+    "lineitem": ["l_shipdate", "l_orderkey"],
+    "events": ["ts"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def prepare_sorted_dir(spark: SparkSession, sf_dir: str, dest: str) -> str:
+    """Rewrite every table of ``sf_dir`` into ``dest`` range-clustered +
+    sorted on its primary keys (reference ``--sorted`` analog) and return
+    ``dest``; the bench then runs every query against the sorted copies.
+    Tables are written raw (no type normalization) so the unit-adaptive
+    events probe sees the same physical encoding either way."""
+    from .sources.tables import write_clustered
+
+    os.makedirs(dest, exist_ok=True)
+    for table, keys in TABLE_SORT_KEYS.items():
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        if not os.path.exists(src):
+            continue
+        write_clustered(spark.read.parquet(src), os.path.join(dest, f"{table}.parquet"), keys)
+    return dest
+
+
 MEASURE_LAST_TIERS = ("streaming",)  # leaves RocksDB maintenance threads behind
 SETTLE_SECONDS = 1.0
 

@@ -79,13 +79,19 @@ def _ivf_k(n: int) -> int:
 def _base_rows(path: str) -> int | None:
     """Parquet-footer row count — one driver-side metadata read, no Spark
     job (the same footer-probe pattern as ``sources.events.probe_ts_type``).
-    Returns None when the path is not a single probeable file (e.g. a
-    directory dataset at cluster scale); callers treat unknown as LARGE and
-    keep the skew guard on — the safe default."""
+    Handles single files and directory datasets (``count_rows`` on a parquet
+    dataset is served from footers). Returns None when nothing is probeable;
+    callers treat unknown as LARGE and keep the skew guard on — the safe
+    default."""
     try:
+        import os
+
+        import pyarrow.dataset as ds
         import pyarrow.parquet as pq
 
-        return int(pq.ParquetFile(path).metadata.num_rows)
+        if os.path.isfile(path):
+            return int(pq.ParquetFile(path).metadata.num_rows)
+        return int(ds.dataset(path, format="parquet").count_rows())
     except Exception:  # noqa: BLE001 - unknown size -> guard stays on
         return None
 

@@ -129,3 +129,50 @@ def test_high_spread_queries_get_outlier_reruns(monkeypatch):
     assert len(by_name["stable"]["iterations"]) == 2
     # the re-runs restored a reachable minimum
     assert headline_seconds(by_name["noisy"]) == 0.1
+
+
+def test_prepare_sorted_dir_preserves_results(spark, tmp_path):
+    """--sorted analog (reference options.rs:60-66): the clustered rewrite
+    must (a) produce every source table, (b) leave query results identical,
+    and (c) lay lineitem out in narrow disjoint l_shipdate intervals per
+    file so min/max stats prune selective scans."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datafusion_distributed_experiment_spark.bench import prepare_sorted_dir
+    from .conftest import SF_DIR
+
+    dest = prepare_sorted_dir(spark, SF_DIR, str(tmp_path / "sorted"))
+    for t in ("lineitem", "orders", "events", "embeddings"):
+        assert os.path.exists(os.path.join(dest, f"{t}.parquet")), t
+
+    q = "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s, COUNT(*) AS n FROM {t}"
+    plain = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plain.createOrReplaceTempView("li_plain")
+    spark.read.parquet(f"{dest}/lineitem.parquet").createOrReplaceTempView("li_sorted")
+    assert (
+        spark.sql(q.format(t="li_plain")).collect()
+        == spark.sql(q.format(t="li_sorted")).collect()
+    )
+
+    # clustered layout: per-file l_shipdate min/max intervals are disjoint
+    # (allowing single-point overlap at range-partition boundaries)
+    files = sorted(
+        os.path.join(dest, "lineitem.parquet", f)
+        for f in os.listdir(os.path.join(dest, "lineitem.parquet"))
+        if f.endswith(".parquet")
+    )
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_shipdate"
+        )
+        stats = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+        spans.append((min(s.min for s in stats), max(s.max for s in stats)))
+    spans.sort()
+    assert len(spans) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
