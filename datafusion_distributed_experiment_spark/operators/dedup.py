@@ -473,8 +473,9 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     chain, which measured *exponential* (2s -> 23s -> 228s per round) before
     the checkpoint. At 100 TB the same loop holds (edges are pairs-sized,
     labels one row per *duplicated* doc — both far smaller than the corpus);
-    graphs with large diameter would swap this loop for the O(log n)-round
-    large-star/small-star variant, same join primitive."""
+    graphs with large diameter should use :func:`connected_components_star`
+    (the O(log n)-round large-star/small-star variant, same join
+    primitive)."""
     pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
     spark = pairs.sparkSession
     # Size the loop's shuffle width to the GRAPH's volume, not the corpus
@@ -535,6 +536,106 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     finally:
         spark.catalog.dropGlobalTempView(view)
     return labels
+
+
+def connected_components_star(pairs: DataFrame, max_iters: int = 32) -> DataFrame:
+    """Alternating large-star/small-star connected components — the
+    O(log n)-round alternative to :func:`connected_components` for
+    HIGH-DIAMETER graphs (a path of length d needs d rounds of min-label
+    propagation but only O(log d) star rounds, because both phases perform
+    pointer-doubling-style contractions).
+
+    Public algorithm (Kiveris et al., *Connected Components in MapReduce and
+    Beyond*, SoCC'14):
+
+    - large-star: every node u connects each STRICTLY LARGER neighbor to the
+      minimum of its closed neighborhood min(Γ(u) ∪ {u});
+    - small-star: edges oriented large→small; every node u connects each
+      smaller-or-equal neighbor (and itself) to that minimum.
+
+    Both phases are one groupBy + one join keyed on the star center — the
+    identical shuffle primitive as the label-propagation loop, with the same
+    per-round ``localCheckpoint`` lineage truncation and graph-volume-scoped
+    shuffle width. Convergence is an O(1)-row checksum fixpoint (edge count +
+    order-insensitive xxhash sum), not a diffing join. Same output contract
+    as :func:`connected_components`: (doc_id, cluster_id = min reachable
+    doc_id) for every node of the input pair graph."""
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+    spark = pairs.sparkSession
+    n_edges = pairs.count()
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cc_width = max(4, min(session_width, n_edges // 100_000 + 1))
+    from ..session import scoped_session
+
+    cc_spark = scoped_session(spark, {"spark.sql.shuffle.partitions": str(cc_width)})
+    import uuid
+
+    view = f"cc_star_pairs_{uuid.uuid4().hex}"
+    pairs.createGlobalTempView(view)
+    try:
+        base = cc_spark.table(f"global_temp.{view}")
+        nodes = (
+            base.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(base.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+            .localCheckpoint()
+        )
+        # edge list L, self-loops dropped; (u, v) is undirected
+        L = (
+            base.filter(F.col("doc_a") != F.col("doc_b"))
+            .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+
+        def _checksum(df: DataFrame) -> tuple:
+            row = df.agg(
+                F.count("*").alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")
+            ).collect()[0]
+            return (row["n"], row["h"])
+
+        prev = _checksum(L)
+        for _ in range(max_iters):
+            if prev[0] == 0:  # edgeless graph
+                break
+            # ---- large-star: neighbors v > u attach to min(Γ(u) ∪ {u})
+            nbrs = L.unionAll(L.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+            L = (
+                nbrs.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # ---- small-star: orient large→small, attach Γ⁻(u) ∪ {u} to min
+            D = L.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            ).distinct()
+            m2 = D.groupBy("u").agg(F.min("v").alias("m"))
+            L = (
+                D.join(m2, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionAll(m2.select("u", F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint()
+            )
+            cur = _checksum(L)
+            if cur == prev:
+                break
+            prev = cur
+        # at fixpoint L is a set of stars (node -> component minimum);
+        # isolated nodes (only ever in self-pairs) label themselves
+        return nodes.join(
+            L.select(F.col("u").alias("doc_id"), F.col("v").alias("parent")),
+            "doc_id",
+            "left",
+        ).select(
+            "doc_id", F.coalesce("parent", "doc_id").alias("cluster_id")
+        )
+    finally:
+        spark.catalog.dropGlobalTempView(view)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

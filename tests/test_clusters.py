@@ -125,3 +125,82 @@ def test_scoped_width_is_concurrency_safe(spark):
         t.join()
     assert not errors, errors
     assert spark.conf.get("spark.sql.shuffle.partitions") == parent_width
+
+
+def _py_components(edges):
+    """Driver-side union-find ground truth (min-id representative)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def _star_cc(spark, edges):
+    from datafusion_distributed_experiment_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(edges or [(0, 0)], "doc_a long, doc_b long")
+    if not edges:
+        pairs = pairs.limit(0)
+    return {
+        r["doc_id"]: r["cluster_id"] for r in connected_components_star(pairs).collect()
+    }
+
+
+def test_star_cc_matches_union_find_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+        want = _py_components(edges)
+        got = _star_cc(spark, edges)
+        assert got == want, (trial, got, want)
+
+
+def test_star_cc_handles_high_diameter_beyond_label_prop_budget(spark):
+    """A path of length 40 has diameter > MAX_CC_ITERS (the label-prop
+    round budget); the star variant's pointer-doubling contracts it within
+    its O(log n) rounds — the exact case the variant exists for."""
+    from datafusion_distributed_experiment_spark.operators.dedup import MAX_CC_ITERS
+
+    n = 41
+    assert n - 1 > MAX_CC_ITERS
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = _star_cc(spark, edges)
+    assert got == {i: 0 for i in range(n)}, got
+
+
+def test_star_cc_agrees_with_label_prop_on_dedup_pairs(spark):
+    """Differential: both CC algorithms produce identical clusters on the
+    real mined near-dup pair graph."""
+    from datafusion_distributed_experiment_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        minhash_dedup_pairs,
+    )
+
+    from .conftest import SF_DIR
+
+    pairs = minhash_dedup_pairs(spark, SF_DIR).select("doc_a", "doc_b")
+    a = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    b = {r["doc_id"]: r["cluster_id"] for r in connected_components_star(pairs).collect()}
+    assert a == b
+
+
+def test_star_cc_empty_and_self_loop_graphs(spark):
+    assert _star_cc(spark, []) == {}
+    assert _star_cc(spark, [(5, 5)]) == {5: 5}
