@@ -22,14 +22,19 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 FASTER_RATIO = 1.2  # reference util/run.rs:246-252
-# Outlier re-run policy: a query whose within-run spread (max/min elapsed)
-# exceeds this after the interleaved passes gets RERUN_EXTRA additional timed
-# iterations. Rationale: contamination on this host is additive and episodic;
-# when an episode hits several of a query's passes, one or two clean extra
-# iterations restore a reachable minimum — measured back-to-back agreement on
-# the worst queries (q15/q16 spreads 3.9-7.5x) is what this targets.
-RERUN_SPREAD = 2.0
-RERUN_EXTRA = 2
+# Floor passes: after the interleaved passes, EVERY query gets this many
+# extra CONSECUTIVE timed iterations. Measured rationale (two back-to-back
+# sf0.1 runs): consecutive same-query executions reach a warm floor that
+# interleaved passes systematically miss (e.g. events_cube interleaved min
+# 284ms, consecutive 208ms; q14 191ms -> 139ms) — re-executing a just-run
+# query hits hot JIT'd codegen and cached scan state. A spread-conditional
+# version of this was tried first and made runs INCOMPARABLE: whichever run
+# happened to trigger more re-runs sampled the floor regime more, producing
+# one-sided 1.2-1.6x "regressions" on 13/76 queries with low within-run
+# spread. Unconditional floor passes keep the sampled regimes identical
+# across runs; the interleaved passes remain the episode defense (a
+# multi-minute host slowdown still lands on each query at most once).
+FLOOR_EXTRA = 2
 
 
 def _force(df: DataFrame) -> int:
@@ -222,35 +227,35 @@ def run_benchmark(
         # before the next pass's batch queries are timed.
         if clear_cache:
             _isolate(spark)
-    # Outlier re-runs: queries whose spread still exceeds RERUN_SPREAD after
-    # the interleaved passes get extra iterations (tier order preserved, so
-    # streaming re-runs stay last and cannot contaminate batch re-runs).
+    # Floor passes: FLOOR_EXTRA consecutive iterations per query, for every
+    # query (tier order preserved, so streaming floor passes stay last and
+    # cannot contaminate batch timings). See the FLOOR_EXTRA comment for the
+    # measured mechanism; the min estimator then reads the warm floor, which
+    # both runs of a back-to-back pair can reach.
     if iterations > 1:
         for tier_name, tier_queries in tiers:
-            reran = False
             for name, fn in tier_queries.items():
                 entry = entries[name]
                 if not entry["success"]:
                     continue
-                r = spread_ratio(entry)
-                if r is None or r <= RERUN_SPREAD:
-                    continue
-                reran = True
-                for _ in range(RERUN_EXTRA):
+                for _ in range(FLOOR_EXTRA):
                     t0 = time.perf_counter()
                     try:
                         n = _force(fn(spark, sf_dir))
                         elapsed = time.perf_counter() - t0
                         entry["iterations"].append(
-                            {"elapsed_ms": round(elapsed * 1000, 1), "row_count": n, "rerun": True}
+                            {"elapsed_ms": round(elapsed * 1000, 1), "row_count": n, "floor": True}
                         )
                     except Exception as exc:  # noqa: BLE001
                         entry["success"] = False
                         entry["error"] = str(exc).splitlines()[0][:200]
                         break
+                    # evict per iteration exactly like the main passes — the
+                    # floor regime is JIT/page-cache warmth, not persisted-
+                    # intermediate reuse (which would measure a different job)
                     if clear_cache:
                         spark.catalog.clearCache()
-            if reran and clear_cache and tier_name in MEASURE_LAST_TIERS:
+            if clear_cache and tier_name in MEASURE_LAST_TIERS:
                 _isolate(spark)
     return results
 

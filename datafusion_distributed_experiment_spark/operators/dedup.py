@@ -589,8 +589,12 @@ def connected_components_star(pairs: DataFrame, max_iters: int = 32) -> DataFram
         )
 
         def _checksum(df: DataFrame) -> tuple:
+            # bit_xor, not sum: order-insensitive, exact on the distinct edge
+            # set, and cannot overflow (a sum of 64-bit hashes trips ANSI
+            # overflow checking on externally-built sessions)
             row = df.agg(
-                F.count("*").alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
             ).collect()[0]
             return (row["n"], row["h"])
 
@@ -644,7 +648,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph, plus an ``is_canonical`` keep-flag — the final step of a dedup
     cascade (pair mining says *what matches*; clustering says *what to keep*,
     and everything with ``is_canonical = false`` is the drop set)."""
-    labels = connected_components(minhash_dedup_pairs(spark, sf_dir))
+    return _cluster_output(connected_components(minhash_dedup_pairs(spark, sf_dir)))
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_clusters` computed with the O(log n)-round
+    large-star/small-star CC instead of min-label propagation — identical
+    output contract (and the identical DuckDB oracle), declared as its own
+    query so the driver verifies BOTH clustering algorithms end-to-end."""
+    return _cluster_output(connected_components_star(minhash_dedup_pairs(spark, sf_dir)))
+
+
+def _cluster_output(labels: DataFrame) -> DataFrame:
     return labels.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -662,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup_pairs": simhash_dedup_pairs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "dedup_clusters": dedup_clusters,
+        "dedup_clusters_star": dedup_clusters_star,
     }
 
 
@@ -772,6 +788,14 @@ _DUCK_INCREMENTAL = f"""idx_bands AS (
 
 
 def oracles() -> dict[str, str]:
+    out = _oracles()
+    # Both CC algorithms must reproduce the identical clustering — the star
+    # variant is graded against the very same recursive-CTE oracle.
+    out["dedup_clusters_star"] = out["dedup_clusters"]
+    return out
+
+
+def _oracles() -> dict[str, str]:
     return {
         "dedup_exact": f"""
             WITH {_DUCK_CORPUS}

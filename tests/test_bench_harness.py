@@ -4,7 +4,7 @@ failure isolation, min/spread estimators, and measure-last tier ordering."""
 from __future__ import annotations
 
 from datafusion_distributed_experiment_spark.bench import (
-    RERUN_EXTRA,
+    FLOOR_EXTRA,
     headline_seconds,
     mean_iter_seconds,
     mean_seconds,
@@ -45,9 +45,10 @@ def test_interleaved_passes_and_measure_last_tier():
         _FakeSpark(), None, "sf", iterations=2, warmup=False, tiers=tiers,
         clear_cache=False, warm_epoch=False,
     )
-    # pass 1 of every query precedes pass 2 of any; streaming at each pass end
-    assert log == ["a", "b", "s1", "a", "b", "s1"], log
-    assert all(len(e["iterations"]) == 2 for e in results["queries"])
+    # pass 1 of every query precedes pass 2 of any; streaming at each pass
+    # end; then per-query consecutive floor passes, streaming tier still last
+    assert log == ["a", "b", "s1", "a", "b", "s1", "a", "a", "b", "b", "s1", "s1"], log
+    assert all(len(e["iterations"]) == 2 + FLOOR_EXTRA for e in results["queries"])
     assert [e["tier"] for e in results["queries"]] == ["sql", "sql", "streaming"]
 
 
@@ -79,9 +80,9 @@ def test_failing_query_is_isolated_and_skipped_in_later_passes():
     assert by_name["boom"]["success"] is False
     assert "kaput" in by_name["boom"]["error"]
     assert not by_name["boom"]["iterations"]
-    # neighbors unaffected, all passes measured
-    assert len(by_name["ok"]["iterations"]) == 3
-    assert len(by_name["after"]["iterations"]) == 3
+    # neighbors unaffected: all passes + floor iterations measured
+    assert len(by_name["ok"]["iterations"]) == 3 + FLOOR_EXTRA
+    assert len(by_name["after"]["iterations"]) == 3 + FLOOR_EXTRA
 
 
 def test_min_estimator_and_spread():
@@ -96,16 +97,19 @@ def test_min_estimator_and_spread():
     assert mean_iter_seconds({"iterations": []}) is None
 
 
-def test_high_spread_queries_get_outlier_reruns(monkeypatch):
-    """A query whose spread exceeds RERUN_SPREAD after the interleaved passes
-    earns RERUN_EXTRA extra iterations; stable queries do not."""
+def test_every_query_gets_consecutive_floor_passes(monkeypatch):
+    """After the interleaved passes EVERY query gets FLOOR_EXTRA extra
+    consecutive iterations (tagged 'floor') — unconditionally, so two
+    back-to-back runs always sample the identical regimes (a
+    spread-conditional version made runs incomparable: whichever run
+    triggered more re-runs read a lower warm-floor minimum)."""
     from datafusion_distributed_experiment_spark import bench as bench_mod
 
     # Scripted clock: perf_counter is called exactly twice per measured
     # iteration (t0, then elapsed); feed deltas in call order.
-    # passes (interleaved): noisy .1s, stable .1s | noisy 1.0s, stable .1s
-    # re-runs (noisy only): .1s, .1s
-    deltas = iter([0.1, 0.1, 1.0, 0.1, 0.1, 0.1])
+    # interleaved passes: a .2s, b .2s | a 1.0s, b .2s
+    # floor passes: a .1s, a .1s, b .1s, b .1s (consecutive per query)
+    deltas = iter([0.2, 0.2, 1.0, 0.2, 0.1, 0.1, 0.1, 0.1])
     clock = {"t": 0.0, "pending": None}
 
     def fake_perf_counter():
@@ -118,17 +122,19 @@ def test_high_spread_queries_get_outlier_reruns(monkeypatch):
 
     monkeypatch.setattr(bench_mod.time, "perf_counter", fake_perf_counter)
     log: list[str] = []
-    tiers = [("sql", {"noisy": _q(log, "noisy"), "stable": _q(log, "stable")})]
+    tiers = [("sql", {"a": _q(log, "a"), "b": _q(log, "b")})]
     results = run_benchmark(
         _FakeSpark(), None, "sf", iterations=2, warmup=False, tiers=tiers,
         clear_cache=False, warm_epoch=False,
     )
+    # execution order: interleaved (a b a b) then consecutive floors (a a b b)
+    assert log == ["a", "b", "a", "b", "a", "a", "b", "b"], log
     by_name = {e["query"]: e for e in results["queries"]}
-    assert len(by_name["noisy"]["iterations"]) == 2 + RERUN_EXTRA
-    assert all(i.get("rerun") for i in by_name["noisy"]["iterations"][2:])
-    assert len(by_name["stable"]["iterations"]) == 2
-    # the re-runs restored a reachable minimum
-    assert headline_seconds(by_name["noisy"]) == 0.1
+    for name in ("a", "b"):
+        assert len(by_name[name]["iterations"]) == 2 + FLOOR_EXTRA
+        assert all(i.get("floor") for i in by_name[name]["iterations"][2:])
+        # the floor passes are what the min estimator reads
+        assert headline_seconds(by_name[name]) == 0.1
 
 
 def test_prepare_sorted_dir_preserves_results(spark, tmp_path):
