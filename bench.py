@@ -40,6 +40,7 @@ def main() -> int:
     from datafusion_distributed_experiment_spark import build_session
     from datafusion_distributed_experiment_spark.bench import (
         FASTER_RATIO,
+        floor_spread_ratio,
         headline_seconds,
         mean_iter_seconds,
         run_benchmark,
@@ -103,6 +104,7 @@ def main() -> int:
 
     per_query = {}
     spread = {}
+    floor_spread = {}
     means = {}
     total = 0.0
     for q in results["queries"]:
@@ -116,25 +118,28 @@ def main() -> int:
         r = spread_ratio(q)
         if r is not None:
             spread[q["query"]] = r
+        fr = floor_spread_ratio(q)
+        if fr is not None:
+            floor_spread[q["query"]] = fr
         m = mean_iter_seconds(q)
         if m is not None:
             means[q["query"]] = round(m, 3)
     # Detail lines FIRST (free to be long / truncated by tail capture):
     # per-query mean alongside the min headline, and an explicit flag for
-    # every query whose within-run spread exceeds the reference's 1.2x
-    # regression threshold — the class of intermittent regressions the min
-    # estimator cannot see on its own.
+    # every query whose FLOOR-block spread exceeds the reference's 1.2x
+    # regression threshold — an episode hit the block the headline min is
+    # read from, the class of instability the min cannot see on its own.
     print(json.dumps({"detail": "mean_seconds_per_query", "means": means}))
     print(json.dumps({"detail": "spread_ratio_per_query", "spread": spread}))
     unstable = sorted(
-        (name for name, r in spread.items() if r > FASTER_RATIO),
-        key=lambda n: -spread[n],
+        (name for name, r in floor_spread.items() if r > FASTER_RATIO),
+        key=lambda n: -floor_spread[n],
     )
     if unstable:
         print(
-            "spread>1.2x (headline cannot support a regression verdict at the "
-            "1.2x threshold): "
-            + ", ".join(f"{n}={spread[n]}x" for n in unstable)
+            "floor-spread>1.2x (headline cannot support a regression verdict "
+            "at the 1.2x threshold): "
+            + ", ".join(f"{n}={floor_spread[n]}x" for n in unstable)
         )
     # Compact summary line LAST — the driver parses the tail of stdout.
     print(

@@ -34,7 +34,11 @@ FASTER_RATIO = 1.2  # reference util/run.rs:246-252
 # spread. Unconditional floor passes keep the sampled regimes identical
 # across runs; the interleaved passes remain the episode defense (a
 # multi-minute host slowdown still lands on each query at most once).
-FLOOR_EXTRA = 2
+# 4 passes, not 2: measured floor blocks were still descending at sample 2
+# (dedup_exact 428->272ms, q6 172->134ms, q15 431->288ms), and a block that
+# catches a host episode needs surviving samples — with 2, one bad sample
+# halves the evidence.
+FLOOR_EXTRA = 4
 
 
 def _force(df: DataFrame) -> int:
@@ -304,14 +308,29 @@ def mean_iter_seconds(entry: dict) -> float | None:
 
 
 def spread_ratio(entry: dict) -> float | None:
-    """max/min elapsed across iterations — the within-run variance signal.
-    A spread beyond the reference's 1.2x regression threshold
-    (util/run.rs:246-252) means this query's headline number cannot support
-    a regression verdict at that threshold."""
+    """max/min elapsed across ALL iterations — the within-run variance
+    signal. With the floor protocol this deliberately includes the
+    interleaved-vs-floor regime gap, so it reads as 'how far above the
+    floor can this query run'; use :func:`floor_spread_ratio` for the
+    headline-stability signal."""
     its = entry.get("iterations") or []
     if len(its) < 2:
         return None
     vals = [i["elapsed_ms"] for i in its]
+    lo = min(vals)
+    return round(max(vals) / lo, 2) if lo > 0 else None
+
+
+def floor_spread_ratio(entry: dict) -> float | None:
+    """max/min over the consecutive FLOOR iterations only. The headline min
+    almost always comes from the floor block, so this is the direct
+    stability signal: beyond the reference's 1.2x regression threshold
+    (util/run.rs:246-252) it means an episode hit the floor block and this
+    query's headline cannot support a regression verdict at that
+    threshold."""
+    vals = [i["elapsed_ms"] for i in entry.get("iterations") or [] if i.get("floor")]
+    if len(vals) < 2:
+        return None
     lo = min(vals)
     return round(max(vals) / lo, 2) if lo > 0 else None
 

@@ -47,7 +47,8 @@ def test_interleaved_passes_and_measure_last_tier():
     )
     # pass 1 of every query precedes pass 2 of any; streaming at each pass
     # end; then per-query consecutive floor passes, streaming tier still last
-    assert log == ["a", "b", "s1", "a", "b", "s1", "a", "a", "b", "b", "s1", "s1"], log
+    floors = ["a"] * FLOOR_EXTRA + ["b"] * FLOOR_EXTRA + ["s1"] * FLOOR_EXTRA
+    assert log == ["a", "b", "s1", "a", "b", "s1", *floors], log
     assert all(len(e["iterations"]) == 2 + FLOOR_EXTRA for e in results["queries"])
     assert [e["tier"] for e in results["queries"]] == ["sql", "sql", "streaming"]
 
@@ -108,8 +109,8 @@ def test_every_query_gets_consecutive_floor_passes(monkeypatch):
     # Scripted clock: perf_counter is called exactly twice per measured
     # iteration (t0, then elapsed); feed deltas in call order.
     # interleaved passes: a .2s, b .2s | a 1.0s, b .2s
-    # floor passes: a .1s, a .1s, b .1s, b .1s (consecutive per query)
-    deltas = iter([0.2, 0.2, 1.0, 0.2, 0.1, 0.1, 0.1, 0.1])
+    # floor passes: FLOOR_EXTRA x .1s for a, then for b (consecutive)
+    deltas = iter([0.2, 0.2, 1.0, 0.2] + [0.1] * (2 * FLOOR_EXTRA))
     clock = {"t": 0.0, "pending": None}
 
     def fake_perf_counter():
@@ -127,8 +128,8 @@ def test_every_query_gets_consecutive_floor_passes(monkeypatch):
         _FakeSpark(), None, "sf", iterations=2, warmup=False, tiers=tiers,
         clear_cache=False, warm_epoch=False,
     )
-    # execution order: interleaved (a b a b) then consecutive floors (a a b b)
-    assert log == ["a", "b", "a", "b", "a", "a", "b", "b"], log
+    # execution order: interleaved (a b a b) then consecutive floors per query
+    assert log == ["a", "b", "a", "b"] + ["a"] * FLOOR_EXTRA + ["b"] * FLOOR_EXTRA, log
     by_name = {e["query"]: e for e in results["queries"]}
     for name in ("a", "b"):
         assert len(by_name[name]["iterations"]) == 2 + FLOOR_EXTRA
