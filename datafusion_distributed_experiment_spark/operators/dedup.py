@@ -557,7 +557,7 @@ def connected_components_star(pairs: DataFrame, max_iters: int = 32) -> DataFram
     identical shuffle primitive as the label-propagation loop, with the same
     per-round ``localCheckpoint`` lineage truncation and graph-volume-scoped
     shuffle width. Convergence is an O(1)-row checksum fixpoint (edge count +
-    order-insensitive xxhash sum), not a diffing join. Same output contract
+    order-insensitive xxhash bit-xor), not a diffing join. Same output contract
     as :func:`connected_components`: (doc_id, cluster_id = min reachable
     doc_id) for every node of the input pair graph."""
     pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
