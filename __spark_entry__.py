@@ -125,7 +125,11 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     from datafusion_distributed_experiment_spark.operators import pipeline_tiers
 
     tiers = pipeline_tiers()
-    lead = [t for t in tiers if t[0] in ("dedup", "similarity", "multimodal", "curation")]
+    lead = [
+        t
+        for t in tiers
+        if t[0] in ("dedup", "similarity", "multimodal", "curation", "joins")
+    ]
     rest = [t for t in tiers if t not in lead]
     return [*lead, ("sql", sql), *rest]
 

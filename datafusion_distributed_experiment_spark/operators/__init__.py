@@ -40,13 +40,14 @@ def pipeline_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], 
     (observed 0.7s -> 5-8s on the text tier when streaming preceded it)."""
     from ..streaming import events as streaming_events
     from ..streaming import stateful
-    from . import curation, dedup, multimodal, pipeline, similarity, temporal, text
+    from . import curation, dedup, joins, multimodal, pipeline, similarity, temporal, text
 
     return [
         ("dedup", dedup.queries()),
         ("similarity", similarity.queries()),
         ("multimodal", multimodal.queries()),
         ("curation", curation.queries()),
+        ("joins", joins.queries()),
         ("stateful", stateful.queries()),
         ("pipeline", pipeline.queries()),
         ("temporal", temporal.queries()),
@@ -65,9 +66,10 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def pipeline_oracles() -> dict[str, str]:
     from ..streaming import events as streaming_events
     from ..streaming import stateful
-    from . import curation, dedup, multimodal, pipeline, similarity, temporal, text
+    from . import curation, dedup, joins, multimodal, pipeline, similarity, temporal, text
 
     out: dict[str, str] = {}
+    out.update(joins.oracles())
     out.update(streaming_events.oracles())
     out.update(text.oracles())
     out.update(dedup.oracles())

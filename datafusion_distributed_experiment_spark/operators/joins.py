@@ -19,7 +19,9 @@ big to broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_SALT = 16
@@ -50,3 +52,48 @@ def salted_join(
     )
     cond = on & (l_salted[_SALT_COL] == r_salted[_SALT_COL])
     return l_salted.join(r_salted, cond, how).drop(_SALT_COL)
+
+
+SALT_EVENTS = 8
+
+
+def salted_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing salted-join query: the event stream joined to the
+    customer dimension through :func:`salted_join` (the hot-user-key
+    defense; dimension too big to broadcast is the scenario — here it is
+    forced non-broadcast by the salt replication itself), aggregated per
+    market segment. Salting must be row-identical to the plain join, so the
+    DuckDB oracle IS the plain join — the driver's hash compare is the
+    differential test at oracle strength."""
+    from ..sources.events import read_events
+
+    ev = read_events(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("cust_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, ev["user_id"] == cust["cust_id"], salt=SALT_EVENTS)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {"salted_events_enrich": salted_events_enrich}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "salted_events_enrich": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+    }
