@@ -113,10 +113,11 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     """Queries grouped by tier, gate-ordered: the driver oracle-checks the
     FIRST 50 entries, so the window rotates round-over-round until every
     query has a driver-verified CORRECTNESS row (round 5: the
-    dedup/similarity/multimodal/curation tiers lead — 28 entries — followed
-    by q1..q22 of the SQL corpus; everything displaced holds a green row in
-    CORRECTNESS_r04). The bench re-orders tiers for measurement isolation;
-    see ``operators.pipeline_tiers``."""
+    dedup/similarity/multimodal/curation/joins tiers lead — 30 entries —
+    followed by the head of the SQL corpus; everything displaced holds a
+    green row in a committed CORRECTNESS_r*.json, enforced by
+    tests/test_corpus_oracle.py). The bench re-orders tiers for measurement
+    isolation; see ``operators.pipeline_tiers``."""
     sql: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _SQL_QUERIES:
         sql[name.split("/", 1)[1]] = _run_corpus(name)

@@ -40,6 +40,8 @@ PROBE_OPS = [
     "user_sessions",
     "corpus_pipeline",
     "domain_resample",
+    "dedup_clusters_star",
+    "salted_events_enrich",
 ]
 
 
