@@ -284,9 +284,10 @@ def headline_seconds(entry: dict) -> float | None:
     the minimum estimates the uncontaminated cost and is reachable from both
     runs. A genuine plan regression raises ALL iterations, so the min still
     detects it. Back-to-back agreement: 36% of queries within 1.2x
-    (median-of-3, cold), 65% (median-of-3, warm), 86% (median-of-5);
-    min-of-5 is what the stability gate runs on. All raw iterations stay in
-    results.json.
+    (median-of-3, cold), 65% (median-of-3, warm), 86% (median-of-5); the
+    headline is now the min over all iterations — the interleaved passes
+    plus the FLOOR_EXTRA consecutive floor passes (see FLOOR_EXTRA for the
+    measured agreement ceiling). All raw iterations stay in results.json.
 
     The min structurally masks regressions that raise only SOME iterations
     (intermittent spill, GC pressure from a larger footprint) — which is why
