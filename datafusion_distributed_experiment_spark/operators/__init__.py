@@ -38,6 +38,7 @@ def pipeline_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], 
     checkpoint cleanup running for a while after it stops, which measurably
     contaminates the next few *batch* query timings in a sequential bench
     (observed 0.7s -> 5-8s on the text tier when streaming preceded it)."""
+    from ..sources import custom
     from ..streaming import events as streaming_events
     from ..streaming import stateful
     from . import curation, dedup, joins, multimodal, pipeline, similarity, temporal, text
@@ -48,6 +49,7 @@ def pipeline_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], 
         ("multimodal", multimodal.queries()),
         ("curation", curation.queries()),
         ("joins", joins.queries()),
+        ("custom", custom.queries()),
         ("stateful", stateful.queries()),
         ("pipeline", pipeline.queries()),
         ("temporal", temporal.queries()),
@@ -68,7 +70,10 @@ def pipeline_oracles() -> dict[str, str]:
     from ..streaming import stateful
     from . import curation, dedup, joins, multimodal, pipeline, similarity, temporal, text
 
+    from ..sources import custom
+
     out: dict[str, str] = {}
+    out.update(custom.oracles())
     out.update(joins.oracles())
     out.update(streaming_events.oracles())
     out.update(text.oracles())
