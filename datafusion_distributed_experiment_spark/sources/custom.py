@@ -24,7 +24,16 @@ import json
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
 FORMAT_NAME = "int64list"
 
@@ -45,34 +54,89 @@ class Int64ListSource(DataSource):
         return "numbers bigint"
 
     def reader(self, schema) -> "Int64ListReader":
+        # Spark REFUSES a reader that implements pushFilters while
+        # spark.sql.python.filterPushdown.enabled is false, so the pushdown
+        # subclass is chosen by the session-aware caller (int64_list sets
+        # the option from the live conf value).
+        if self.options.get("pushdown") == "1":
+            return Int64ListPushdownReader(self.options)
         return Int64ListReader(self.options)
+
+
+_PUSHABLE = {
+    EqualTo: lambda v, x: v == x,
+    GreaterThan: lambda v, x: v > x,
+    GreaterThanOrEqual: lambda v, x: v >= x,
+    LessThan: lambda v, x: v < x,
+    LessThanOrEqual: lambda v, x: v <= x,
+}
 
 
 class Int64ListReader(DataSourceReader):
     def __init__(self, options):
         self.values = [int(v) for v in json.loads(options.get("values", "[]"))]
         self.n_partitions = max(1, int(options.get("partitions", "2")))
-
-    def partitions(self) -> Sequence[InputPartition]:
-        return [InputPartition(i) for i in range(self.n_partitions)]
+        self.pushed: list = []
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         # round-robin assignment: partition i serves values[i::n] — the same
         # fixed per-partition batches the reference's Int64ListExec declares
         for v in self.values[partition.value :: self.n_partitions]:
-            yield (v,)
+            if all(_PUSHABLE[type(f)](v, f.value) for f in self.pushed):
+                yield (v,)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [InputPartition(i) for i in range(self.n_partitions)]
+
+
+class Int64ListPushdownReader(Int64ListReader):
+    """Reader variant with scan-level predicate pushdown (the reference's
+    ``DataSourceExec ... predicate=`` evidence, reference
+    ``tests/distributed_repartitions.rs:71``, for the custom source).
+    Separate class because Spark rejects any reader that implements
+    ``pushFilters`` while ``spark.sql.python.filterPushdown.enabled`` is
+    false."""
+
+    def pushFilters(self, filters):
+        """Absorb simple comparisons on ``numbers`` into the read — applied
+        per-partition at emit time, so unselective partitions ship
+        nothing. Unsupported filters are yielded back for Spark to apply."""
+        for f in filters:
+            if type(f) in _PUSHABLE and f.attribute == ("numbers",):
+                self.pushed.append(f)
+            else:
+                yield f
 
 
 _registered_sessions: set[int] = set()
 
 
 def register(spark: SparkSession) -> None:
-    """Idempotently register the source on the session (ships the class to
-    executors on use — the reference's ``add_user_codec`` analog)."""
+    """Idempotently register the source (ships the class to executors on
+    use — the reference's ``add_user_codec`` analog).
+
+    Spark 4.1 quirk (probed empirically): the Python data source registry
+    is GLOBAL for the duplicate-name check but SESSION-LOCAL for lookup —
+    a sibling ``newSession()`` can neither re-register the name
+    (DATA_SOURCE_ALREADY_EXISTS) nor read it (DATA_SOURCE_NOT_FOUND).
+    Register and read on the same session; the ALREADY_EXISTS swallow below
+    keeps ``register`` idempotent across the sessions that can see the
+    original registration."""
     if id(spark) in _registered_sessions:
         return
-    spark.dataSource.register(Int64ListSource)
+    try:
+        spark.dataSource.register(Int64ListSource)
+    except Exception as exc:  # noqa: BLE001 - narrow on the error class
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise
     _registered_sessions.add(id(spark))
+
+
+def _pushdown_enabled(spark: SparkSession) -> bool:
+    try:
+        return spark.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
+    except Exception:  # noqa: BLE001 - conf unknown on exotic builds
+        return False
 
 
 def int64_list(
@@ -83,6 +147,7 @@ def int64_list(
         spark.read.format(FORMAT_NAME)
         .option("values", json.dumps(list(values)))
         .option("partitions", str(partitions))
+        .option("pushdown", "1" if _pushdown_enabled(spark) else "0")
         .load()
     )
 
