@@ -39,6 +39,12 @@ _SAMPLE = [
     "events_cube",
     "domain_resample",
     "user_sessions",
+    # round-5 additions: star-CC (iterative contractions), salted join
+    # (deterministic row-hash salting), custom Python data source
+    # (partitioned leaf) — each claims partition-count independence
+    "dedup_clusters_star",
+    "salted_events_enrich",
+    "custom_source_scan",
 ]
 
 

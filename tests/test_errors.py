@@ -48,3 +48,36 @@ def test_map_exception_preserves_message():
     err = map_exception(RuntimeError("original text here"))
     assert isinstance(err, ExecutionError)
     assert "original text here" in str(err)
+
+
+def test_custom_source_failure_message_survives_to_driver(spark):
+    """The closest Spark analog of the reference's ErrorExec (a CUSTOM
+    operator that always fails remotely, tests/error_propagation.rs:27-69):
+    a Python DataSource whose read() raises on executors must surface the
+    original message on the driver."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader
+
+    class _BoomSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "boom_source"
+
+        def schema(self):
+            return "x bigint"
+
+        def reader(self, schema):
+            return _BoomReader()
+
+    class _BoomReader(DataSourceReader):
+        def read(self, partition):
+            raise ValueError("remote source failed: 67890-marker")
+            yield  # pragma: no cover - makes this a generator
+
+    try:
+        spark.dataSource.register(_BoomSource)
+    except Exception as exc:  # already registered by a previous test run
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise
+    with pytest.raises(Exception) as exc:
+        spark.read.format("boom_source").load().collect()
+    assert "remote source failed: 67890-marker" in str(exc.value)
