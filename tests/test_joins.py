@@ -79,3 +79,20 @@ def test_invalid_salt_rejected(skewed):
     left, right = skewed
     with pytest.raises(ValueError):
         salted_join(left, right, left.k == right.k, salt=0)
+
+
+def test_salted_events_enrich_plan_carries_salt_conjunct(spark):
+    """The declared salted query must actually join on (key AND salt): the
+    salt column appears in the executed join condition and is dropped from
+    the output — the static skew-spreading shape that holds when the dim
+    side is too big to broadcast."""
+    from datafusion_distributed_experiment_spark.operators.joins import (
+        salted_events_enrich,
+    )
+
+    from .conftest import SF_DIR
+
+    df = salted_events_enrich(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, plan[:2000]
+    assert "__salt" not in df.columns
