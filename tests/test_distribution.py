@@ -77,3 +77,49 @@ def test_convert_cli_roundtrip(engine, tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "wrote 25 rows" in res.stdout
+
+
+def test_results_survive_forced_spill_pressure(engine, spark):
+    """Spill-path differential (the reference's --memory-limit/--mem-pool
+    scenario, benchmarks/src/util/options.rs:46-59,90-115): with the
+    sort-merge-join and window buffers forced to spill every few rows, a
+    join+aggregate and a window query must produce identical results to the
+    unpressured run — Spark's UnifiedMemoryManager spill machinery is the
+    engine's memory-limit answer, and it must be lossless."""
+    from datafusion_distributed_experiment_spark.session import scoped_session
+
+    join_sql = (
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    window_sql = (
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) OVER "
+        "(PARTITION BY l_orderkey ORDER BY l_linenumber) AS BIGINT) AS run_qty "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500"
+    )
+    plain = [engine.sql(q).collect() for q in (join_sql, window_sql)]
+
+    pressured = scoped_session(spark, {})
+    from datafusion_distributed_experiment_spark import Engine
+
+    peng = Engine(pressured)  # engine defaults first...
+    # ...then the pressure overrides: spill after a handful of buffered
+    # rows, and force the sort-merge path so the spilling buffers are
+    # actually on the plan (broadcast would bypass them)
+    for k, v in {
+        "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "16",
+        "spark.sql.windowExec.buffer.spill.threshold": "16",
+        "spark.sql.join.preferSortMergeJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }.items():
+        pressured.conf.set(k, v)
+    from .conftest import SF_DIR
+
+    peng.register_sf_dir(SF_DIR)
+    plan = peng.sql(join_sql)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:1500]
+    under_pressure = [peng.sql(q).collect() for q in (join_sql, window_sql)]
+    assert under_pressure == plain
