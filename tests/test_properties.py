@@ -55,6 +55,28 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == _union_find(edges)
 
 
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_star_connected_components_matches_union_find(spark, edges):
+    """Same property for the O(log n)-round large-star/small-star variant —
+    both algorithms must agree with union-find on arbitrary graphs."""
+    from datafusion_distributed_experiment_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components_star(pairs).collect()
+    }
+    assert got == _union_find(edges)
+
+
 # ------------------------------------------------------------------ #
 # SQL script splitter: quotes, escaped quotes, comments
 # ------------------------------------------------------------------ #
