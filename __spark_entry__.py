@@ -129,7 +129,8 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     lead = [
         t
         for t in tiers
-        if t[0] in ("dedup", "similarity", "multimodal", "curation", "joins", "custom")
+        if t[0]
+        in ("dedup", "similarity", "multimodal", "curation", "joins", "cdc", "custom")
     ]
     rest = [t for t in tiers if t not in lead]
     return [*lead, ("sql", sql), *rest]

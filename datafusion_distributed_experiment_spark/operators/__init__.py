@@ -41,7 +41,17 @@ def pipeline_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], 
     from ..sources import custom
     from ..streaming import events as streaming_events
     from ..streaming import stateful
-    from . import curation, dedup, joins, multimodal, pipeline, similarity, temporal, text
+    from . import (
+        cdc,
+        curation,
+        dedup,
+        joins,
+        multimodal,
+        pipeline,
+        similarity,
+        temporal,
+        text,
+    )
 
     return [
         ("dedup", dedup.queries()),
@@ -49,6 +59,7 @@ def pipeline_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], 
         ("multimodal", multimodal.queries()),
         ("curation", curation.queries()),
         ("joins", joins.queries()),
+        ("cdc", cdc.queries()),
         ("custom", custom.queries()),
         ("stateful", stateful.queries()),
         ("pipeline", pipeline.queries()),
@@ -71,8 +82,10 @@ def pipeline_oracles() -> dict[str, str]:
     from . import curation, dedup, joins, multimodal, pipeline, similarity, temporal, text
 
     from ..sources import custom
+    from . import cdc
 
     out: dict[str, str] = {}
+    out.update(cdc.oracles())
     out.update(custom.oracles())
     out.update(joins.oracles())
     out.update(streaming_events.oracles())

@@ -1,0 +1,79 @@
+"""CDC merge: upsert/delete semantics, snapshot-map-only plan shape, and
+oracle-strength wiring for the declared query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_distributed_experiment_spark.operators.cdc import (
+    OP_COL,
+    cdc_apply_changes,
+    cdc_merge,
+)
+
+
+def _merge(spark, snapshot_rows, change_rows):
+    snap = spark.createDataFrame(snapshot_rows, "k long, seg string, v long")
+    chg = spark.createDataFrame(change_rows, f"k long, seg string, v long, {OP_COL} string")
+    out = cdc_merge(snap, chg, key="k")
+    return sorted((r["k"], r["seg"], r["v"]) for r in out.collect())
+
+
+def test_cdc_merge_semantics(spark):
+    snapshot = [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    changes = [
+        (2, "b2", 99, "U"),   # update replaces every non-key column
+        (3, None, 0, "D"),    # delete removes the key
+        (7, "n", 70, "I"),    # insert appends
+    ]
+    assert _merge(spark, snapshot, changes) == [(1, "a", 10), (2, "b2", 99), (7, "n", 70)]
+
+
+def test_cdc_merge_empty_changes_is_identity(spark):
+    snapshot = [(1, "a", 10), (2, "b", 20)]
+    assert _merge(spark, snapshot, []) == [(1, "a", 10), (2, "b", 20)]
+
+
+def test_cdc_merge_update_missing_key_is_noop_and_delete_unknown_too(spark):
+    """A 'U' for a key absent from the snapshot matches nothing (MERGE
+    WHEN MATCHED semantics); a 'D' for an unknown key removes nothing."""
+    snapshot = [(1, "a", 10)]
+    changes = [(9, "x", 1, "U"), (8, "y", 2, "D")]
+    assert _merge(spark, snapshot, changes) == [(1, "a", 10)]
+
+
+def test_cdc_snapshot_side_is_map_only(spark):
+    """The snapshot must reach the merge without shuffling: change ops are a
+    broadcast lookup (the daily-batch asymmetry — at 100 TB the snapshot
+    scan is the whole cost and it happens once, map-side)."""
+    from .conftest import SF_DIR
+
+    df = cdc_apply_changes(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # the only non-broadcast exchange is the final presentation sort
+    import re
+
+    shuffles = [
+        line
+        for line in plan.splitlines()
+        if "Exchange" in line and "Broadcast" not in line and "Reused" not in line
+    ]
+    assert all("rangepartitioning" in s.lower() for s in shuffles), shuffles
+
+
+def test_cdc_apply_changes_end_to_end_counts(spark):
+    """Deterministic change-batch arithmetic: |out| = |base| - |deletes| +
+    |inserts|, new keys live in NEWSEG, deleted keys are gone."""
+    from .conftest import SF_DIR
+
+    base = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    n = base.count()
+    n_del = base.filter(F.col("c_custkey") % 10 == 0).count()
+    n_ins = base.filter(F.col("c_custkey") % 10 == 3).count()
+    out = cdc_apply_changes(spark, SF_DIR)
+    assert out.count() == n - n_del + n_ins
+    assert out.filter(F.col("c_mktsegment") == "NEWSEG").count() == n_ins
+    assert out.filter(F.col("c_custkey") % 10 == 0).filter(
+        F.col("c_custkey") < 1_000_000
+    ).count() == 0
