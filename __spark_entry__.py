@@ -130,7 +130,16 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
         t
         for t in tiers
         if t[0]
-        in ("dedup", "similarity", "multimodal", "curation", "joins", "cdc", "custom")
+        in (
+            "dedup",
+            "similarity",
+            "multimodal",
+            "curation",
+            "joins",
+            "cdc",
+            "profile",
+            "custom",
+        )
     ]
     rest = [t for t in tiers if t not in lead]
     return [*lead, ("sql", sql), *rest]

@@ -48,6 +48,7 @@ def pipeline_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], 
         joins,
         multimodal,
         pipeline,
+        profile,
         similarity,
         temporal,
         text,
@@ -60,6 +61,7 @@ def pipeline_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], 
         ("curation", curation.queries()),
         ("joins", joins.queries()),
         ("cdc", cdc.queries()),
+        ("profile", profile.queries()),
         ("custom", custom.queries()),
         ("stateful", stateful.queries()),
         ("pipeline", pipeline.queries()),
@@ -82,9 +84,10 @@ def pipeline_oracles() -> dict[str, str]:
     from . import curation, dedup, joins, multimodal, pipeline, similarity, temporal, text
 
     from ..sources import custom
-    from . import cdc
+    from . import cdc, profile
 
     out: dict[str, str] = {}
+    out.update(profile.oracles())
     out.update(cdc.oracles())
     out.update(custom.oracles())
     out.update(joins.oracles())

@@ -77,3 +77,33 @@ def test_cdc_apply_changes_end_to_end_counts(spark):
     assert out.filter(F.col("c_custkey") % 10 == 0).filter(
         F.col("c_custkey") < 1_000_000
     ).count() == 0
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    from datafusion_distributed_experiment_spark.operators.profile import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b"), (None, None)],
+        "k int, s string",
+    )
+    got = {
+        r["column"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+        for r in profile_columns(df, ["k", "s"]).collect()
+    }
+    assert got == {"k": (5, 2, 3), "s": (5, 2, 2)}
+
+
+def test_profile_is_single_aggregate_pass(spark):
+    """All per-column statistics come from ONE aggregate over the table
+    (Expand-based multi-distinct), not a scan per column."""
+    from datafusion_distributed_experiment_spark.operators.profile import table_profile
+    from .conftest import SF_DIR
+
+    plan = table_profile(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    # "FileScan parquet" contains "Scan parquet"; count the common substring
+    assert plan.count("Scan parquet") <= 1, plan[:2000]
+    # multi-distinct planned through one grouped pass (Expand/gid FILTERs),
+    # partial+final split around a single exchange
+    assert "gid" in plan and "partial_count" in plan, plan[:2000]
