@@ -239,5 +239,73 @@ def write_clustered(
     out.write.mode("overwrite").option("compression", compression).parquet(path)
 
 
+Z_BITS = 8  # 256 bins per dimension; z key spans 16 bits
+
+
+def _zvalue(a, b, bits: int = Z_BITS):
+    """Interleave the low ``bits`` of two bin indices (Morton/Z curve) —
+    a pure JVM expression, no UDF."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    partitions: int | None = None,
+    compression: str = "zstd",
+    bits: int = Z_BITS,
+) -> None:
+    """Parquet sink clustered on a two-dimensional Z-ORDER (Morton) curve:
+    each value is binned (equi-width over the observed min/max), the two bin
+    indices are bit-interleaved, and the data is range-partitioned + sorted
+    on the interleaved key. Every file then covers a small set of quadtree
+    cells — bounded intervals in BOTH dimensions — so parquet min/max stats
+    prune selective filters on EITHER column, where a 1-D clustered layout
+    (:func:`write_clustered`) only prunes its single sort dimension.
+
+    Scale shape identical to write_clustered: the min/max bounds are one
+    tiny aggregate (driver-held model state, like the IVF centroids), the
+    z key is a map-side expression, and the single range exchange at write
+    time buys every future selective read on either dimension. Equi-width
+    binning keeps the bound computation O(1); heavily skewed dimensions
+    would swap in approxQuantile boundaries with the same interleave."""
+    from pyspark.sql import functions as F
+
+    ca, cb = cols
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    bounds = df.agg(
+        F.min(ca).alias("a_lo"),
+        F.max(ca).alias("a_hi"),
+        F.min(cb).alias("b_lo"),
+        F.max(cb).alias("b_hi"),
+    ).collect()[0]
+    nbins = 1 << bits
+
+    def _bin(col, lo, hi):
+        if hi <= lo:  # constant column: single bin
+            return F.lit(0).cast("long")
+        raw = F.width_bucket(F.col(col).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(nbins))
+        return F.greatest(F.lit(0), F.least(F.lit(nbins - 1), raw - 1)).cast("long")
+
+    z = _zvalue(_bin(ca, bounds["a_lo"], bounds["a_hi"]), _bin(cb, bounds["b_lo"], bounds["b_hi"]), bits)
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.mode("overwrite").option("compression", compression).parquet(path)
+
+
 def write_csv(df: DataFrame, path: str, sep: str = ",", header: bool = True) -> None:
     df.write.mode("overwrite").option("sep", sep).option("header", str(header).lower()).csv(path)
