@@ -138,6 +138,7 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
             "joins",
             "cdc",
             "profile",
+            "analytics",
             "custom",
         )
     ]

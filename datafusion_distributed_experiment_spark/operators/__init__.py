@@ -42,6 +42,7 @@ def pipeline_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], 
     from ..streaming import events as streaming_events
     from ..streaming import stateful
     from . import (
+        analytics,
         cdc,
         curation,
         dedup,
@@ -62,6 +63,7 @@ def pipeline_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], 
         ("joins", joins.queries()),
         ("cdc", cdc.queries()),
         ("profile", profile.queries()),
+        ("analytics", analytics.queries()),
         ("custom", custom.queries()),
         ("stateful", stateful.queries()),
         ("pipeline", pipeline.queries()),
@@ -84,9 +86,10 @@ def pipeline_oracles() -> dict[str, str]:
     from . import curation, dedup, joins, multimodal, pipeline, similarity, temporal, text
 
     from ..sources import custom
-    from . import cdc, profile
+    from . import analytics, cdc, profile
 
     out: dict[str, str] = {}
+    out.update(analytics.oracles())
     out.update(profile.oracles())
     out.update(cdc.oracles())
     out.update(custom.oracles())

@@ -1,0 +1,397 @@
+"""Behavioral / corpus analytics operators.
+
+The product-analytics layer over the event stream (funnels, cohort
+retention, pivoted activity matrices, exact percentiles, anomaly days) plus
+corpus-level term ranking — the query shapes a warehouse team runs daily on
+top of the same engine the reference exposes (the reference's surface stops
+at TPC-H-class SQL; these are the canonical "next" queries and exercise
+window cascades, pivot, and distinct-aggregation plans the SQL corpus does
+not cover; reference ``tests/tpch.rs:168-194`` is the analogous
+query-corpus harness).
+
+Every operator is designed around ONE scan of the fact table and the
+minimum number of exchanges (asserted in ``tests/test_plans.py``):
+
+- :func:`funnel` — cascaded cumulative-window minima share a single
+  ``user_id`` exchange with the final per-user aggregate;
+- :func:`retention` — a frame-less per-user window plus one cohort
+  aggregate (two exchanges, the second over per-user-day rows only);
+- :func:`events_pivot` — pivot with an EXPLICIT value list, so no
+  driver-side distinct-collection job precedes the single aggregate;
+- :func:`events_percentiles` — exact discrete percentiles by rank
+  selection, one sort exchange on the group key (at 100 TB you would swap
+  in a mergeable sketch — see ``temporal.events_kmv_distinct`` for the
+  sketch pattern — but the exact form is the oracle-verifiable baseline);
+- :func:`anomaly_days` — all second-pass statistics ride per-user windows
+  over ALREADY-aggregated per-user-day rows (tiny vs the fact table);
+- :func:`top_terms` — document frequencies are a broadcast dimension, so
+  the (doc, term) aggregate never reshuffles on term.
+
+All arithmetic is integer (epoch-ms, cents, ppm) so the DuckDB oracles
+compare bit-for-bit; anomaly z-scores are cleared of division entirely by
+scaling both sides (see :func:`anomaly_days`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import DUCK_TOKENS, tokens
+from ..sources.events import DUCK_EVENTS_MS, read_events
+
+MS_PER_DAY = 86_400_000
+
+#: Funnel stage sequence: a later stage only counts when it happens strictly
+#: after the (first qualifying occurrence of the) previous stage.
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+#: Explicit pivot domain — passing it to ``pivot()`` skips Spark's eager
+#: distinct-collection job (a full extra scan of the fact table at 100 TB).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+PERCENTILES = (50, 90, 99)
+
+TOP_TERMS_K = 3
+
+
+def _cum_window() -> Window:
+    """Cumulative event-order frame per user. ``event_id`` tie-breaks equal
+    timestamps so both engines see the identical row order."""
+    return (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase) per user.
+
+    A stage-k event qualifies only if it occurs STRICTLY after the first
+    qualifying stage-(k-1) event — the sequencing that a naive
+    min-per-type aggregation gets wrong (a purchase before the first view
+    must not count). Expressed as cascaded cumulative-window minima:
+    ``t1s`` carries "first view so far", so a click row can test
+    ``ts_ms > t1s`` locally; likewise ``t2s`` for purchases.
+
+    Scale shape: both windows and the final per-user aggregate share ONE
+    ``user_id`` hash exchange and one sort (same partitioning + ordering —
+    plan-asserted). State per user is O(1); no self-joins, no per-stage
+    re-scans of the fact table."""
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts_ms")
+    w = _cum_window()
+    v, c, p = (F.col("event_type") == s for s in FUNNEL_STAGES)
+    ts = F.col("ts_ms")
+    staged = (
+        ev.withColumn("t1s", F.min(F.when(v, ts)).over(w))
+        .withColumn("t2s", F.min(F.when(c & (ts > F.col("t1s")), ts)).over(w))
+    )
+    agg = staged.groupBy("user_id").agg(
+        F.min(F.when(v, ts)).alias("t_view"),
+        F.min(F.when(c & (ts > F.col("t1s")), ts)).alias("t_click"),
+        F.min(F.when(p & (ts > F.col("t2s")), ts)).alias("t_purchase"),
+    )
+    stage_cols = [F.col(f"t_{s}") for s in FUNNEL_STAGES]
+    stages = sum(
+        (F.when(sc.isNotNull(), 1).otherwise(0) for sc in stage_cols), F.lit(0)
+    )
+    return agg.select(
+        "user_id", *[f"t_{s}" for s in FUNNEL_STAGES],
+        stages.cast("long").alias("stages_completed"),
+    ).orderBy("user_id")
+
+
+def retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their first
+    event; for each (cohort_week, week_offset) the count of distinct users
+    active that many weeks later.
+
+    The first-event day rides a frame-less per-user window (one exchange on
+    ``user_id``); the cohort aggregate then shuffles per-user-DAY rows —
+    already collapsed far below the fact-table row count. Weeks are integer
+    day//7 buckets of the epoch-day, so no calendar/timezone dependency."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_ms DIV {MS_PER_DAY}").alias("day")
+    )
+    # Collapse to per-user-day BEFORE windowing: the window then runs over
+    # active-day rows, not raw events.
+    days = ev.distinct()
+    wu = Window.partitionBy("user_id")
+    staged = days.withColumn("first_day", F.min("day").over(wu))
+    return (
+        staged.select(
+            F.expr("first_day DIV 7").alias("cohort_week"),
+            F.expr("day DIV 7 - first_day DIV 7").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity matrix: one row per epoch-day, one count column per
+    event type. The pivot value list is EXPLICIT (:data:`EVENT_TYPES`), so
+    Spark skips the eager collect-distinct job and plans a single
+    partial/final aggregate — at 100 TB the implicit form would scan the
+    fact table twice. Absent (day, type) combinations surface as 0, matching
+    the oracle's ``COUNT(*) FILTER`` spelling."""
+    ev = read_events(spark, sf_dir).select(
+        F.expr(f"ts_ms DIV {MS_PER_DAY}").alias("day"), "event_type"
+    )
+    # count(lit(1)), not count("*"): Pivot's aggregate slot rejects the star.
+    pivoted = (
+        ev.groupBy("day").pivot("event_type", list(EVENT_TYPES)).agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    ).orderBy("day")
+
+
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete p50/p90/p99 of the event value per event type, by rank
+    selection: ``row_number`` over (value, event_id) within the type, pick
+    the rank ``ceil(n*p/100)`` (computed as ``(n*p + 99) DIV 100`` — pure
+    integer, no float quantile interpolation to diverge between engines).
+
+    One sort exchange on ``event_type``; the rank filter is a conditional
+    aggregate, not a join-back. This is the oracle-verifiable exact
+    baseline — at 100 TB a mergeable sketch replaces the per-group sort,
+    but group-local sorts (values of ONE type per task) also spill fine."""
+    ev = read_events(spark, sf_dir).select("event_type", "value_cents", "event_id")
+    wo = Window.partitionBy("event_type").orderBy("value_cents", "event_id")
+    wp = Window.partitionBy("event_type")
+    staged = ev.select(
+        "event_type",
+        "value_cents",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wp).alias("cnt"),
+    )
+    return (
+        staged.groupBy("event_type")
+        .agg(
+            F.max("cnt").cast("long").alias("n_events"),
+            *[
+                F.max(
+                    F.when(
+                        F.expr(f"rn = (cnt * {p} + 99) DIV 100"), F.col("value_cents")
+                    )
+                )
+                .cast("long")
+                .alias(f"p{p}_cents")
+                for p in PERCENTILES
+            ],
+        )
+        .orderBy("event_type")
+    )
+
+
+def anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomalous activity days: a (user, day) whose event count
+    deviates from that user's across-days mean by more than 2 population
+    standard deviations.
+
+    The z-score test is cleared of division and square roots so it is exact
+    in int64: with n = user's active days, S = sum of counts, Q = sum of
+    squared counts, flag when ``(n*cnt - S)^2 > 4*(n*Q - S^2)``
+    (both sides are the original inequality times n^2; 4 = z^2). Bounds: at
+    1e6 events/user-day and 1e4 days, n*Q fits int64 with margin; beyond
+    that, promote to decimal(38,0).
+
+    Scale shape: the fact table collapses to per-user-day counts first (one
+    exchange); the moment statistics are frame-less windows over those tiny
+    rows on the SAME user partitioning."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_ms DIV {MS_PER_DAY}").alias("day")
+    )
+    daily = ev.groupBy("user_id", "day").agg(F.count("*").cast("long").alias("cnt"))
+    wu = Window.partitionBy("user_id")
+    staged = daily.select(
+        "user_id",
+        "day",
+        "cnt",
+        F.count("*").over(wu).alias("n"),
+        F.sum("cnt").over(wu).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(wu).alias("q"),
+    )
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    var_scaled = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return staged.select(
+        "user_id",
+        "day",
+        "cnt",
+        (dev * dev > F.lit(4) * var_scaled).alias("is_anomaly"),
+    ).orderBy("user_id", "day")
+
+
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-:data:`TOP_TERMS_K` TF-IDF terms per document. The idf weight is
+    the integer surrogate ``score_ppm = floor(1e6 * tf / df)`` — order-
+    equivalent to tf/df and exactly reproducible cross-engine (no ``ln``,
+    whose last-bit rounding could flip ranks between engines); ties break on
+    the term itself.
+
+    Scale shape: term frequencies aggregate once on (doc_id, term);
+    document frequencies are a VOCABULARY-sized table — orders of magnitude
+    smaller than the corpus — broadcast back onto the tf rows so they never
+    reshuffle on term. The final per-doc ranking window is the only other
+    exchange."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        # tf feeds BOTH the df aggregate and the score join; without the
+        # checkpoint each branch would re-scan and re-tokenize the whole
+        # corpus (same recompute hazard the MinHash pipeline pins,
+        # operators/dedup.py). Checkpointed tf is (doc, term, count) — far
+        # smaller than the raw text it replaces.
+        .localCheckpoint()
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.floor(F.lit(1e6) * F.col("tf") / F.col("df")).cast("long").alias("score_ppm"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("score_ppm").desc(), F.col("term"))
+    return (
+        scored.select(
+            "doc_id", "term", "score_ppm",
+            F.row_number().over(wd).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TOP_TERMS_K)
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "funnel": funnel,
+        "retention": retention,
+        "events_pivot": events_pivot,
+        "events_percentiles": events_percentiles,
+        "anomaly_days": anomaly_days,
+        "top_terms": top_terms,
+    }
+
+
+_CUM = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+_TOKS = DUCK_TOKENS.format(x="text")
+
+
+def oracles() -> dict[str, str]:
+    pivot_cols = ",\n                   ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    pct_cols = ",\n                   ".join(
+        f"CAST(MAX(CASE WHEN rn = (cnt * {p} + 99) // 100 THEN value_cents END) AS BIGINT) AS p{p}_cents"
+        for p in PERCENTILES
+    )
+    return {
+        "funnel": f"""
+            WITH e AS ({DUCK_EVENTS_MS}),
+            w1 AS (
+                SELECT user_id, event_type, ts_ms,
+                       MIN(CASE WHEN event_type = 'view' THEN ts_ms END) OVER (
+                           PARTITION BY user_id ORDER BY ts_ms, event_id {_CUM}) AS t1s,
+                       event_id
+                FROM e),
+            w2 AS (
+                SELECT *,
+                       MIN(CASE WHEN event_type = 'click' AND ts_ms > t1s THEN ts_ms END) OVER (
+                           PARTITION BY user_id ORDER BY ts_ms, event_id {_CUM}) AS t2s
+                FROM w1),
+            agg AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view' THEN ts_ms END) AS t_view,
+                       MIN(CASE WHEN event_type = 'click' AND ts_ms > t1s THEN ts_ms END) AS t_click,
+                       MIN(CASE WHEN event_type = 'purchase' AND ts_ms > t2s THEN ts_ms END) AS t_purchase
+                FROM w2 GROUP BY user_id)
+            SELECT user_id, t_view, t_click, t_purchase,
+                   CAST((CASE WHEN t_view IS NULL THEN 0 ELSE 1 END)
+                      + (CASE WHEN t_click IS NULL THEN 0 ELSE 1 END)
+                      + (CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS stages_completed
+            FROM agg ORDER BY user_id
+        """,
+        "retention": f"""
+            WITH e AS ({DUCK_EVENTS_MS}),
+            days AS (
+                SELECT DISTINCT user_id, ts_ms // {MS_PER_DAY} AS day FROM e),
+            staged AS (
+                SELECT user_id, day,
+                       MIN(day) OVER (PARTITION BY user_id) AS first_day
+                FROM days)
+            SELECT first_day // 7 AS cohort_week,
+                   day // 7 - first_day // 7 AS week_offset,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM staged
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_pivot": f"""
+            WITH e AS ({DUCK_EVENTS_MS})
+            SELECT ts_ms // {MS_PER_DAY} AS day,
+                   {pivot_cols}
+            FROM e GROUP BY 1 ORDER BY 1
+        """,
+        "events_percentiles": f"""
+            WITH e AS ({DUCK_EVENTS_MS}),
+            staged AS (
+                SELECT event_type, value_cents,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value_cents, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS cnt
+                FROM e)
+            SELECT event_type,
+                   CAST(MAX(cnt) AS BIGINT) AS n_events,
+                   {pct_cols}
+            FROM staged GROUP BY event_type ORDER BY event_type
+        """,
+        "anomaly_days": f"""
+            WITH e AS ({DUCK_EVENTS_MS}),
+            daily AS (
+                SELECT user_id, ts_ms // {MS_PER_DAY} AS day,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM e GROUP BY 1, 2),
+            staged AS (
+                SELECT user_id, day, cnt,
+                       COUNT(*) OVER (PARTITION BY user_id) AS n,
+                       SUM(cnt) OVER (PARTITION BY user_id) AS s,
+                       SUM(cnt * cnt) OVER (PARTITION BY user_id) AS q
+                FROM daily)
+            SELECT user_id, day, cnt,
+                   (n * cnt - s) * (n * cnt - s) > 4 * (n * q - s * s) AS is_anomaly
+            FROM staged ORDER BY user_id, day
+        """,
+        "top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+            tf AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks GROUP BY 1, 2),
+            dfreq AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+            scored AS (
+                SELECT doc_id, term,
+                       CAST(FLOOR(1e6 * tf / df) AS BIGINT) AS score_ppm
+                FROM tf JOIN dfreq USING (term)),
+            ranked AS (
+                SELECT doc_id, term, score_ppm,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY score_ppm DESC, term) AS rnk
+                FROM scored)
+            SELECT doc_id, term, score_ppm, rnk
+            FROM ranked WHERE rnk <= {TOP_TERMS_K}
+            ORDER BY doc_id, rnk
+        """,
+    }

@@ -1,0 +1,134 @@
+"""Behavioral-analytics operators: oracle parity + the plan shapes that
+make them scale (single shared exchanges, explicit pivot domain, broadcast
+document frequencies)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_distributed_experiment_spark.operators import analytics
+from datafusion_distributed_experiment_spark.plans import plan_string, stage_summary
+
+from ._compare import assert_frames_match
+from .conftest import SF_DIR
+
+
+@pytest.mark.parametrize("name", sorted(analytics.queries()))
+def test_analytics_matches_oracle(spark, duck, name):
+    spark_df = analytics.queries()[name](spark, SF_DIR).toPandas()
+    oracle_df = duck.execute(analytics.oracles()[name]).df()
+    assert len(spark_df) > 0, f"{name}: empty result proves nothing"
+    assert_frames_match(spark_df, oracle_df, name)
+
+
+def test_funnel_shares_one_user_exchange(spark):
+    """Both cascaded windows AND the final per-user aggregate must ride a
+    single user_id hash exchange (same partitioning + ordering); the only
+    other exchange is the output-order range partitioning."""
+    df = analytics.funnel(spark, SF_DIR)
+    s = stage_summary(df)
+    assert s["exchanges"] == 2, s  # 1 hash on user_id + 1 output range sort
+    plan = plan_string(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window ") == 2, plan
+
+
+def test_funnel_is_ordered(spark):
+    """Stage sequencing: a later stage never precedes the first qualifying
+    occurrence of the previous one, and stage times strictly increase."""
+    rows = analytics.funnel(spark, SF_DIR).collect()
+    for r in rows:
+        if r.t_click is not None:
+            assert r.t_view is not None and r.t_click > r.t_view
+        if r.t_purchase is not None:
+            assert r.t_click is not None and r.t_purchase > r.t_click
+        done = sum(t is not None for t in (r.t_view, r.t_click, r.t_purchase))
+        assert r.stages_completed == done
+
+
+def test_events_pivot_has_no_distinct_collection_scan(spark):
+    """The explicit pivot value list must prevent the eager values-discovery
+    job: exactly ONE parquet scan in the plan (an implicit pivot plans a
+    second full scan just to enumerate event types)."""
+    df = analytics.events_pivot(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_percentiles_reuse_the_group_partitioning(spark):
+    """The rank-selection aggregate must reuse the window's event_type hash
+    partitioning — one data exchange total (plus the output sort)."""
+    df = analytics.events_percentiles(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_percentile_ranks_are_exact_order_statistics(spark, duck):
+    """p50/p90/p99 must be actual dataset values at the ceil(n*p/100)-th
+    order statistic — cross-check one group against a direct sort."""
+    row = (
+        analytics.events_percentiles(spark, SF_DIR)
+        .filter("event_type = 'click'")
+        .collect()[0]
+    )
+    vals = [
+        r[0]
+        for r in duck.execute(
+            "SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events "
+            "WHERE event_type = 'click' ORDER BY v"
+        ).fetchall()
+    ]
+    n = len(vals)
+    assert row.n_events == n
+    for p in analytics.PERCENTILES:
+        expect = vals[(n * p + 99) // 100 - 1]
+        assert row[f"p{p}_cents"] == expect, (p, n)
+
+
+def test_top_terms_broadcasts_document_frequencies(spark):
+    """The vocabulary-sized df table must broadcast back onto tf — the tf
+    rows never reshuffle on term."""
+    df = analytics.top_terms(spark, SF_DIR)
+    s = stage_summary(df)
+    assert s["broadcasts"] == 1, s
+    plan = plan_string(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_top_terms_scans_the_corpus_once(spark):
+    """tf feeds two branches; the checkpoint must keep the corpus scan (and
+    the tokenize + (doc,term) aggregate) from running twice."""
+    plan = plan_string(analytics.top_terms(spark, SF_DIR), "simple")
+    assert plan.count("FileScan parquet") == 0, plan  # checkpointed RDD scan only
+    assert plan.count("Scan ExistingRDD") >= 1, plan
+
+
+def test_anomaly_days_flags_are_2_sigma_exact(spark):
+    """Integer inequality == the real 2-sigma population test, re-derived
+    with floats per user."""
+    rows = analytics.anomaly_days(spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    flagged = 0
+    for days in by_user.values():
+        cnts = [r.cnt for r in days]
+        n = len(cnts)
+        mean = sum(cnts) / n
+        var = sum((c - mean) ** 2 for c in cnts) / n
+        for r in days:
+            expect = (r.cnt - mean) ** 2 > 4 * var + 1e-9
+            assert r.is_anomaly == expect, (r, mean, var)
+            flagged += r.is_anomaly
+    assert flagged > 0, "fixture produced no anomalies — test is vacuous"
+
+
+def test_retention_week0_has_full_cohorts(spark):
+    """Every cohort retains 100% of itself at week_offset 0, and retained
+    counts never exceed the cohort size."""
+    rows = analytics.retention(spark, SF_DIR).collect()
+    week0 = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    for r in rows:
+        assert r.week_offset >= 0
+        assert r.cohort_week in week0, r
+        assert r.n_users <= week0[r.cohort_week], r
