@@ -56,6 +56,91 @@ def salted_join(
 
 SALT_EVENTS = 8
 
+# Bloom semi-join reduction: bits per build-side key (16x => ~2 bits/key
+# false-positive mass with k=2 probes, fpp ~0.2%) and a hard cap keeping the
+# bitmap literal driver/plan-friendly (2^20 bits = 128 KiB of longs).
+BLOOM_BITS_PER_KEY = 16
+BLOOM_MAX_BITS = 1 << 20
+_WORD = 64
+_BLOOM_SEED2 = 0x9E3779B9  # second xxhash64 probe: same key, distinct seed column
+
+
+def bloom_filter_words(keys: DataFrame, col: str, n_bits: int) -> list[int]:
+    """Distributed bloom-filter build over ``keys[col]``: k=2 xxhash64 probes
+    per key, bits OR-folded into ``n_bits/64`` words by a single partial/final
+    ``bit_or`` aggregate. Only the FINISHED bitmap (n_bits/8 bytes, KB-scale
+    model state like the IVF centroids, ``similarity.py``) reaches the
+    driver — never the keys."""
+    n_words = n_bits // _WORD
+    probes = [F.xxhash64(F.col(col)), F.xxhash64(F.col(col), F.lit(_BLOOM_SEED2))]
+    word_rows = (
+        keys.select(F.explode(F.array(*[F.pmod(p, F.lit(n_bits)) for p in probes])).alias("pos"))
+        # shiftleft via expr: the Python API's numBits slot only takes a
+        # literal int, not a per-row column.
+        .groupBy(F.expr(f"CAST(pos DIV {_WORD} AS INT)").alias("w"))
+        .agg(F.bit_or(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_WORD} AS INT))")).alias("bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in word_rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_might_contain(words: list[int], col: str) -> Column:
+    """Membership predicate against an inlined bloom bitmap: same k=2 probes,
+    ``element_at`` into the array literal + bit test. Pure projection — the
+    probe side is filtered map-side with ZERO shuffle, the point of the
+    reduction."""
+    n_bits = len(words) * _WORD
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = None
+    for hash_sql in (f"xxhash64({col})", f"xxhash64({col}, {_BLOOM_SEED2})"):
+        pos = f"pmod({hash_sql}, {n_bits})"
+        word = F.element_at(arr, F.expr(f"CAST({pos} DIV {_WORD} AS INT)") + 1)
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % {_WORD} AS INT))")
+        hit = word.bitwiseAND(mask) != 0
+        cond = hit if cond is None else cond & hit
+    return cond
+
+
+def bloom_semi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact/filtered-dimension join: lineitems of URGENT
+    orders, aggregated per return flag.
+
+    The scale technique: when the dimension's qualifying keys are too many
+    to broadcast-join cheaply but the fact side is huge, ship a BLOOM of the
+    keys (n_bits/8 bytes regardless of key count) and filter the fact table
+    map-side BEFORE its join shuffle — only the surviving ~selectivity
+    fraction shuffles. False positives are removed by the exact join that
+    follows, so the result is row-identical to the plain join (the DuckDB
+    oracle IS the plain join). Spark's AQE can inject runtime bloom filters
+    for this shape on its own (``spark.sql.optimizer.runtime.bloomFilter``);
+    the explicit form pins the behavior plan-visibly and works on any
+    boundary AQE won't cross. Reference analog: the reference ships
+    partition-pruning metadata between stages over Arrow Flight
+    (``src/flight_service/do_get.rs``); a bloom bitmap is the same
+    stage-to-stage reduction artifact."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    n_keys = max(urgent.count(), 1)
+    n_bits = min(BLOOM_MAX_BITS, max(1 << 12, 1 << (n_keys * BLOOM_BITS_PER_KEY - 1).bit_length()))
+    words = bloom_filter_words(urgent, "o_orderkey", n_bits)
+
+    line = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    survivors = line.filter(bloom_might_contain(words, "l_orderkey"))
+    exact = survivors.join(urgent, survivors["l_orderkey"] == urgent["o_orderkey"])
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
 
 def salted_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing salted-join query: the event stream joined to the
@@ -83,7 +168,10 @@ def salted_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {"salted_events_enrich": salted_events_enrich}
+    return {
+        "salted_events_enrich": salted_events_enrich,
+        "bloom_semi_agg": bloom_semi_agg,
+    }
 
 
 def oracles() -> dict[str, str]:
@@ -95,5 +183,16 @@ def oracles() -> dict[str, str]:
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        # The bloom prefilter must be output-invisible: the oracle is the
+        # PLAIN join (false positives die in the exact join).
+        "bloom_semi_agg": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
     }

@@ -96,3 +96,69 @@ def test_salted_events_enrich_plan_carries_salt_conjunct(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan, plan[:2000]
     assert "__salt" not in df.columns
+
+
+# ---------------------------------------------------------------- bloom ----
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every key folded into the bitmap MUST pass the membership probe —
+    a bloom false negative silently drops join rows."""
+    from datafusion_distributed_experiment_spark.operators.joins import (
+        bloom_filter_words,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(0, 5_000, 7).select(F.col("id").alias("k"))
+    words = bloom_filter_words(keys, "k", n_bits=1 << 14)
+    missed = keys.filter(~bloom_might_contain(words, "k")).count()
+    assert missed == 0
+
+
+def test_bloom_actually_prunes(spark):
+    """On a disjoint probe set the filter must reject the overwhelming
+    majority (fpp sanity: 2 probes into a 16x-sized bitmap)."""
+    from datafusion_distributed_experiment_spark.operators.joins import (
+        bloom_filter_words,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(1_000).select(F.col("id").alias("k"))
+    words = bloom_filter_words(keys, "k", n_bits=1 << 14)
+    strangers = spark.range(1_000_000, 1_050_000).select(F.col("id").alias("k"))
+    passed = strangers.filter(bloom_might_contain(words, "k")).count()
+    assert passed / 50_000 < 0.02, f"false-positive rate {passed / 50_000:.4f}"
+
+
+def test_bloom_probe_is_map_only(spark):
+    """The membership probe must be a pure projection over the scan — zero
+    exchanges, zero aggregates: the fact side is pruned BEFORE its join
+    shuffle, which is the entire point of shipping the bitmap."""
+    from datafusion_distributed_experiment_spark.operators.joins import (
+        bloom_filter_words,
+        bloom_might_contain,
+    )
+    from datafusion_distributed_experiment_spark.plans import stage_summary
+
+    from .conftest import SF_DIR
+
+    words = bloom_filter_words(
+        spark.range(100).select(F.col("id").alias("k")), "k", n_bits=1 << 12
+    )
+    line = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("l_orderkey")
+    s = stage_summary(line.filter(bloom_might_contain(words, "l_orderkey")))
+    assert s["exchanges"] == 0 and s["aggregates"] == 0 and s["broadcasts"] == 0, s
+
+
+def test_bloom_semi_agg_empty_build_side_yields_empty_result(spark, tmp_path):
+    """An all-zero bitmap (no qualifying dimension rows) must reject every
+    probe row instead of erroring or passing everything."""
+    from datafusion_distributed_experiment_spark.operators.joins import (
+        bloom_might_contain,
+    )
+
+    words = [0] * 64
+    n = spark.range(10_000).select(F.col("id").alias("k")).filter(
+        bloom_might_contain(words, "k")
+    ).count()
+    assert n == 0
