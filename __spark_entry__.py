@@ -139,6 +139,7 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
             "cdc",
             "profile",
             "analytics",
+            "graph",
             "custom",
         )
     ]

@@ -46,6 +46,7 @@ def pipeline_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], 
         cdc,
         curation,
         dedup,
+        graph,
         joins,
         multimodal,
         pipeline,
@@ -64,6 +65,7 @@ def pipeline_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], 
         ("cdc", cdc.queries()),
         ("profile", profile.queries()),
         ("analytics", analytics.queries()),
+        ("graph", graph.queries()),
         ("custom", custom.queries()),
         ("stateful", stateful.queries()),
         ("pipeline", pipeline.queries()),
@@ -86,10 +88,11 @@ def pipeline_oracles() -> dict[str, str]:
     from . import curation, dedup, joins, multimodal, pipeline, similarity, temporal, text
 
     from ..sources import custom
-    from . import analytics, cdc, profile
+    from . import analytics, cdc, graph, profile
 
     out: dict[str, str] = {}
     out.update(analytics.oracles())
+    out.update(graph.oracles())
     out.update(profile.oracles())
     out.update(cdc.oracles())
     out.update(custom.oracles())

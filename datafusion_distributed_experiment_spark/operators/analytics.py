@@ -275,6 +275,33 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the ``props`` JSON payload with a
+    TYPED schema (``from_json`` — one JVM-side parse into a struct, vs
+    ``get_json_object`` re-parsing the string per extracted field) and
+    aggregate by the extracted attribute's decile bucket.
+
+    Scale shape: parse + bucket are map-only over the scan; one aggregate
+    exchange. At 100 TB the typed parse also feeds schema enforcement —
+    malformed payloads surface as NULLs countable per bucket (``n_null``
+    here), instead of exploding row-at-a-time in Python."""
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select("props", "value")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        raw.select(
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("value_cents"),
+            k.alias("k"),
+        )
+        .groupBy(F.expr("k DIV 10").alias("k_decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+            F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias("n_null"),
+        )
+        .orderBy("k_decile")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "funnel": funnel,
@@ -283,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": events_percentiles,
         "anomaly_days": anomaly_days,
         "top_terms": top_terms,
+        "events_json": events_json,
     }
 
 
@@ -372,6 +400,14 @@ def oracles() -> dict[str, str]:
             SELECT user_id, day, cnt,
                    (n * cnt - s) * (n * cnt - s) > 4 * (n * q - s * s) AS is_anomaly
             FROM staged ORDER BY user_id, day
+        """,
+        "events_json": """
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                   CAST(COUNT(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END) AS BIGINT) AS n_null
+            FROM events
+            GROUP BY 1 ORDER BY 1
         """,
         "top_terms": f"""
             WITH toks AS (

@@ -1,0 +1,73 @@
+"""PageRank over the relationally-derived trade graph: oracle parity,
+probability-mass sanity, and the edge-derivation plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_distributed_experiment_spark.operators import graph
+from datafusion_distributed_experiment_spark.plans import stage_summary
+
+from ._compare import assert_frames_match
+from .conftest import SF_DIR
+
+
+def test_pagerank_matches_oracle(spark, duck):
+    spark_df = graph.pagerank_nations(spark, SF_DIR).toPandas()
+    oracle_df = duck.execute(graph.oracles()["pagerank_nations"]).df()
+    assert len(spark_df) == 25
+    assert_frames_match(spark_df, oracle_df, "pagerank_nations")
+
+
+def test_pagerank_mass_is_conserved_up_to_truncation(spark):
+    """Ranks are a (damped) probability distribution in ppb: total stays in
+    (0.5e9, 1e9] — integer truncation and dangling leak only ever LOSE
+    mass — and every node keeps at least the damping floor."""
+    rows = graph.pagerank_nations(spark, SF_DIR).collect()
+    total = sum(r.rank_ppb for r in rows)
+    assert 0.5 * graph.PPB < total <= graph.PPB, total
+    floor = (100 - graph.DAMP_NUM) * graph.PPB // 100 // len(rows)
+    assert all(r.rank_ppb >= floor for r in rows)
+
+
+def test_pagerank_ranks_follow_inflow(spark):
+    """The most-imported-from nation must outrank the least — the ranking
+    reflects edge weight, not just the uniform prior."""
+    rows = graph.pagerank_nations(spark, SF_DIR).collect()
+    ranks = [r.rank_ppb for r in rows]
+    assert max(ranks) > min(ranks), "degenerate: all ranks equal"
+
+
+def test_trade_edges_broadcast_the_supplier_dimension(spark):
+    """The edge derivation's only big shuffle should be lineitem-orders;
+    the supplier dim must broadcast."""
+    s = stage_summary(graph._trade_edges(spark, SF_DIR))
+    assert s["broadcasts"] >= 1, s
+
+
+def test_pagerank_handles_dangling_nodes(spark):
+    """A node with no out-edges must still hold exactly the damping floor
+    (mass leaks, nothing crashes): run the rank loop on a tiny synthetic
+    graph where node 2 is a sink."""
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 10), (0, 2, 30)], "src INT, dst INT, w LONG"
+    )
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "v INT")
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    wedges = edges.join(outw, "src")
+    n = 3
+    base = 150_000_000 // n
+    ranks = nodes.select("v", F.lit(graph.PPB // n).cast("long").alias("r"))
+    for _ in range(2):
+        inflow = (
+            wedges.join(ranks, wedges["src"] == ranks["v"])
+            .select("dst", F.expr("((r * 85) DIV 100) * w DIV out_w").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes.join(inflow, nodes["v"] == inflow["dst"], "left").select(
+            "v", (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0))).cast("long").alias("r")
+        )
+    got = {r.v: r.r for r in ranks.collect()}
+    assert got[0] == base  # nothing points at 0
+    assert got[2] > got[1] > got[0]
