@@ -302,15 +302,68 @@ def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip of :func:`events_pivot` back to long form via the native
+    ``unpivot`` (melt) operator — wide metric matrices are the interchange
+    format analysts hand back to the engine, and unpivot is the one
+    relational operator in this corpus Spark plans as a pure map-side
+    Expand: zero additional exchanges beyond the pivot's (plan-asserted).
+    Zero-count combinations are retained, so the long form is dense:
+    |days| x |event types| rows."""
+    wide = events_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        ["day"], [f"n_{t}" for t in EVENT_TYPES], "event_type", "n"
+    )
+    return long.select(
+        "day",
+        # strip the pivot's n_ column prefix back off
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("day", "event_type")
+
+
+def event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-ordered event-type sequences — the sequence-construction
+    primitive of a behavioral-LM training pipeline (one training example per
+    user, tokens in event order).
+
+    ONE shuffle on ``user_id``; the sort is per-group inside the aggregate
+    (``array_sort`` over collected (ts, id, type) structs — the struct field
+    order IS the sort key, with ``event_id`` breaking timestamp ties), so no
+    global ordering is ever imposed. State per user = that user's events:
+    bounded by per-user activity, not corpus size; a pathological hub user
+    would be chunked upstream (see ``curation.chunk_documents`` for the
+    pattern)."""
+    ev = read_events(spark, sf_dir).select("user_id", "ts_ms", "event_id", "event_type")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts_ms", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                " ",
+            ).alias("seq"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "funnel": funnel,
         "retention": retention,
         "events_pivot": events_pivot,
+        "events_unpivot": events_unpivot,
         "events_percentiles": events_percentiles,
         "anomaly_days": anomaly_days,
         "top_terms": top_terms,
         "events_json": events_json,
+        "event_sequences": event_sequences,
     }
 
 
@@ -400,6 +453,24 @@ def oracles() -> dict[str, str]:
             SELECT user_id, day, cnt,
                    (n * cnt - s) * (n * cnt - s) > 4 * (n * q - s * s) AS is_anomaly
             FROM staged ORDER BY user_id, day
+        """,
+        "events_unpivot": f"""
+            WITH e AS ({DUCK_EVENTS_MS}),
+            d AS (SELECT DISTINCT ts_ms // {MS_PER_DAY} AS day FROM e),
+            t AS (SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in EVENT_TYPES)}) AS v(event_type)),
+            c AS (SELECT ts_ms // {MS_PER_DAY} AS day, event_type, COUNT(*) AS n
+                  FROM e GROUP BY 1, 2)
+            SELECT d.day, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM d CROSS JOIN t
+            LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+            ORDER BY d.day, t.event_type
+        """,
+        "event_sequences": f"""
+            WITH e AS ({DUCK_EVENTS_MS})
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   string_agg(event_type, ' ' ORDER BY ts_ms, event_id) AS seq
+            FROM e GROUP BY user_id ORDER BY user_id
         """,
         "events_json": """
             SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,

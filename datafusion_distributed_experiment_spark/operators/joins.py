@@ -93,7 +93,12 @@ def bloom_might_contain(words: list[int], col: str) -> Column:
     probe side is filtered map-side with ZERO shuffle, the point of the
     reduction."""
     n_bits = len(words) * _WORD
-    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    # The bitmap ships as ONE parsed SQL array literal. Neither of the
+    # obvious spellings survives profiling: array(lit, lit, ...) builds 8192
+    # py4j Column objects (seconds of analysis), and F.lit(python_list)
+    # marshals element-by-element over py4j (measured 3.7s for 8192 longs).
+    # A single expression string is one py4j round trip + one fast parse.
+    arr = F.expr("array(" + ",".join(f"{int(w)}L" for w in words) + ")")
     cond = None
     for hash_sql in (f"xxhash64({col})", f"xxhash64({col}, {_BLOOM_SEED2})"):
         pos = f"pmod({hash_sql}, {n_bits})"

@@ -312,12 +312,55 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cos_ppm") >= DEDUP_MIN_PPM).orderBy("vec_a", "vec_b")
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization — the compression step that makes
+    a 100 TB ANN corpus hold 4x more vectors per byte (float32 -> int8 codes
+    + one scale per vector). Emitted as code-space invariants (count, scale,
+    sum, sum-of-squares, first/last code) rather than the raw code array so
+    the cross-engine hash compare stays list-format-independent.
+
+    Exactness: floats are first floored to ppm integers (float->double
+    widening is exact, the 1e6 multiply rounds identically under IEEE on
+    both engines), then codes are ``sign(x) * (|x_ppm| * 127 DIV scale)``
+    with ``scale = max(|x_ppm|)`` — the magnitude/sign split keeps every
+    division non-negative, where Spark's truncating DIV and DuckDB's
+    flooring // agree. Map-only: zero exchanges before the output sort."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    staged = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(FLOOR(1e6 * x) AS BIGINT))").alias("xp"),
+    ).select(
+        "vec_id",
+        "xp",
+        F.expr("greatest(array_max(transform(xp, v -> abs(v))), CAST(1 AS BIGINT))").alias(
+            "scale_ppm"
+        ),
+    ).select(
+        "vec_id",
+        "scale_ppm",
+        F.expr(
+            "transform(xp, v -> CASE WHEN v >= 0 THEN (v * 127) DIV scale_ppm "
+            "ELSE -((-v * 127) DIV scale_ppm) END)"
+        ).alias("q"),
+    )
+    return staged.select(
+        "vec_id",
+        F.expr("CAST(size(q) AS BIGINT)").alias("n_dims"),
+        "scale_ppm",
+        F.expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").alias("q_sum"),
+        F.expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)").alias("q_l2"),
+        F.expr("element_at(q, 1)").alias("q_first"),
+        F.expr("element_at(q, -1)").alias("q_last"),
+    ).orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "embedding_topk": embedding_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "embedding_dedup": embedding_dedup,
+        "embedding_quantize": embedding_quantize,
     }
 
 
@@ -337,6 +380,29 @@ _DUCK_BUCKET = " + ".join(
 
 def oracles() -> dict[str, str]:
     return {
+        "embedding_quantize": """
+            WITH base AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(FLOOR(1e6 * x) AS BIGINT)) AS xp
+                FROM embeddings),
+            sc AS (
+                SELECT vec_id, xp,
+                       GREATEST(list_max(list_transform(xp, v -> abs(v))), 1) AS scale_ppm
+                FROM base),
+            qq AS (
+                SELECT vec_id, scale_ppm,
+                       list_transform(xp, v -> CASE WHEN v >= 0 THEN (v * 127) // scale_ppm
+                                                    ELSE -((-v * 127) // scale_ppm) END) AS q
+                FROM sc)
+            SELECT vec_id,
+                   CAST(len(q) AS BIGINT) AS n_dims,
+                   CAST(scale_ppm AS BIGINT) AS scale_ppm,
+                   CAST(list_sum(q) AS BIGINT) AS q_sum,
+                   CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS q_l2,
+                   q[1] AS q_first,
+                   q[-1] AS q_last
+            FROM qq ORDER BY vec_id
+        """,
         "embedding_topk": f"""
             WITH {_DUCK_VECS}, q AS (
                 SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM vecs WHERE vec_id < {N_QUERIES}

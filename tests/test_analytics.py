@@ -132,3 +132,47 @@ def test_retention_week0_has_full_cohorts(spark):
         assert r.week_offset >= 0
         assert r.cohort_week in week0, r
         assert r.n_users <= week0[r.cohort_week], r
+
+
+def test_unpivot_adds_no_exchange_over_pivot(spark):
+    """Unpivot must plan as a map-side Expand: exchange count identical to
+    the wide (pivot) plan it consumes."""
+    wide = analytics.events_pivot(spark, SF_DIR)
+    long = analytics.events_unpivot(spark, SF_DIR)
+    # the long plan carries one extra range sort for its two-key output
+    # order; hash exchanges must not grow
+    wide_plan = plan_string(wide, "simple")
+    long_plan = plan_string(long, "simple")
+    assert long_plan.count("Exchange hashpartitioning") == wide_plan.count(
+        "Exchange hashpartitioning"
+    ), long_plan
+    assert "Expand" in long_plan, long_plan
+
+
+def test_unpivot_is_dense_inverse_of_pivot(spark):
+    """Every (day, type) cell of the wide matrix appears exactly once in the
+    long form, including zeros."""
+    wide = {r["day"]: r for r in analytics.events_pivot(spark, SF_DIR).collect()}
+    long = analytics.events_unpivot(spark, SF_DIR).collect()
+    assert len(long) == len(wide) * len(analytics.EVENT_TYPES)
+    for r in long:
+        assert r.n == wide[r.day][f"n_{r.event_type}"]
+
+
+def test_event_sequences_are_time_ordered(spark):
+    """The sequence string must replay each user's events in (ts, event_id)
+    order — verified against an independent driver-side sort."""
+    import itertools
+
+    from datafusion_distributed_experiment_spark.sources.events import read_events
+
+    ev = sorted(
+        (r.user_id, r.ts_ms, r.event_id, r.event_type)
+        for r in read_events(spark, SF_DIR).collect()
+    )
+    expect = {
+        uid: " ".join(t[3] for t in grp)
+        for uid, grp in itertools.groupby(ev, key=lambda t: t[0])
+    }
+    got = {r.user_id: r.seq for r in analytics.event_sequences(spark, SF_DIR).collect()}
+    assert got == expect
