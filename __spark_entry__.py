@@ -28,6 +28,9 @@ from datafusion_distributed_experiment_spark import Engine
 from datafusion_distributed_experiment_spark import queries as corpus
 
 _SQL_QUERIES = [
+    # head of the sql tier = inside the driver's 50-entry gate window while
+    # new; established queries (all with committed green rows) sit behind it
+    "adhoc/events_window_funcs",
     *(f"tpch/q{i}" for i in range(1, 23)),
     "adhoc/events_agg_count",
     "adhoc/events_cte_join",

@@ -194,6 +194,67 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BINS = 256
+
+
+def events_percentiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch percentiles — the mergeable, bounded-state companion
+    to :func:`events_percentiles`'s exact rank selection (which sorts whole
+    groups). Two passes over the fact table: a min/max/count aggregate to fix
+    the bin domain, then a bin-count aggregate; everything downstream
+    (cumulative counts, bin selection) operates on at most
+    ``HIST_BINS * |event types|`` rows. At 100 TB this is the shape that
+    works: sketch state is O(bins) per group regardless of group size, and
+    histograms merge associatively across partitions (Spark's partial/final
+    aggregate does the merge). The estimate reported is the selected bin's
+    LOWER EDGE — deterministic integer arithmetic end-to-end, identical in
+    the oracle (vs interpolated estimates, which would reintroduce float
+    divergence). A production variant would take the domain from parquet
+    footer min/max instead of pass 1."""
+    ev = read_events(spark, sf_dir).select("event_type", "value_cents")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value_cents").alias("mn"),
+        F.max("value_cents").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    binned = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.expr(f"((value_cents - mn) * {HIST_BINS}) DIV (mx - mn + 1)").alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "bin").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select("event_type", "bin", F.sum("c").over(wcum).alias("cum"))
+    sel = (
+        cum.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.max("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+            *[
+                F.min(
+                    F.when(F.expr(f"cum >= (n * {p} + 99) DIV 100"), F.col("bin"))
+                ).alias(f"b{p}")
+                for p in PERCENTILES
+            ],
+        )
+    )
+    return sel.select(
+        "event_type",
+        "n_events",
+        *[
+            F.expr(f"mn + (b{p} * (mx - mn + 1)) DIV {HIST_BINS}")
+            .cast("long")
+            .alias(f"p{p}_lo_cents")
+            for p in PERCENTILES
+        ],
+    ).orderBy("event_type")
+
+
 def anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user anomalous activity days: a (user, day) whose event count
     deviates from that user's across-days mean by more than 2 population
@@ -360,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": events_pivot,
         "events_unpivot": events_unpivot,
         "events_percentiles": events_percentiles,
+        "events_percentiles_hist": events_percentiles_hist,
         "anomaly_days": anomaly_days,
         "top_terms": top_terms,
         "events_json": events_json,
@@ -437,6 +499,34 @@ def oracles() -> dict[str, str]:
                    CAST(MAX(cnt) AS BIGINT) AS n_events,
                    {pct_cols}
             FROM staged GROUP BY event_type ORDER BY event_type
+        """,
+        "events_percentiles_hist": f"""
+            WITH e AS ({DUCK_EVENTS_MS}),
+            stats AS (
+                SELECT event_type, MIN(value_cents) AS mn, MAX(value_cents) AS mx,
+                       COUNT(*) AS n
+                FROM e GROUP BY 1),
+            binned AS (
+                SELECT e.event_type,
+                       ((value_cents - mn) * {HIST_BINS}) // (mx - mn + 1) AS bin
+                FROM e JOIN stats USING (event_type)),
+            hist AS (
+                SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+            cum AS (
+                SELECT event_type, bin,
+                       SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM hist),
+            sel AS (
+                SELECT c.event_type,
+                       MAX(s.n) AS n, MAX(s.mn) AS mn, MAX(s.mx) AS mx,
+                       {", ".join(f"MIN(CASE WHEN cum >= (s.n * {p} + 99) // 100 THEN bin END) AS b{p}" for p in PERCENTILES)}
+                FROM cum c JOIN stats s USING (event_type)
+                GROUP BY c.event_type)
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_events,
+                   {", ".join(f"CAST(mn + (b{p} * (mx - mn + 1)) // {HIST_BINS} AS BIGINT) AS p{p}_lo_cents" for p in PERCENTILES)}
+            FROM sel ORDER BY event_type
         """,
         "anomaly_days": f"""
             WITH e AS ({DUCK_EVENTS_MS}),

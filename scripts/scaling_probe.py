@@ -42,6 +42,13 @@ PROBE_OPS = [
     "domain_resample",
     "dedup_clusters_star",
     "salted_events_enrich",
+    # round-5 additions: window cascades, collected-sequence state, corpus
+    # explode + broadcast-df join, iterative rank joins, bitmap build+probe
+    "funnel",
+    "event_sequences",
+    "top_terms",
+    "pagerank_nations",
+    "bloom_semi_agg",
 ]
 
 

@@ -176,3 +176,51 @@ def test_event_sequences_are_time_ordered(spark):
     }
     got = {r.user_id: r.seq for r in analytics.event_sequences(spark, SF_DIR).collect()}
     assert got == expect
+
+
+def test_hist_percentile_brackets_the_exact_value(spark):
+    """The sketch's bin lower edge must bracket the exact rank-selected
+    percentile: p_lo <= exact < p_lo + bin_width."""
+    exact = {r.event_type: r for r in analytics.events_percentiles(spark, SF_DIR).collect()}
+    hist = {r.event_type: r for r in analytics.events_percentiles_hist(spark, SF_DIR).collect()}
+    assert set(exact) == set(hist)
+    from datafusion_distributed_experiment_spark.sources.events import read_events
+    from pyspark.sql import functions as F
+
+    bounds = {
+        r.event_type: (r.mn, r.mx)
+        for r in read_events(spark, SF_DIR)
+        .groupBy("event_type")
+        .agg(F.min("value_cents").alias("mn"), F.max("value_cents").alias("mx"))
+        .collect()
+    }
+    for et, h in hist.items():
+        assert h.n_events == exact[et].n_events
+        mn, mx = bounds[et]
+        width = (mx - mn + 1 + analytics.HIST_BINS - 1) // analytics.HIST_BINS
+        for p in analytics.PERCENTILES:
+            lo = h[f"p{p}_lo_cents"]
+            ex = exact[et][f"p{p}_cents"]
+            assert lo <= ex <= lo + width, (et, p, lo, ex, width)
+
+
+def test_hist_sketch_state_is_bin_bounded(spark):
+    """The histogram never exceeds HIST_BINS rows per group — the bounded
+    mergeable-state property that justifies the sketch at scale."""
+    from datafusion_distributed_experiment_spark.sources.events import read_events
+    from pyspark.sql import functions as F
+
+    ev = read_events(spark, SF_DIR).select("event_type", "value_cents")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value_cents").alias("mn"), F.max("value_cents").alias("mx")
+    )
+    binned = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.expr(f"((value_cents - mn) * {analytics.HIST_BINS}) DIV (mx - mn + 1)").alias("bin"),
+    )
+    per_group = binned.groupBy("event_type").agg(
+        F.countDistinct("bin").alias("nb"), F.min("bin").alias("lo"), F.max("bin").alias("hi")
+    )
+    for r in per_group.collect():
+        assert 0 <= r.lo and r.hi < analytics.HIST_BINS
+        assert r.nb <= analytics.HIST_BINS
