@@ -414,6 +414,74 @@ def event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MS = 60 * 60 * 1000  # 1 hour, matches streaming.stateful.DEFAULT_GAP_MS
+
+
+def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` operator — the
+    engine-level counterpart to the hand-rolled lag-gap sessionizer
+    (``streaming/stateful.py``), exercised as its own operator because it
+    plans differently: a session-window aggregate with merging session
+    state, not a window-function cascade.
+
+    The input timestamp is ms-TRUNCATED first (``timestamp_millis(ts_ms)``)
+    so Spark's merge decision and the oracle's lag arithmetic happen at the
+    same precision. Boundary pinned: ``session_window`` ends are EXCLUSIVE
+    (an event exactly gap after the previous one starts a new session), so
+    the oracle splits on ``diff >= gap`` — one semantic notch off the
+    lag-sessionizer's ``> gap``, which is why the two operators are not
+    hash-identical and each carries its own oracle. Output end = last event
+    + gap (the native operator's definition). One shuffle on (user_id,
+    session candidates); session state merges associatively in the
+    partial/final aggregate."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.expr("timestamp_millis(ts_ms)").alias("et")
+    )
+    sw = ev.groupBy("user_id", F.session_window("et", "1 hour")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    return sw.select(
+        "user_id",
+        F.expr("unix_millis(session_window.start)").alias("start_ms"),
+        F.expr("unix_millis(session_window.end)").alias("end_gap_ms"),
+        "n_events",
+    ).orderBy("user_id", "start_ms")
+
+
+BASKET_TOP_N = 20
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the :data:`BASKET_TOP_N` most frequent
+    part pairs appearing together in an order.
+
+    Pair generation is the classic quadratic trap; here it is bounded and
+    map-side: ONE shuffle collapses lineitems to per-order distinct part
+    sets, then pairs explode from each basket array (O(k^2) with k = basket
+    size, ~7 for TPC-H — never corpus-quadratic), feeding a partial/final
+    support aggregate and a TakeOrdered top-N. A second shuffle for the
+    support aggregate; nothing else. Ties at the cut break on the pair
+    itself, so the top-N is deterministic."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, x -> "
+                "transform(filter(parts, y -> y > x), y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP_N)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "funnel": funnel,
@@ -426,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": top_terms,
         "events_json": events_json,
         "event_sequences": event_sequences,
+        "sessionize_native": sessionize_native,
+        "basket_pairs": basket_pairs,
     }
 
 
@@ -543,6 +613,39 @@ def oracles() -> dict[str, str]:
             SELECT user_id, day, cnt,
                    (n * cnt - s) * (n * cnt - s) > 4 * (n * q - s * s) AS is_anomaly
             FROM staged ORDER BY user_id, day
+        """,
+        # >= gap (not > gap): session_window ends are exclusive, see
+        # sessionize_native's docstring.
+        "sessionize_native": f"""
+            WITH e AS ({DUCK_EVENTS_MS}),
+            gaps AS (
+                SELECT user_id, ts_ms,
+                       CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+                              OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) >= {SESSION_GAP_MS}
+                            THEN 1 ELSE 0 END AS new_session
+                FROM e),
+            numbered AS (
+                SELECT user_id, ts_ms,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                              {_CUM}) AS session_no
+                FROM gaps)
+            SELECT user_id,
+                   CAST(MIN(ts_ms) AS BIGINT) AS start_ms,
+                   CAST(MAX(ts_ms) + {SESSION_GAP_MS} AS BIGINT) AS end_gap_ms,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM numbered GROUP BY user_id, session_no
+            ORDER BY user_id, start_ms
+        """,
+        "basket_pairs": f"""
+            WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+                FROM items a JOIN items b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+            SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS support
+            FROM pairs GROUP BY 1, 2
+            ORDER BY support DESC, part_a, part_b
+            LIMIT {BASKET_TOP_N}
         """,
         "events_unpivot": f"""
             WITH e AS ({DUCK_EVENTS_MS}),

@@ -224,3 +224,55 @@ def test_hist_sketch_state_is_bin_bounded(spark):
     for r in per_group.collect():
         assert 0 <= r.lo and r.hi < analytics.HIST_BINS
         assert r.nb <= analytics.HIST_BINS
+
+
+def test_sessionize_native_agrees_with_lag_sessionizer(spark):
+    """Same gap, two plans (native session_window aggregate vs lag-window
+    cascade): session intervals must agree whenever no inter-event gap hits
+    the boundary exactly (where the two definitions legitimately differ:
+    exclusive vs inclusive gap). The fixture has no exact-gap pairs, so
+    intervals match 1:1 with end shifted by the gap."""
+    from datafusion_distributed_experiment_spark.streaming.stateful import user_sessions
+
+    native = {
+        (r.user_id, r.start_ms): (r.end_gap_ms, r.n_events)
+        for r in analytics.sessionize_native(spark, SF_DIR).collect()
+    }
+    lag = {
+        (r.user_id, r.start_ms): (r.end_ms + analytics.SESSION_GAP_MS, r.n_events)
+        for r in user_sessions(spark, SF_DIR).collect()
+    }
+    assert native == lag
+
+
+def test_sessionize_native_plans_a_session_window_aggregate(spark):
+    """The native operator must plan session-window merging state (a
+    distinct physical shape from the window-function cascade)."""
+    plan = plan_string(analytics.sessionize_native(spark, SF_DIR), "simple")
+    assert "session_window" in plan or "SessionWindow" in plan, plan
+
+
+def test_basket_pairs_never_self_joins_the_fact_table(spark):
+    """Pair generation must be the basket-array explode, not a lineitem
+    self-join: exactly one scan of lineitem in the plan."""
+    df = analytics.basket_pairs(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan  # no join operator at all
+
+
+def test_basket_pairs_support_is_replayable(spark, duck):
+    """Each reported pair's support must equal a direct count of orders
+    containing both parts."""
+    rows = analytics.basket_pairs(spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:5]:
+        n = duck.execute(
+            """
+            SELECT COUNT(*) FROM (
+              SELECT l_orderkey FROM lineitem WHERE l_partkey = ? INTERSECT
+              SELECT l_orderkey FROM lineitem WHERE l_partkey = ?)
+            """,
+            [r.part_a, r.part_b],
+        ).fetchone()[0]
+        assert r.support == n, r
