@@ -67,21 +67,10 @@ def _cum_window() -> Window:
     )
 
 
-def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel (view -> click -> purchase) per user.
-
-    A stage-k event qualifies only if it occurs STRICTLY after the first
-    qualifying stage-(k-1) event — the sequencing that a naive
-    min-per-type aggregation gets wrong (a purchase before the first view
-    must not count). Expressed as cascaded cumulative-window minima:
-    ``t1s`` carries "first view so far", so a click row can test
-    ``ts_ms > t1s`` locally; likewise ``t2s`` for purchases.
-
-    Scale shape: both windows and the final per-user aggregate share ONE
-    ``user_id`` hash exchange and one sort (same partitioning + ordering —
-    plan-asserted). State per user is O(1); no self-joins, no per-stage
-    re-scans of the fact table."""
-    ev = read_events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts_ms")
+def funnel_frame(ev: DataFrame) -> DataFrame:
+    """Frame-level funnel: ``(event_id, user_id, event_type, ts_ms)`` ->
+    per-user stage times. See :func:`funnel` for semantics and scale shape;
+    this form is what the property tests drive with synthetic streams."""
     w = _cum_window()
     v, c, p = (F.col("event_type") == s for s in FUNNEL_STAGES)
     ts = F.col("ts_ms")
@@ -102,6 +91,25 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", *[f"t_{s}" for s in FUNNEL_STAGES],
         stages.cast("long").alias("stages_completed"),
     ).orderBy("user_id")
+
+
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase) per user.
+
+    A stage-k event qualifies only if it occurs STRICTLY after the first
+    qualifying stage-(k-1) event — the sequencing that a naive
+    min-per-type aggregation gets wrong (a purchase before the first view
+    must not count). Expressed as cascaded cumulative-window minima:
+    ``t1s`` carries "first view so far", so a click row can test
+    ``ts_ms > t1s`` locally; likewise ``t2s`` for purchases.
+
+    Scale shape: both windows and the final per-user aggregate share ONE
+    ``user_id`` hash exchange and one sort (same partitioning + ordering —
+    plan-asserted). State per user is O(1); no self-joins, no per-stage
+    re-scans of the fact table."""
+    return funnel_frame(
+        read_events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts_ms")
+    )
 
 
 def retention(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -76,6 +76,16 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
         F.col("n_nationkey").alias("v")
     )
+    return pagerank_frame(nodes, edges).orderBy("v")
+
+
+def pagerank_frame(
+    nodes: DataFrame, edges: DataFrame, iters: int = PAGERANK_ITERS
+) -> DataFrame:
+    """Frame-level rank loop: ``nodes(v)`` x ``edges(src, dst, w)`` ->
+    ``(v, rank_ppb)`` after ``iters`` damped iterations. Exact integer ppb
+    arithmetic (see :func:`pagerank_nations`); the property suite drives
+    this against a pure-Python replica on arbitrary graphs."""
     n = nodes.count()
     # "out_w", not "W": Spark resolves case-insensitively, so w/W would be
     # an ambiguous pair.
@@ -84,7 +94,7 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = (DAMP_DEN - DAMP_NUM) * PPB // DAMP_DEN // n  # (0.15e9) DIV N
     ranks = nodes.select("v", F.lit(PPB // n).cast("long").alias("r"))
-    for _ in range(PAGERANK_ITERS):
+    for _ in range(iters):
         inflow = (
             wedges.join(ranks, wedges["src"] == ranks["v"])
             .select(
@@ -103,7 +113,7 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("r"),
             )
         )
-    return ranks.select("v", F.col("r").alias("rank_ppb")).orderBy("v")
+    return ranks.select("v", F.col("r").alias("rank_ppb"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -326,6 +326,12 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     division non-negative, where Spark's truncating DIV and DuckDB's
     flooring // agree. Map-only: zero exchanges before the output sort."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    return quantize_frame(emb).orderBy("vec_id")
+
+
+def quantize_frame(emb: DataFrame) -> DataFrame:
+    """Frame-level quantizer: ``(vec_id, embedding array<float/double>)`` ->
+    code-space invariants. See :func:`embedding_quantize`."""
     staged = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(FLOOR(1e6 * x) AS BIGINT))").alias("xp"),
@@ -351,7 +357,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)").alias("q_l2"),
         F.expr("element_at(q, 1)").alias("q_first"),
         F.expr("element_at(q, -1)").alias("q_last"),
-    ).orderBy("vec_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

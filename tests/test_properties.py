@@ -333,3 +333,171 @@ def test_range_join_property(spark, probes, raw_ivs, bucket_ms):
         if pk == ik and ik_s <= pt <= ik_e
     )
     assert got == want
+
+
+# ------------------------------------------------------------------ #
+# funnel vs a sequential Python fold
+# ------------------------------------------------------------------ #
+
+def _funnel_reference(events):
+    """Brute-force: walk each user's (ts, id)-sorted events, recording the
+    first view, first click strictly after it, first purchase strictly
+    after that."""
+    by_user = {}
+    for eid, uid, typ, ts in events:
+        by_user.setdefault(uid, []).append((ts, eid, typ))
+    out = {}
+    for uid, evs in by_user.items():
+        t1 = t2 = t3 = None
+        for ts, _eid, typ in sorted(evs):
+            if typ == "view" and t1 is None:
+                t1 = ts
+            elif typ == "click" and t2 is None and t1 is not None and ts > t1:
+                t2 = ts
+            elif typ == "purchase" and t3 is None and t2 is not None and ts > t2:
+                t3 = ts
+        out[uid] = (t1, t2, t3, sum(t is not None for t in (t1, t2, t3)))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(0, 30),  # ts (small domain -> deliberate ties)
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_funnel_matches_sequential_fold(spark, raw):
+    from datafusion_distributed_experiment_spark.operators.analytics import funnel_frame
+
+    events = [(i, uid, typ, ts) for i, (uid, typ, ts) in enumerate(raw)]
+    df = spark.createDataFrame(
+        events, "event_id LONG, user_id LONG, event_type STRING, ts_ms LONG"
+    )
+    got = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase, r.stages_completed)
+        for r in funnel_frame(df).collect()
+    }
+    assert got == _funnel_reference(events)
+
+
+# ------------------------------------------------------------------ #
+# bloom filter: no false negatives, ever
+# ------------------------------------------------------------------ #
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.sets(st.integers(-(2**40), 2**40), min_size=1, max_size=200))
+def test_bloom_never_drops_a_member(spark, keys):
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.operators.joins import (
+        bloom_filter_words,
+        bloom_might_contain,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k LONG")
+    words = bloom_filter_words(df, "k", n_bits=1 << 12)
+    assert df.filter(~bloom_might_contain(words, "k")).count() == 0
+
+
+# ------------------------------------------------------------------ #
+# pagerank vs a pure-Python integer replica
+# ------------------------------------------------------------------ #
+
+def _pagerank_reference(n_nodes, edges, iters):
+    from collections import defaultdict
+
+    out_w = defaultdict(int)
+    for s, _d, w in edges:
+        out_w[s] += w
+    base = 150_000_000 // n_nodes
+    r = {v: 1_000_000_000 // n_nodes for v in range(n_nodes)}
+    for _ in range(iters):
+        inflow = defaultdict(int)
+        for s, d, w in edges:
+            inflow[d] += ((r[s] * 85) // 100) * w // out_w[s]
+        r = {v: base + inflow[v] for v in range(n_nodes)}
+    return r
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(2, 8),
+    st.data(),
+)
+def test_pagerank_matches_python_replica(spark, n_nodes, data):
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.operators.graph import pagerank_frame
+
+    edge_list = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, n_nodes - 1),
+                st.integers(0, n_nodes - 1),
+                st.integers(1, 50),
+            ),
+            min_size=1,
+            max_size=20,
+            unique_by=lambda e: (e[0], e[1]),
+        )
+    )
+    nodes = spark.createDataFrame([(v,) for v in range(n_nodes)], "v LONG")
+    edges = spark.createDataFrame(edge_list, "src LONG, dst LONG, w LONG")
+    got = {r.v: r.rank_ppb for r in pagerank_frame(nodes, edges, iters=2).collect()}
+    assert got == _pagerank_reference(n_nodes, edge_list, iters=2)
+
+
+# ------------------------------------------------------------------ #
+# int8 quantization vs a Python replica of the integer pipeline
+# ------------------------------------------------------------------ #
+
+import math as _math
+
+
+def _quantize_reference(vec):
+    xp = [_math.floor(1e6 * x) for x in vec]
+    scale = max(max(abs(v) for v in xp), 1)
+    q = [(v * 127) // scale if v >= 0 else -((-v * 127) // scale) for v in xp]
+    return (
+        len(q),
+        scale,
+        sum(q),
+        sum(v * v for v in q),
+        q[0],
+        q[-1],
+    )
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(
+            # float32-representable values, the embeddings column's domain
+            st.floats(-2.0, 2.0, width=32, allow_nan=False, allow_infinity=False),
+            min_size=1,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_quantize_matches_python_replica(spark, vecs):
+    from datafusion_distributed_experiment_spark.operators.similarity import (
+        quantize_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    got = {
+        r.vec_id: (r.n_dims, r.scale_ppm, r.q_sum, r.q_l2, r.q_first, r.q_last)
+        for r in quantize_frame(df).collect()
+    }
+    expect = {i: _quantize_reference(v) for i, v in enumerate(vecs)}
+    assert got == expect
