@@ -302,5 +302,23 @@ class Engine:
         partition overwrite) — the incremental daily-reingest primitive."""
         sources.overwrite_partitions(df, path, partition_by, compression=compression)
 
+    def register_evolving(self, name: str, path: str) -> DataFrame:
+        """Register a schema-evolving parquet directory (files with
+        different but compatible schemas) as one unioned-schema view; old
+        files surface newly-added columns as NULLs
+        (see :func:`sources.read_evolving_table`)."""
+        df = sources.read_evolving_table(self.spark, path)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def compact(
+        self, path: str, target_bytes: int = 128 * 1024 * 1024, compression: str = "zstd"
+    ) -> tuple[int, int]:
+        """Small-file compaction with verify-then-swap semantics
+        (see :func:`sources.compact_parquet`)."""
+        return sources.compact_parquet(
+            self.spark, path, target_bytes=target_bytes, compression=compression
+        )
+
     def stop(self) -> None:
         self.spark.stop()

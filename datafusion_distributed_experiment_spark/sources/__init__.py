@@ -10,12 +10,14 @@ usable standalone on any SparkSession.
 
 from .events import read_events
 from .tables import (
+    compact_parquet,
     memory_table,
     overwrite_partitions,
     read_csv_table,
     read_json_table,
     read_orc_table,
     read_parquet_table,
+    read_evolving_table,
     read_tbl_table,
     write_clustered,
     write_csv,
@@ -26,6 +28,8 @@ from .tables import (
 
 __all__ = [
     "read_events",
+    "compact_parquet",
+    "read_evolving_table",
     "read_parquet_table",
     "read_csv_table",
     "read_json_table",

@@ -309,3 +309,75 @@ def write_zordered(
 
 def write_csv(df: DataFrame, path: str, sep: str = ",", header: bool = True) -> None:
     df.write.mode("overwrite").option("sep", sep).option("header", str(header).lower()).csv(path)
+
+
+def read_evolving_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files carry DIFFERENT (compatible)
+    schemas — the append-only schema-evolution shape a long-lived ingest
+    directory accumulates (new columns appear in newer files). Spark's
+    default read takes ONE footer's schema; ``mergeSchema`` unions all
+    footers so old files surface the new columns as NULLs. Kept opt-in
+    (not the default read path) because the merge reads every footer —
+    O(files) driver metadata work that a 100 TB table with a stable schema
+    should not pay on each query."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    compression: str = "zstd",
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite ``path`` so each output file is about
+    ``target_bytes``. Returns (files_before, files_after).
+
+    The small-files problem is the classic lakehouse failure mode: a
+    streaming sink or per-partition daily writes leave thousands of KB-scale
+    files, and every later scan pays per-file open/footer/task overhead.
+    Compaction = one read + round-robin repartition to
+    ceil(total_bytes/target) + rewrite; a no-op when the layout is already
+    coarse enough. The swap is write-to-temp, row-count-verify, then rename
+    (on a real object store this is where a table format's commit protocol
+    takes over; the verify-then-swap mirrors its safety property that
+    readers never observe a partial rewrite)."""
+    import glob as _glob
+    import math
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    if n_out >= len(files):
+        return len(files), len(files)
+
+    df = spark.read.parquet(path)
+    expected = df.count()
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df.repartition(n_out).write.mode("overwrite").option(
+        "compression", compression
+    ).parquet(tmp)
+    actual = spark.read.parquet(tmp).count()
+    if actual != expected:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_parquet: rewrite of {path} produced {actual} rows, expected "
+            f"{expected}; temp output discarded, original left untouched"
+        )
+    backup = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup)
+    after = len(
+        [
+            f
+            for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        ]
+    )
+    return len(files), after

@@ -333,3 +333,79 @@ def test_write_zordered_bounds_both_dimensions(spark, tmp_path):
     assert zspans["event_id"] < 0.6, zspans
     assert cspans["user_id"] < 0.3, cspans
     assert cspans["event_id"] > 0.9, cspans
+
+
+# --------------------------------------------------------- maintenance ----
+
+
+def test_compact_collapses_small_files_and_preserves_data(engine, tmp_path):
+    """32 tiny part files -> a handful at the target size; row set
+    byte-identical before/after; re-compaction is a no-op."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "smallfiles")
+    df = engine.spark.range(10_000).select(
+        F.col("id"), (F.col("id") * 7 % 97).alias("v")
+    )
+    df.repartition(32).write.parquet(path)
+    before_rows = sorted(tuple(r) for r in engine.spark.read.parquet(path).collect())
+
+    n_before, n_after = engine.compact(path, target_bytes=1 << 30)
+    assert n_before == 32 and n_after < 8, (n_before, n_after)
+    after_rows = sorted(tuple(r) for r in engine.spark.read.parquet(path).collect())
+    assert after_rows == before_rows
+
+    again = engine.compact(path, target_bytes=1 << 30)
+    assert again == (n_after, n_after)  # already coarse: no rewrite
+
+
+def test_compact_failed_verify_leaves_original_untouched(engine, tmp_path, monkeypatch):
+    """If the rewrite's row count does not match, the original directory
+    must survive and the temp output must be cleaned up."""
+    import os
+
+    from datafusion_distributed_experiment_spark.sources import tables as T
+
+    path = str(tmp_path / "guarded")
+    engine.spark.range(1000).toDF("id").repartition(16).write.parquet(path)
+
+    import pytest as _pytest
+
+    calls = {"n": 0}
+    orig = engine.spark.read.parquet
+
+    def flaky_parquet(p):
+        calls["n"] += 1
+        df = orig(p)
+        # second read (the verify read of the temp dir) gets a poisoned count
+        if p.endswith(".__compact_tmp__"):
+            return df.limit(999)
+        return df
+
+    monkeypatch.setattr(engine.spark.read.__class__, "parquet", lambda self, p: flaky_parquet(p))
+    with _pytest.raises(RuntimeError, match="produced 999 rows"):
+        T.compact_parquet(engine.spark, path, target_bytes=1 << 30)
+    monkeypatch.undo()
+    assert engine.spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + ".__compact_tmp__")
+
+
+def test_register_evolving_unions_schemas_across_files(engine, tmp_path):
+    """Old files must surface columns added by newer files as NULLs (and
+    vice versa) — the append-only schema-evolution contract."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    engine.spark.range(5).select("id", F.lit("old").alias("a")).write.parquet(path)
+    engine.spark.range(5, 10).select(
+        "id", F.lit(42).cast("long").alias("b")
+    ).write.mode("append").parquet(path)
+
+    df = engine.register_evolving("evolving_t", path)
+    assert set(df.columns) == {"id", "a", "b"}
+    rows = {r.id: (r.a, r.b) for r in engine.sql("SELECT * FROM evolving_t").collect()}
+    assert rows[0] == ("old", None)
+    assert rows[9] == (None, 42)
+    # plain read would have picked ONE schema — evolution is genuinely needed
+    plain_cols = set(engine.spark.read.parquet(path).columns)
+    assert plain_cols != {"id", "a", "b"}
