@@ -45,6 +45,18 @@ _SAMPLE = [
     "dedup_clusters_star",
     "salted_events_enrich",
     "custom_source_scan",
+    # round-5b additions: window-cascade funnel (tie-broken ordering),
+    # sequence construction (per-group array_sort vs partition order),
+    # rank-selection percentiles, iterative pagerank, bloom prefilter
+    # (bitmap built from shuffled partials), basket top-N (tie-broken cut),
+    # native session windows (merging aggregate state)
+    "funnel",
+    "event_sequences",
+    "events_percentiles",
+    "pagerank_nations",
+    "bloom_semi_agg",
+    "basket_pairs",
+    "sessionize_native",
 ]
 
 

@@ -419,3 +419,52 @@ def test_stateful_sessionize_state_survives_restart(spark, tmp_path):
 # delay wider than the disorder) is what the tests above assert; state
 # BOUNDING under watermarks is asserted by
 # test_stateful_sessionize_watermark_bounds_state.
+
+
+def test_streaming_session_window_matches_batch_native(spark, tmp_path):
+    """Spark's native session_window in STREAMING mode: events striped
+    across micro-batches out of event-time order must merge into the exact
+    session intervals the batch sessionize_native produces — the merging
+    session state is maintained across triggers (complete mode, so closed
+    AND open sessions are all emitted at the end)."""
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    from datafusion_distributed_experiment_spark.operators.analytics import (
+        sessionize_native,
+    )
+    from datafusion_distributed_experiment_spark.sources.events import ts_ms_expr
+
+    table = ds.dataset(f"{SF_DIR}/events.parquet").to_table()
+    d = tmp_path / "sw_striped"
+    d.mkdir()
+    for i in range(3):
+        idx = [j for j in range(table.num_rows) if j % 3 == i]
+        pq.write_table(table.take(idx), d / f"stripe-{i}.parquet")
+
+    from pyspark.sql import functions as F
+
+    stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    keyed = stream.select(
+        "user_id", F.timestamp_millis(ts_ms_expr(stream)).alias("et")
+    )
+    agg = keyed.groupBy("user_id", F.session_window("et", "1 hour")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    q = (
+        agg.select(
+            "user_id",
+            F.expr("unix_millis(session_window.start)").alias("start_ms"),
+            F.expr("unix_millis(session_window.end)").alias("end_gap_ms"),
+            "n_events",
+        )
+        .writeStream.format("memory")
+        .queryName("t_sw_native")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_sw_native").toPandas()
+    batch = sessionize_native(spark, SF_DIR).toPandas()
+    assert_frames_match(got, batch, "streaming_session_window_vs_batch")
