@@ -490,6 +490,56 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (incremental view maintenance for
+    a SUM/COUNT rollup): yesterday's stored per-type rollup is merged with
+    an aggregate over ONLY the newest day's events — the production shape
+    where the nightly job scans one day, not the whole history.
+
+    Sum/count are associative partial aggregates, so merge = union the
+    stored partials with the delta partials and re-aggregate; the result is
+    provably identical to a full recompute, which is exactly what the
+    DuckDB oracle runs (the driver's hash compare IS the IVM correctness
+    proof). Here "yesterday's rollup" is simulated from the same table
+    (days < cutoff) since the driver provides no stored state; in
+    production that branch is a read of the tiny rollup table and only the
+    delta branch touches the fact table — and its time filter compares the
+    RAW ``ts`` column against a physical-type-matched literal
+    (:func:`..sources.events.ts_cutoff_literal`) so it reaches the parquet
+    scan as a pushed predicate (plan-tested; a filter on the derived day
+    number would NOT push), which at 100 TB with day-partitioned layout
+    prunes to one partition."""
+    from ..sources.events import ts_cutoff_literal
+
+    ev = read_events(spark, sf_dir)
+    cutoff = ev.agg(
+        F.max(F.expr(f"ts_ms DIV {MS_PER_DAY}"))
+    ).collect()[0][0]  # the "new" day (1 scalar)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    boundary = ts_cutoff_literal(raw, cutoff * MS_PER_DAY)
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.select(
+            "event_type",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("value_cents"),
+        ).groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+        )
+
+    stored = _partial(raw.filter(F.col("ts") < boundary))  # stands in for the rollup table
+    delta = _partial(raw.filter(F.col("ts") >= boundary))
+    return (
+        stored.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "funnel": funnel,
@@ -504,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sequences": event_sequences,
         "sessionize_native": sessionize_native,
         "basket_pairs": basket_pairs,
+        "rollup_incremental": rollup_incremental,
     }
 
 
@@ -621,6 +672,15 @@ def oracles() -> dict[str, str]:
             SELECT user_id, day, cnt,
                    (n * cnt - s) * (n * cnt - s) > 4 * (n * q - s * s) AS is_anomaly
             FROM staged ORDER BY user_id, day
+        """,
+        # The IVM merge must be output-invisible: the oracle is the full
+        # recompute over all days.
+        "rollup_incremental": f"""
+            WITH e AS ({DUCK_EVENTS_MS})
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(value_cents) AS BIGINT) AS total_cents
+            FROM e GROUP BY event_type ORDER BY event_type
         """,
         # >= gap (not > gap): session_window ends are exclusive, see
         # sessionize_native's docstring.

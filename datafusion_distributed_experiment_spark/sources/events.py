@@ -143,6 +143,22 @@ def ts_event_time_expr(df: DataFrame, col: str = "ts") -> Column:
     return F.col(col).cast("timestamp")
 
 
+def ts_cutoff_literal(df: DataFrame, ms: int, col: str = "ts") -> Column:
+    """A FOLDABLE literal equal to epoch-``ms`` in ``col``'s physical type,
+    for pushdown-eligible time-range predicates on the RAW column.
+
+    Predicates on derived values (``ts_ms DIV 86400000 = day``) never reach
+    the parquet scan — Spark only pushes comparisons against the stored
+    column. Comparing ``col`` to this literal (``>=``/``<``) produces a
+    pushed filter whichever encoding the file has (BIGINT nanos or
+    TIMESTAMP_NTZ), which is what lets a day-scoped incremental job prune
+    row groups / partitions instead of scanning history."""
+    if dict(df.dtypes).get(col) == "bigint":  # raw nanoseconds
+        return F.lit(ms * 1_000_000)
+    _require_utc_session(df, f"ts_cutoff_literal({col!r})")
+    return F.expr(f"CAST(timestamp_millis({ms}) AS TIMESTAMP_NTZ)")
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch events in the shared normalized form: ``ts_ms`` (exact BIGINT ms)
     and ``value_cents`` (deterministic integer money), one row per event.

@@ -276,3 +276,36 @@ def test_basket_pairs_support_is_replayable(spark, duck):
             [r.part_a, r.part_b],
         ).fetchone()[0]
         assert r.support == n, r
+
+
+def test_rollup_incremental_pushes_the_delta_day_filter(spark):
+    """The delta branch must reach the parquet scan as a pushed predicate —
+    at scale with day-partitioned layout that filter prunes to ONE
+    partition; an unpushed filter would re-scan all history."""
+    from datafusion_distributed_experiment_spark.plans import pushed_filters
+
+    df = analytics.rollup_incremental(spark, SF_DIR)
+    filters = " ".join(pushed_filters(df))
+    # the raw-ts comparisons must reach the scan (a derived-day filter
+    # would leave only IsNotNull here)
+    assert "GreaterThanOrEqual(ts" in filters or "GreaterThan(ts" in filters, filters
+    assert "LessThan(ts" in filters, filters
+
+
+def test_rollup_incremental_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.sources.events import read_events
+
+    full = {
+        r.event_type: (r.n, r.c)
+        for r in read_events(spark, SF_DIR)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value_cents").alias("c"))
+        .collect()
+    }
+    inc = {
+        r.event_type: (r.n_events, r.total_cents)
+        for r in analytics.rollup_incremental(spark, SF_DIR).collect()
+    }
+    assert inc == full
