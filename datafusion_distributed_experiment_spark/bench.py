@@ -46,7 +46,9 @@ FASTER_RATIO = 1.2  # reference util/run.rs:246-252
 # artifacts (the run TOTALS agree within 1%). Per-query regression verdicts
 # at 1.2x on sub-second queries are therefore unsupportable on this host by
 # construction; the floor-spread flag and the total are the signals that do
-# support verdicts.
+# support verdicts. (Round-5 re-measurement on a quiet host, 98 queries:
+# 95.9% within 1.2x, all 4 outliers <0.5 s queries with 50-110 ms deltas,
+# totals within 1.5% — consistent with the jitter attribution above.)
 FLOOR_EXTRA = 4
 
 

@@ -277,3 +277,74 @@ def oracles() -> dict[str, str]:
             ORDER BY user_id, session_no
         """,
     }
+
+
+# --------------------------------------------------------------------- #
+# transformWithState: the arbitrary-stateful successor API
+# --------------------------------------------------------------------- #
+
+try:  # pyspark >= 4.0
+    # NOTE: executing transformWithState also needs google.protobuf at
+    # runtime (its state-server wire protocol) — absent in this container,
+    # so the end-to-end replay test self-skips and the processor's
+    # accumulation logic is unit-tested against a fake ValueState instead
+    # (tests/test_streaming.py). applyInPandasWithState above remains the
+    # fully end-to-end-tested stateful path.
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """Per-user running event count + cents total in a ValueState.
+
+        Demonstrates ``transformWithStateInPandas`` — the successor to
+        ``applyInPandasWithState`` (typed composable state primitives:
+        value/list/map state, timers, TTL) and the Spark analog of the
+        reference's user-defined-operator mechanism for STREAMS. State is
+        two BIGINTs per user: O(keys), the minimum any per-key aggregate
+        can hold; totals are associative so arrival order and micro-batch
+        slicing cannot change the converged value (pinned by the striped
+        replay test)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+            n = 0
+            cents = 0
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    cents += int(pdf["value_cents"].sum())
+            if self._totals.exists():
+                prev = self._totals.get()
+                n += int(prev[0])
+                cents += int(prev[1])
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [int(key[0])], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_totals_stateful(events: DataFrame) -> DataFrame:
+        """Streaming per-user running totals via ``transformWithState``.
+        Input: raw events stream (``user_id``, ``value`` columns used);
+        output: one updated (user_id, n_events, total_cents) row per user
+        per micro-batch (Update mode). The latest emission per user equals
+        the batch groupBy — the convergence oracle."""
+        keyed = events.select(
+            "user_id", F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("value_cents")
+        )
+        return keyed.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType="user_id BIGINT, n_events BIGINT, total_cents BIGINT",
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - older pyspark without the API
+    RunningTotalsProcessor = None  # type: ignore[assignment]
+    running_totals_stateful = None  # type: ignore[assignment]

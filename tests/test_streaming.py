@@ -468,3 +468,115 @@ def test_streaming_session_window_matches_batch_native(spark, tmp_path):
     got = spark.table("t_sw_native").toPandas()
     batch = sessionize_native(spark, SF_DIR).toPandas()
     assert_frames_match(got, batch, "streaming_session_window_vs_batch")
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState's state-server protocol requires google.protobuf, "
+    "absent in this container (no installs allowed); the operator is "
+    "API-validated and the applyInPandasWithState sessionizer is the "
+    "fully-tested stateful path",
+)
+def test_transform_with_state_running_totals_converge(spark, tmp_path):
+    """transformWithState (the applyInPandasWithState successor): per-user
+    ValueState totals over striped out-of-order micro-batches must converge
+    to the batch aggregate; every intermediate emission is a prefix total
+    (monotone in both columns)."""
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.sources.events import read_events
+    from datafusion_distributed_experiment_spark.streaming.stateful import (
+        running_totals_stateful,
+    )
+
+    table = ds.dataset(f"{SF_DIR}/events.parquet").to_table()
+    d = tmp_path / "tws_striped"
+    d.mkdir()
+    for i in range(3):
+        idx = [j for j in range(table.num_rows) if j % 3 == i]
+        pq.write_table(table.take(idx), d / f"stripe-{i}.parquet")
+
+    stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    q = (
+        running_totals_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t_tws_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("t_tws_totals").collect()
+
+    final = {}
+    for r in emitted:  # totals are monotone: max = last emission
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, r.total_cents)
+    batch = {
+        r.user_id: (r.n, r.c)
+        for r in read_events(spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value_cents").alias("c"))
+        .collect()
+    }
+    assert final == batch
+    # 3 triggers x 15 users -> multiple emissions per user proves state
+    # genuinely carried across batches
+    assert len(emitted) > len(batch)
+
+
+def test_running_totals_processor_logic_without_state_server():
+    """The processor's accumulation semantics, driven directly with a fake
+    ValueState — covers the cross-batch carryover logic that the skipped
+    end-to-end test would exercise (the state-server transport is the only
+    piece this cannot reach)."""
+    import pandas as pd
+
+    from datafusion_distributed_experiment_spark.streaming.stateful import (
+        RunningTotalsProcessor,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    p = RunningTotalsProcessor()
+    p._totals = FakeState()
+    out1 = list(
+        p.handleInputRows(
+            (7,), iter([pd.DataFrame({"value_cents": [100, 200]})]), None
+        )
+    )[0]
+    out2 = list(
+        p.handleInputRows((7,), iter([pd.DataFrame({"value_cents": [50]})]), None)
+    )[0]
+    assert out1.iloc[0].to_dict() == {"user_id": 7, "n_events": 2, "total_cents": 300}
+    # second batch accumulates onto carried state
+    assert out2.iloc[0].to_dict() == {"user_id": 7, "n_events": 3, "total_cents": 350}
+    # empty batch: state unchanged, emission repeats the running total
+    out3 = list(
+        p.handleInputRows((7,), iter([pd.DataFrame({"value_cents": []})]), None)
+    )[0]
+    assert out3.iloc[0].to_dict() == {"user_id": 7, "n_events": 3, "total_cents": 350}
