@@ -320,5 +320,30 @@ class Engine:
             self.spark, path, target_bytes=target_bytes, compression=compression
         )
 
+    def check_constraints(self, df: DataFrame, rules: dict[str, str]) -> dict[str, int]:
+        """Data-quality rule evaluation in ONE aggregate pass: for each
+        ``name -> SQL predicate``, the number of rows where the predicate is
+        not TRUE (FALSE **or NULL** both count as violations — the strict
+        data-quality reading, NOT SQL CHECK semantics where NULL passes;
+        append ``OR col IS NULL`` to a rule to allow missing values).
+
+        One job, one scan, regardless of rule count — every rule is a
+        conditional-sum aggregate over the same pass, which is the only
+        shape that holds up when the table is 100 TB and the rule set grows
+        to dozens."""
+        from pyspark.sql import functions as F
+
+        aggs = [
+            F.sum(
+                F.when(F.coalesce(F.expr(pred).cast("boolean"), F.lit(False)), 0)
+                .otherwise(1)
+            )
+            .cast("long")
+            .alias(name)
+            for name, pred in rules.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        return {name: int(row[name]) for name in rules}
+
     def stop(self) -> None:
         self.spark.stop()

@@ -85,3 +85,37 @@ def partition_filters(df: DataFrame) -> list[str]:
     listed, let alone read) rather than a post-scan predicate."""
     text = plan_string(df, "formatted")
     return [f for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", text) if f.strip()]
+
+
+def executed_metrics(df: DataFrame) -> list[dict]:
+    """Per-operator runtime metrics from the EXECUTED plan — Spark's analog
+    of the reference displaying metric-annotated plans after a run. Returns
+    one dict per physical node (pre-order): ``{"node": name,
+    "numOutputRows": int | None, ...selected metrics}``. Only meaningful
+    after an action has run the plan; AQE-finalized subtrees are included
+    (the adaptive root is unwrapped to its final plan)."""
+    node = df._jdf.queryExecution().executedPlan()
+    keep = {"numOutputRows", "numFiles", "spillSize", "shuffleRecordsWritten"}
+    out: list[dict] = []
+
+    def walk(n) -> None:
+        name = n.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(n.executedPlan())
+            return
+        row: dict = {"node": name}
+        it = n.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() in keep:
+                row[kv._1()] = kv._2().value()
+        out.append(row)
+        kids = n.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+        # broadcast/shuffle query stages hang their subtree off `plan`
+        if name.endswith("QueryStage"):
+            walk(n.plan())
+
+    walk(node)
+    return out

@@ -409,3 +409,62 @@ def test_register_evolving_unions_schemas_across_files(engine, tmp_path):
     # plain read would have picked ONE schema — evolution is genuinely needed
     plain_cols = set(engine.spark.read.parquet(path).columns)
     assert plain_cols != {"id", "a", "b"}
+
+
+def test_check_constraints_counts_violations_in_one_pass(engine, duck):
+    """Rule violations (predicate not TRUE; NULL counts) cross-checked
+    against DuckDB, and the whole rule set runs as ONE aggregate job."""
+    df = engine.table("events")
+    rules = {
+        "value_nonneg": "value >= 0",
+        "known_type": "event_type IN ('click','view','purchase','signup','error')",
+        "user_in_range": "user_id BETWEEN 0 AND 10",  # deliberately violated
+        "props_present": "props IS NOT NULL AND length(props) > 0",
+    }
+    got = engine.check_constraints(df, rules)
+    for name, pred in rules.items():
+        expect = duck.execute(
+            f"SELECT COUNT(*) FROM events WHERE NOT COALESCE(({pred}), FALSE)"
+        ).fetchone()[0]
+        assert got[name] == expect, (name, got[name], expect)
+    assert got["user_in_range"] > 0, "fixture must exercise the violation path"
+
+    from datafusion_distributed_experiment_spark.plans import stage_summary
+
+    from pyspark.sql import functions as F
+
+    plan_df = df.agg(
+        *[
+            F.sum(
+                F.when(F.coalesce(F.expr(p).cast("boolean"), F.lit(False)), 0).otherwise(1)
+            ).alias(n)
+            for n, p in rules.items()
+        ]
+    )
+    s = stage_summary(plan_df)
+    assert s["scans"] <= 2 and s["exchanges"] <= 1, s  # one scan, one partial/final agg
+
+
+def test_executed_metrics_expose_operator_row_counts(engine):
+    """Post-execution plan metrics (the reference's metric-annotated plan
+    display): the scan/filter/aggregate row counts must reflect the actual
+    run."""
+    from datafusion_distributed_experiment_spark.plans import executed_metrics
+
+    df = (
+        engine.table("lineitem")
+        .filter("l_quantity < 10")
+        .groupBy("l_returnflag")
+        .count()
+    )
+    df.collect()
+    nodes = executed_metrics(df)
+    by_name = {}
+    for n in nodes:
+        by_name.setdefault(n["node"].strip(), []).append(n)
+    scan = by_name["Scan parquet"][0]
+    assert scan["numOutputRows"] == engine.table("lineitem").count()
+    filt = by_name["Filter"][0]
+    assert filt["numOutputRows"] == engine.table("lineitem").filter("l_quantity < 10").count()
+    final_agg_rows = [n.get("numOutputRows") for n in by_name["HashAggregate"]]
+    assert 3 in final_agg_rows  # |return flags|

@@ -351,3 +351,51 @@ def test_aqe_coalesces_shuffle_partitions_at_runtime(engine):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AdaptiveSparkPlan isFinalPlan=true" in plan, plan[:500]
     assert "AQEShuffleRead coalesced" in plan, plan[:2000]
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The skew story's runtime half: AQE must re-plan a skewed sort-merge
+    join into split sub-partitions (SortMergeJoin(skew=true) +
+    'coalesced and skewed' shuffle reads). Salting (operators/joins.py) is
+    the static defense for the single-hot-key case AQE cannot split; this
+    pins that the runtime defense actually engages for ordinary skew.
+    Thresholds are tuned on a sibling session so the tiny fixture crosses
+    them; the shared session's defaults stay untouched."""
+    from pyspark.sql import functions as F
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    hot = s.range(1_000_000).select(F.lit(7).alias("k"), F.col("id").alias("p"))
+    tail = s.range(10_000).select((F.col("id") % 50).alias("k"), F.col("id").alias("p"))
+    right = s.range(200_000).select((F.col("id") % 50).alias("k"), (F.col("id") * 10).alias("d"))
+    j = hot.unionAll(tail).join(right, "k").groupBy().count()
+    j.collect()  # AQE decisions only exist in the EXECUTED plan
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, plan[:2000]
+    assert "skewed" in plan, plan[:2000]
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's AQE-era runtime bloom filter (the engine-native counterpart
+    of operators/joins.bloom_semi_agg): a selective dimension filter on a
+    shuffle join must inject a bloom probe (might_contain) on the fact
+    side. Size thresholds are floored on a sibling session because the
+    sf0.001 fixture is below the defaults."""
+    from .conftest import SF_DIR
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    o = s.read.parquet(f"{SF_DIR}/orders.parquet").filter("o_orderpriority = '1-URGENT'")
+    line = s.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = line.join(o, line.l_orderkey == o.o_orderkey).groupBy().count()
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan, plan[:2000]
