@@ -442,18 +442,27 @@ def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     + gap (the native operator's definition). One shuffle on (user_id,
     session candidates); session state merges associatively in the
     partial/final aggregate."""
-    ev = read_events(spark, sf_dir).select(
-        "user_id", F.expr("timestamp_millis(ts_ms)").alias("et")
-    )
-    sw = ev.groupBy("user_id", F.session_window("et", "1 hour")).agg(
-        F.count("*").cast("long").alias("n_events")
+    ev = read_events(spark, sf_dir).select("user_id", "ts_ms")
+    return session_windows_frame(ev).orderBy("user_id", "start_ms")
+
+
+def session_windows_frame(ev: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
+    """Frame-level native session windows: ``(user_id, ts_ms)`` ->
+    ``(user_id, start_ms, end_gap_ms, n_events)``. See
+    :func:`sessionize_native`; the property suite drives this against a
+    Python reference on gap-boundary-hitting synthetic streams."""
+    gap_expr = f"INTERVAL {gap_ms} MILLISECOND"
+    sw = (
+        ev.select("user_id", F.expr("timestamp_millis(ts_ms)").alias("et"))
+        .groupBy("user_id", F.session_window("et", gap_expr))
+        .agg(F.count("*").cast("long").alias("n_events"))
     )
     return sw.select(
         "user_id",
         F.expr("unix_millis(session_window.start)").alias("start_ms"),
         F.expr("unix_millis(session_window.end)").alias("end_gap_ms"),
         "n_events",
-    ).orderBy("user_id", "start_ms")
+    )
 
 
 BASKET_TOP_N = 20

@@ -501,3 +501,55 @@ def test_quantize_matches_python_replica(spark, vecs):
     }
     expect = {i: _quantize_reference(v) for i, v in enumerate(vecs)}
     assert got == expect
+
+
+# ------------------------------------------------------------------ #
+# native session_window vs a Python reference (boundary-exact)
+# ------------------------------------------------------------------ #
+
+def _sessions_reference(rows, gap):
+    """Exclusive-end session semantics: a gap of EXACTLY `gap` starts a new
+    session (session_window's [start, last+gap) window excludes its end)."""
+    by_user = {}
+    for uid, ts in rows:
+        by_user.setdefault(uid, []).append(ts)
+    out = []
+    for uid, tss in by_user.items():
+        tss.sort()
+        start = prev = tss[0]
+        n = 1
+        for ts in tss[1:]:
+            if ts - prev >= gap:
+                out.append((uid, start, prev + gap, n))
+                start, n = ts, 0
+            n += 1
+            prev = ts
+        out.append((uid, start, prev + gap, n))
+    return sorted(out)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # user
+            # ts in multiples of gap/4 -> exact-gap pairs occur constantly,
+            # hammering the inclusive/exclusive boundary
+            st.integers(0, 40).map(lambda k: k * 25),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_session_window_boundary_matches_reference(spark, rows):
+    from datafusion_distributed_experiment_spark.operators.analytics import (
+        session_windows_frame,
+    )
+
+    gap = 100  # ms
+    df = spark.createDataFrame(rows, "user_id LONG, ts_ms LONG")
+    got = sorted(
+        (r.user_id, r.start_ms, r.end_gap_ms, r.n_events)
+        for r in session_windows_frame(df, gap_ms=gap).collect()
+    )
+    assert got == _sessions_reference(rows, gap)
