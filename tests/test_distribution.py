@@ -123,3 +123,30 @@ def test_results_survive_forced_spill_pressure(engine, spark):
     assert "SortMergeJoin" in plan, plan[:1500]
     under_pressure = [peng.sql(q).collect() for q in (join_sql, window_sql)]
     assert under_pressure == plain
+
+
+def test_round5_window_operators_survive_forced_spill(spark):
+    """Spill differential for the round-5 window-cascade / collected-state
+    operators: funnel (two chained window buffers), events_percentiles
+    (rank window), event_sequences (aggregation buffers) must be value-
+    identical with window/aggregation buffers spilling every 16 rows."""
+    from datafusion_distributed_experiment_spark.operators.analytics import (
+        event_sequences,
+        events_percentiles,
+        funnel,
+    )
+    from datafusion_distributed_experiment_spark.session import scoped_session
+
+    from .conftest import SF_DIR
+
+    ops = (funnel, events_percentiles, event_sequences)
+    plain = [sorted(tuple(r) for r in op(spark, SF_DIR).collect()) for op in ops]
+
+    pressured = scoped_session(spark, {})
+    for k, v in {
+        "spark.sql.windowExec.buffer.spill.threshold": "16",
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "16",
+    }.items():
+        pressured.conf.set(k, v)
+    spilled = [sorted(tuple(r) for r in op(pressured, SF_DIR).collect()) for op in ops]
+    assert spilled == plain
