@@ -134,6 +134,7 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
         for t in tiers
         if t[0]
         in (
+            "selection",
             "dedup",
             "similarity",
             "multimodal",
@@ -147,7 +148,17 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
         )
     ]
     rest = [t for t in tiers if t not in lead]
-    return [*lead, ("sql", sql), *rest]
+    # The two new selection-tier queries take the window slots that
+    # dedup_exact / minhash_signatures vacate — those two already hold green
+    # driver rows (CORRECTNESS_r04) and rotate to the tail, keeping every
+    # never-driver-checked query inside the 50-entry window
+    # (tests/test_corpus_oracle.py pins this invariant).
+    regreen: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for tier_name, tier in lead:
+        if tier_name == "dedup":
+            for name in ("dedup_exact", "minhash_signatures"):
+                regreen[name] = tier.pop(name)
+    return [*lead, ("sql", sql), *rest, ("regreen", regreen)]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

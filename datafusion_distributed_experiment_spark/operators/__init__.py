@@ -51,12 +51,14 @@ def pipeline_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], 
         multimodal,
         pipeline,
         profile,
+        selection,
         similarity,
         temporal,
         text,
     )
 
     return [
+        ("selection", selection.queries()),
         ("dedup", dedup.queries()),
         ("similarity", similarity.queries()),
         ("multimodal", multimodal.queries()),
@@ -88,9 +90,10 @@ def pipeline_oracles() -> dict[str, str]:
     from . import curation, dedup, joins, multimodal, pipeline, similarity, temporal, text
 
     from ..sources import custom
-    from . import analytics, cdc, graph, profile
+    from . import analytics, cdc, graph, profile, selection
 
     out: dict[str, str] = {}
+    out.update(selection.oracles())
     out.update(analytics.oracles())
     out.update(graph.oracles())
     out.update(profile.oracles())

@@ -1,0 +1,197 @@
+"""Corpus-selection operators: clustering assignment and budgeted selection.
+
+Two dataset-assembly stages a 100 TB training-data pipeline runs after
+filtering/dedup, built as engine extensions the same way the reference ships
+custom operators to workers (reference ``tests/custom_extension_codec.rs:
+160-264``) — here as JVM-side DataFrame expressions Spark serializes
+natively; no Python in any hot path.
+
+- ``kmeans_assign``       nearest-centroid assignment over the embedding
+                          corpus (the E-step of k-means / the routing step of
+                          cluster-balanced data selection). Centroids ride
+                          along as ONE broadcast row holding an array of
+                          quantized vectors, so assignment is a pure
+                          projection: zero shuffles over the corpus.
+- ``token_budget_select`` greedy highest-score-first document selection under
+                          a global token budget — the "take the best N tokens"
+                          step of quality-pruned pretraining mixes — computed
+                          as a BANDED two-phase prefix sum instead of one
+                          global window, so no single task ever sees the
+                          whole corpus.
+
+Exactness doctrine (same as the similarity tier): embedding floats are
+floored to ppm integers before any arithmetic (float->double widening is
+exact and the 1e6 multiply rounds identically under IEEE on both engines),
+after which every distance/cumulative-sum is int64 — the DuckDB oracle
+matches bit-for-bit, not approximately.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import DUCK_TOKENS, tokens
+
+# k-means assignment: K centroids = the K vectors with the smallest vec_id
+# (a deterministic seed choice, like the IVF tier's); 64-dim corpus.
+KMEANS_K = 8
+DIM = 64
+# Token-budget selection: global budget and the score-band width for the
+# two-phase prefix sum. Bands must be monotone in score (band = score DIV
+# width) so band-desc-then-score-desc ordering equals the global score-desc
+# ordering.
+SELECT_BUDGET_TOKENS = 10_000
+SCORE_BAND_WIDTH = 50
+
+_QUANT = "transform(embedding, x -> CAST(FLOOR(1e6 * x) AS BIGINT))"
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every embedding to its nearest of K fixed centroids (squared
+    L2 over ppm-quantized components; ties broken by smallest centroid id).
+
+    Scale shape: the K centroids collapse to a SINGLE broadcast row holding
+    ``array<struct<cid, cxp>>``, and the per-vector argmin is one nested
+    higher-order expression (``array_min`` over per-centroid distance
+    structs) — a map-only projection over the corpus with zero exchanges
+    before the output sort. At 100 TB this is the shape that matters: the
+    E-step cost is exactly one corpus scan regardless of K, and re-runs/
+    backfills assign identically because the centroid seed (smallest K
+    vec_ids) and the tie-break are both deterministic. A full Lloyd
+    iteration would alternate this operator with a ``groupBy(cluster)``
+    mean — the M-step is one more shuffle on the cluster key."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    qcol = F.expr(_QUANT)
+    cents_row = (
+        emb.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), qcol.alias("cxp"))
+        # collect_list order is partition-dependent; sort_array on the
+        # (cid, cxp) structs restores the deterministic cid order.
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "cxp"))).alias("cents"))
+    )
+    # struct field order ('d' first) makes array_min the argmin with the
+    # (distance, centroid-id) tie-break — one expression, no explode, no
+    # per-vector window shuffle.
+    best = F.expr(
+        "array_min(transform(cents, c -> named_struct("
+        "'d', aggregate(zip_with(xp, c.cxp, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (s, v) -> s + v), "
+        "'cid', c.cid)))"
+    )
+    return (
+        emb.select("vec_id", qcol.alias("xp"))
+        .crossJoin(F.broadcast(cents_row))
+        .select("vec_id", best.alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.cid").alias("cluster"),
+            F.col("b.d").alias("dist"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-score-first document selection under a global token budget:
+    rank the corpus by (score DESC, doc_id), take documents while the
+    running token total stays within ``SELECT_BUDGET_TOKENS``. ``n_chars``
+    stands in for the integer quality score (any score column slots in).
+
+    The naive spelling is one global window (``SUM OVER (ORDER BY score
+    DESC)``) — a single-partition sort of the whole corpus, the thing that
+    does NOT survive 100 TB. Instead the prefix sum runs banded: per-band
+    token totals (one small aggregate) give each band a broadcast starting
+    offset, and the within-band cumulative sum is an ordinary partitioned
+    window — no task ever holds more than one band. Because the band key is
+    ``score DIV width``, band-descending + in-band score-descending order
+    IS the global score order, so the result is byte-identical to the
+    global window the oracle runs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").alias("score"),
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .withColumn("band", F.expr(f"score DIV {SCORE_BAND_WIDTH}"))
+    )
+    band_tot = base.groupBy("band").agg(F.sum("n_tokens").alias("band_tokens"))
+    # The band table is O(score_range / width) rows — tens — so its
+    # prefix-sum window runs on one task by construction; only this
+    # handful-of-rows frame is ever single-partition.
+    w_off = Window.orderBy(F.desc("band")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = band_tot.select(
+        "band",
+        F.coalesce(F.sum("band_tokens").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("band_offset"),
+    )
+    w_in = Window.partitionBy("band").orderBy(F.desc("score"), "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        base.join(F.broadcast(offsets), "band")
+        .withColumn(
+            "cum_tokens",
+            (F.col("band_offset") + F.sum("n_tokens").over(w_in)).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= SELECT_BUDGET_TOKENS)
+        .select("doc_id", "score", "n_tokens", "cum_tokens")
+        .orderBy("cum_tokens")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "kmeans_assign": kmeans_assign,
+        "token_budget_select": token_budget_select,
+    }
+
+
+_TOKS = DUCK_TOKENS.format(x="text")
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "kmeans_assign": f"""
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(FLOOR(1e6 * x) AS BIGINT)) AS xp
+                FROM embeddings
+            ), c AS (
+                SELECT vec_id AS cid, xp AS cxp FROM q ORDER BY vec_id LIMIT {KMEANS_K}
+            ), d AS (
+                SELECT q.vec_id, c.cid,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, {DIM} + 1),
+                               i -> (q.xp[i] - c.cxp[i]) * (q.xp[i] - c.cxp[i]))),
+                           (s, v) -> s + v) AS d
+                FROM q CROSS JOIN c
+            ), r AS (
+                SELECT vec_id, cid, d,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM d
+            )
+            SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist
+            FROM r WHERE rn = 1 ORDER BY vec_id
+        """,
+        "token_budget_select": f"""
+            WITH t AS (
+                SELECT doc_id, n_chars AS score,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT *, SUM(n_tokens) OVER (
+                    ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING
+                ) AS cum_tokens
+                FROM t
+            )
+            SELECT doc_id, score, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM c WHERE cum_tokens <= {SELECT_BUDGET_TOKENS}
+            ORDER BY cum_tokens
+        """,
+    }

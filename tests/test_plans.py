@@ -399,3 +399,41 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     q.collect()
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "might_contain" in plan, plan[:2000]
+
+
+def test_kmeans_assign_is_broadcast_map_only(spark):
+    """Nearest-centroid assignment must broadcast ONE centroid row onto the
+    corpus scan and compute the argmin as a projection: no shuffle of the
+    corpus on vec_id (the explode-then-window spelling would add one), no
+    corpus-side aggregate. The only exchanges allowed are the tiny
+    centroid-build side and the presentation sort."""
+    from datafusion_distributed_experiment_spark.operators.selection import kmeans_assign
+
+    from .conftest import SF_DIR
+
+    df = kmeans_assign(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, plan[:2000]
+    assert "hashpartitioning(vec_id" not in plan, plan[:2000]
+    s = stage_summary(df)
+    # centroid build (sort-limit + collect_list agg) + final orderBy only
+    assert s["exchanges"] <= 3, (s, plan[:2000])
+
+
+def test_token_budget_select_never_runs_a_global_corpus_window(spark):
+    """The budget prefix-sum must be banded: the corpus-wide cumulative
+    window is partitioned by the score band (hashpartitioning(band)), and
+    the only single-partition frame in the plan is the O(bands)-row offset
+    table — corpus rows must never funnel through Exchange SinglePartition."""
+    from datafusion_distributed_experiment_spark.operators.selection import (
+        token_budget_select,
+    )
+
+    from .conftest import SF_DIR
+
+    df = token_budget_select(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(band" in plan, plan[:3000]
+    # one single-partition exchange is the tiny band-offset window; a second
+    # would mean the corpus itself got globally funneled
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:3000]
