@@ -49,6 +49,9 @@ PROBE_OPS = [
     "top_terms",
     "pagerank_nations",
     "bloom_semi_agg",
+    # selection tier: K-way broadcast distance fan-out, banded prefix sum
+    "kmeans_assign",
+    "token_budget_select",
 ]
 
 
