@@ -145,6 +145,99 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _assign_to_literal_centroids(
+    qvecs: DataFrame, cents: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """E-step against driver-held centroids: ``(vec_id, xp)`` -> adds
+    ``cluster``/``dist``. Centroids are inlined as ONE parsed SQL literal
+    (the IVF tier's model-state pattern, ``similarity.py:_centroid_scores``)
+    so assignment is a pure map-side projection — zero shuffles, zero
+    broadcast jobs, linear in the corpus regardless of K."""
+    cmat = F.expr(
+        "array("
+        + ",".join("array(" + ",".join(f"{x}L" for x in cvec) + ")" for _, cvec in cents)
+        + ")"
+    )
+    cids = F.expr("array(" + ",".join(f"{cid}L" for cid, _ in cents) + ")")
+    dist = lambda cv: F.aggregate(  # noqa: E731 - local kernel
+        F.zip_with(F.col("xp"), cv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+    best = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(cents))),
+            lambda i: F.struct(
+                dist(F.element_at(cmat, i)).alias("d"),
+                F.element_at(cids, i).alias("cid"),
+            ),
+        )
+    )
+    return qvecs.withColumn("b", best).select(
+        "vec_id", "xp", F.col("b.cid").alias("cluster"), F.col("b.d").alias("dist")
+    )
+
+
+def _trunc_div(s: int, c: int) -> int:
+    """Truncate-toward-zero integer division (Spark's ``DIV``), so the
+    component mean is sign-symmetric."""
+    q = abs(s) // c
+    return q if s >= 0 else -q
+
+
+def kmeans_lloyd(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = 3
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Full Lloyd k-means over ``(vec_id, embedding)``: ``iters`` rounds of
+    E-step (assign, map-only against literal centroids) and M-step
+    (per-cluster component-wise integer mean). Returns the final assignment
+    frame ``(vec_id, cluster, dist)`` and the final centroids.
+
+    Scale shape: the corpus is NEVER collected — each round collects only
+    the K x DIM component-sum table (KB-scale model state, the same
+    contract as the IVF seed collect). The M-step is posexplode ->
+    two-level aggregate on (cluster, dim): the explode is absorbed by a
+    map-side partial sum, so the shuffle carries at most K*DIM rows per
+    upstream partition. A cluster that loses all members keeps its previous
+    centroid (no respawn heuristics — deterministic across re-runs).
+    Arithmetic is all-int64 on ppm-quantized components with truncating
+    mean, so every round is exactly reproducible (the differential test
+    replays the identical integers in pure Python)."""
+    qvecs = emb.select("vec_id", F.expr(_QUANT).alias("xp"))
+    cents = [
+        (int(r["vec_id"]), [int(v) for v in r["xp"]])
+        for r in qvecs.orderBy("vec_id").limit(k).collect()
+    ]
+    assigned = _assign_to_literal_centroids(qvecs, cents)
+    for _ in range(iters):
+        stats = (
+            assigned.select("cluster", F.posexplode("xp").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = (
+                int(r["s"]),
+                int(r["c"]),
+            )
+        cents = [
+            (
+                cid,
+                [
+                    _trunc_div(*by_cluster[cid][p])
+                    for p in range(len(prev))
+                ]
+                if cid in by_cluster
+                else prev,  # emptied cluster: centroid frozen
+            )
+            for cid, prev in cents
+        ]
+        assigned = _assign_to_literal_centroids(qvecs, cents)
+    return assigned.select("vec_id", "cluster", "dist"), cents
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kmeans_assign": kmeans_assign,
