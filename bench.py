@@ -141,7 +141,9 @@ def main() -> int:
             "at the 1.2x threshold): "
             + ", ".join(f"{n}={floor_spread[n]}x" for n in unstable)
         )
-    # Compact summary line LAST — the driver parses the tail of stdout.
+    # Full per-query summary (may exceed the driver's ~2000-char tail
+    # capture at 100 queries — r4's single combined line did, and its
+    # BENCH artifact recorded "parsed": null).
     print(
         json.dumps(
             {
@@ -150,7 +152,23 @@ def main() -> int:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
+        )
+    )
+    # Guaranteed-tiny summary line LAST — the tail capture keeps the END of
+    # stdout, so whatever else gets truncated, this line survives and
+    # parses. Per-query detail lives in the line above and in results.json.
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(per_query),
+            },
+            separators=(",", ":"),
         )
     )
     return 0
