@@ -434,12 +434,13 @@ def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The input timestamp is ms-TRUNCATED first (``timestamp_millis(ts_ms)``)
     so Spark's merge decision and the oracle's lag arithmetic happen at the
-    same precision. Boundary pinned: ``session_window`` ends are EXCLUSIVE
-    (an event exactly gap after the previous one starts a new session), so
-    the oracle splits on ``diff >= gap`` — one semantic notch off the
-    lag-sessionizer's ``> gap``, which is why the two operators are not
-    hash-identical and each carries its own oracle. Output end = last event
-    + gap (the native operator's definition). One shuffle on (user_id,
+    same precision. Boundary pinned (by the Hypothesis boundary suite,
+    falsifying example ``[(0, 0), (0, 100)]`` @ gap 100): an event EXACTLY
+    gap after the previous one still MERGES — ``session_window`` extends
+    while ``next_ts <= current_end`` — so the oracle splits on ``diff >
+    gap``, the SAME convention as the lag-sessionizer. (The two operators
+    still aren't hash-identical: this one emits end = last event + gap,
+    the lag form emits the raw last-event time.) One shuffle on (user_id,
     session candidates); session state merges associatively in the
     partial/final aggregate."""
     ev = read_events(spark, sf_dir).select("user_id", "ts_ms")
@@ -691,14 +692,15 @@ def oracles() -> dict[str, str]:
                    CAST(SUM(value_cents) AS BIGINT) AS total_cents
             FROM e GROUP BY event_type ORDER BY event_type
         """,
-        # >= gap (not > gap): session_window ends are exclusive, see
+        # > gap: an event EXACTLY gap after the previous one still merges
+        # (session_window extends while next_ts <= current end), see
         # sessionize_native's docstring.
         "sessionize_native": f"""
             WITH e AS ({DUCK_EVENTS_MS}),
             gaps AS (
                 SELECT user_id, ts_ms,
                        CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
-                              OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) >= {SESSION_GAP_MS}
+                              OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) > {SESSION_GAP_MS}
                             THEN 1 ELSE 0 END AS new_session
                 FROM e),
             numbered AS (

@@ -228,10 +228,10 @@ def test_hist_sketch_state_is_bin_bounded(spark):
 
 def test_sessionize_native_agrees_with_lag_sessionizer(spark):
     """Same gap, two plans (native session_window aggregate vs lag-window
-    cascade): session intervals must agree whenever no inter-event gap hits
-    the boundary exactly (where the two definitions legitimately differ:
-    exclusive vs inclusive gap). The fixture has no exact-gap pairs, so
-    intervals match 1:1 with end shifted by the gap."""
+    cascade): both merge on inter-event diff <= gap (the boundary suite
+    pins the native operator's exactly-gap case to MERGE, matching the lag
+    form's strict `> gap` split), so session intervals match 1:1 with the
+    native end shifted by the gap."""
     from datafusion_distributed_experiment_spark.streaming.stateful import user_sessions
 
     native = {

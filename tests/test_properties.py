@@ -508,8 +508,11 @@ def test_quantize_matches_python_replica(spark, vecs):
 # ------------------------------------------------------------------ #
 
 def _sessions_reference(rows, gap):
-    """Exclusive-end session semantics: a gap of EXACTLY `gap` starts a new
-    session (session_window's [start, last+gap) window excludes its end)."""
+    """Inclusive-gap merge semantics: an event EXACTLY `gap` after the
+    previous one still joins the session — Spark's session_window extends
+    while next_ts <= current window end (= prev + gap); only a STRICTLY
+    larger gap starts a new session. (Empirically pinned: [(0,0),(0,100)]
+    @ gap 100 yields ONE session [0, 200).)"""
     by_user = {}
     for uid, ts in rows:
         by_user.setdefault(uid, []).append(ts)
@@ -519,7 +522,7 @@ def _sessions_reference(rows, gap):
         start = prev = tss[0]
         n = 1
         for ts in tss[1:]:
-            if ts - prev >= gap:
+            if ts - prev > gap:
                 out.append((uid, start, prev + gap, n))
                 start, n = ts, 0
             n += 1
