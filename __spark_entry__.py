@@ -28,8 +28,9 @@ from datafusion_distributed_experiment_spark import Engine
 from datafusion_distributed_experiment_spark import queries as corpus
 
 _SQL_QUERIES = [
-    # head of the sql tier = inside the driver's 50-entry gate window while
-    # new; established queries (all with committed green rows) sit behind it
+    # events_window_funcs earned its driver row in CORRECTNESS_r05; round 6
+    # rotates it to the tail so the 33 r04-verified SQL queries re-enter the
+    # window (see query_tiers)
     "adhoc/events_window_funcs",
     *(f"tpch/q{i}" for i in range(1, 23)),
     "adhoc/events_agg_count",
@@ -114,51 +115,38 @@ def preload_mem(spark: SparkSession, sf_dir: str, partitions: int | None = None)
 
 def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], DataFrame]]]]:
     """Queries grouped by tier, gate-ordered: the driver oracle-checks the
-    FIRST 50 entries, so the window rotates round-over-round until every
-    query has a driver-verified CORRECTNESS row (round 5: the
-    dedup/similarity/multimodal/curation/joins tiers lead — 30 entries —
-    followed by the head of the SQL corpus; everything displaced holds a
-    green row in a committed CORRECTNESS_r*.json, enforced by
+    FIRST 50 entries, so the window rotates round-over-round — no query's
+    driver-verified row may go more than ~two rounds stale. Round 5
+    verified the dedup/similarity/multimodal/curation/joins/analytics half;
+    round 6 rotates the OTHER half (the 48 r04-verified SQL/temporal/
+    streaming/stateful/text/pipeline queries) back in, led by the two
+    round-6 queries that have never been driver-checked (kmeans_lloyd_t3,
+    minhash_pairs_skew). The 2 slots they take are vacated by dedup_exact
+    and minhash_signatures — green in FOUR committed rounds (r01-r04), the
+    deepest evidence of any query. Everything outside the window holds a
+    green row in a committed CORRECTNESS_r*.json (invariant pinned by
     tests/test_corpus_oracle.py). The bench re-orders tiers for measurement
     isolation; see ``operators.pipeline_tiers``."""
     sql: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _SQL_QUERIES:
         sql[name.split("/", 1)[1]] = _run_corpus(name)
     sql["q15"] = _run_q15_script()  # exercise the multi-statement machinery
+    # r05-green; rotates behind the window this round
+    sql_tail = {"events_window_funcs": sql.pop("events_window_funcs")}
 
     from datafusion_distributed_experiment_spark.operators import pipeline_tiers
 
     tiers = pipeline_tiers()
-    lead = [
-        t
-        for t in tiers
-        if t[0]
-        in (
-            "selection",
-            "dedup",
-            "similarity",
-            "multimodal",
-            "curation",
-            "joins",
-            "cdc",
-            "profile",
-            "analytics",
-            "graph",
-            "custom",
-        )
-    ]
-    rest = [t for t in tiers if t not in lead]
-    # The two new selection-tier queries take the window slots that
-    # dedup_exact / minhash_signatures vacate — those two already hold green
-    # driver rows (CORRECTNESS_r04) and rotate to the tail, keeping every
-    # never-driver-checked query inside the 50-entry window
-    # (tests/test_corpus_oracle.py pins this invariant).
-    regreen: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for tier_name, tier in lead:
-        if tier_name == "dedup":
-            for name in ("dedup_exact", "minhash_signatures"):
-                regreen[name] = tier.pop(name)
-    return [*lead, ("sql", sql), *rest, ("regreen", regreen)]
+    by_name = dict(tiers)
+    # never driver-checked -> must lead the window
+    fresh = {
+        "kmeans_lloyd_t3": by_name["selection"].pop("kmeans_lloyd_t3"),
+        "minhash_pairs_skew": by_name["dedup"].pop("minhash_pairs_skew"),
+    }
+    window_tiers = ("temporal", "streaming", "stateful", "text", "pipeline")
+    lead = [(n, by_name[n]) for n in window_tiers]
+    rest = [t for t in tiers if t[0] not in window_tiers]
+    return [("fresh", fresh), ("sql", sql), *lead, ("sql_tail", sql_tail), *rest]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -143,11 +143,14 @@ def main() -> int:
         )
     # Full per-query summary (may exceed the driver's ~2000-char tail
     # capture at 100 queries — r4's single combined line did, and its
-    # BENCH artifact recorded "parsed": null).
+    # BENCH artifact recorded "parsed": null). Keyed as a DETAIL line, not
+    # "metric": exactly one line (the tiny one below) carries the headline
+    # metric key, so a consumer scanning for the FIRST metric line and one
+    # scanning the tail agree.
     print(
         json.dumps(
             {
-                "metric": "total_query_seconds",
+                "detail": "per_query_seconds",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,

@@ -49,6 +49,12 @@ MOD = 1_000_000_007
 # quadratic and useless for dedup, so it is skipped. The oracle applies the
 # identical cap, and at cluster scale this is also the skew-join guard.
 MAX_BAND_BUCKET = 64
+# Skew fixture (minhash_pairs_skew): HUB_COPIES exact replicas of one
+# document, injected so every band bucket they share exceeds MAX_BAND_BUCKET
+# and the cap is forced to FIRE on real data — the dormant-at-test-scale
+# guard proven against the oracle, not just present in the plan.
+HUB_OFFSET = 2_000_000
+HUB_COPIES = 96
 
 
 def _corpus(spark: SparkSession, sf_dir: str, rebalance: bool = True) -> DataFrame:
@@ -193,10 +199,17 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Band keys shuffle-partition the corpus; only documents sharing a band
     bucket are compared (no cross join — the standard scale-out LSH plan)."""
+    return _mine_minhash_pairs(_corpus(spark, sf_dir))
+
+
+def _mine_minhash_pairs(corpus: DataFrame) -> DataFrame:
+    """Signature -> capped band rows -> bucket self-join -> Jaccard verify,
+    over any ``(doc_id, text)`` frame — shared by the standard and the
+    skew-fixture pair miners so the capped plan is the only plan."""
     # localCheckpoint, not persist: three consumers (both self-join sides +
     # the bucket-cap count) race a lazily-populated cache and recompute the
     # HOF chain concurrently on miss; eager checkpoint materializes once.
-    sigs = _with_signature(_corpus(spark, sf_dir)).select("doc_id", "toks", "sig").localCheckpoint()
+    sigs = _with_signature(corpus).select("doc_id", "toks", "sig").localCheckpoint()
     bands = _cap_buckets(_band_rows(sigs), ["band_idx", "x", "y"])
     a, b2 = bands.alias("a"), bands.alias("b")
     cand = (
@@ -225,6 +238,34 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard_ppm") >= JACCARD_MIN_PPM)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _skew_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`_corpus` plus a degenerate hub: ``HUB_COPIES`` exact replicas
+    of the smallest doc_id's text (ids ``HUB_OFFSET + i``). All replicas
+    share identical MinHash signatures, so every band bucket they land in
+    holds > ``MAX_BAND_BUCKET`` rows — the low-entropy-corpus shape
+    (boilerplate pages, empty docs) that makes uncapped LSH quadratic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    seed = docs.orderBy("doc_id").limit(1).select("text")
+    hub = (
+        spark.range(HUB_COPIES)
+        .select((F.col("id") + HUB_OFFSET).alias("doc_id"))
+        .crossJoin(F.broadcast(seed))
+        .select("doc_id", "text")
+    )
+    return _corpus(spark, sf_dir).unionAll(hub)
+
+
+def minhash_pairs_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`minhash_dedup_pairs` over the hub-skewed corpus — the
+    frequent-bucket cap (``_cap_buckets`` / ``MAX_BAND_BUCKET``) is forced
+    ON by the data, so a green driver row proves the skew guard produces
+    verified answers (hub buckets suppressed on BOTH engines; every
+    non-hub near-dup pair still mined). This is the 100 TB contract under
+    test: one hot key must cost pairs inside its own bucket, never the
+    ability to answer the rest of the corpus."""
+    return _mine_minhash_pairs(_skew_corpus(spark, sf_dir))
 
 
 # --------------------------------------------------------------------- #
@@ -672,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "minhash_signatures": minhash_signatures,
         "minhash_dedup_pairs": minhash_dedup_pairs,
+        "minhash_pairs_skew": minhash_pairs_skew,
         "dedup_incremental": dedup_incremental,
         "simhash_signatures": simhash_signatures,
         "simhash_dedup_pairs": simhash_dedup_pairs,
@@ -752,6 +794,20 @@ _DUCK_MINHASH_PAIRS = f"""bands AS (
 )"""
 
 
+# Hub-skewed corpus (identical augmentation as _DUCK_CORPUS plus HUB_COPIES
+# replicas of the smallest doc_id's text) — the minhash_pairs_skew fixture.
+_DUCK_SKEW_CORPUS = f"""corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {AUG_OFFSET} AS doc_id, text || '{AUG_SUFFIX}' AS text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT {HUB_OFFSET} + r.i AS doc_id, d.text
+    FROM documents d, range(0, {HUB_COPIES}) AS r(i)
+    WHERE d.doc_id = (SELECT MIN(doc_id) FROM documents)
+)"""
+
+
 # Incremental-dedup side predicates over the combined sig CTE (index =
 # even originals; incoming = odd originals + all augmented copies).
 _IDX_PRED = f"doc_id < {AUG_OFFSET} AND doc_id % 2 = 0"
@@ -811,6 +867,10 @@ def _oracles() -> dict[str, str]:
         """,
         "minhash_dedup_pairs": f"""
             WITH {_DUCK_CORPUS}, {_DUCK_SIG}, {_DUCK_MINHASH_PAIRS}
+            SELECT doc_a, doc_b, jaccard_ppm FROM pairs ORDER BY doc_a, doc_b
+        """,
+        "minhash_pairs_skew": f"""
+            WITH {_DUCK_SKEW_CORPUS}, {_DUCK_SIG}, {_DUCK_MINHASH_PAIRS}
             SELECT doc_a, doc_b, jaccard_ppm FROM pairs ORDER BY doc_a, doc_b
         """,
         "dedup_incremental": f"""

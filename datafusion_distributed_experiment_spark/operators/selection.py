@@ -38,6 +38,7 @@ from ..functions.text import DUCK_TOKENS, tokens
 # k-means assignment: K centroids = the K vectors with the smallest vec_id
 # (a deterministic seed choice, like the IVF tier's); 64-dim corpus.
 KMEANS_K = 8
+KMEANS_ITERS = 3  # Lloyd rounds for the driver-verified kmeans_lloyd_t3 query
 DIM = 64
 # Token-budget selection: global budget and the score-band width for the
 # two-phase prefix sum. Bands must be monotone in score (band = score DIV
@@ -99,7 +100,11 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Highest-score-first document selection under a global token budget:
     rank the corpus by (score DESC, doc_id), take documents while the
     running token total stays within ``SELECT_BUDGET_TOKENS``. ``n_chars``
-    stands in for the integer quality score (any score column slots in).
+    stands in for the integer quality score; any integer score column slots
+    in, with NULL-scored documents EXCLUDED up front (explicitly, on both
+    engines — without the filter a NULL score would fall out of the banded
+    inner join on Spark but sort NULLS LAST and keep accumulating tokens in
+    a plain SQL window, a silent cross-engine divergence).
 
     The naive spelling is one global window (``SUM OVER (ORDER BY score
     DESC)``) — a single-partition sort of the whole corpus, the thing that
@@ -117,6 +122,7 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("score"),
             F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
         )
+        .filter(F.col("score").isNotNull())
         .withColumn("band", F.expr(f"score DIV {SCORE_BAND_WIDTH}"))
     )
     band_tot = base.groupBy("band").agg(F.sum("n_tokens").alias("band_tokens"))
@@ -238,9 +244,91 @@ def kmeans_lloyd(
     return assigned.select("vec_id", "cluster", "dist"), cents
 
 
+def kmeans_lloyd_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing :func:`kmeans_lloyd`: ``KMEANS_ITERS`` full Lloyd
+    rounds over the embeddings table, returning the final assignments
+    ``(vec_id, cluster, dist)``. ``dist`` is squared L2 to the FINAL
+    (thrice-updated) centroid, so a green driver row pins every E-step AND
+    every M-step's integer mean — the DuckDB oracle replays the identical
+    iteration unrolled as CTEs (the ``pagerank_nations`` pattern,
+    ``operators/graph.py``), which is exactly what the all-int64
+    ppm-quantized arithmetic was designed to make possible."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    assigned, _ = kmeans_lloyd(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return assigned.orderBy("vec_id")
+
+
+def _lloyd_oracle(iters: int) -> str:
+    """The Lloyd iteration unrolled as one DuckDB CTE chain.
+
+    ``a0 = E(c0)``; then per round ``n``: ``c_n = M(a_{n-1})`` (per-cluster
+    component-wise truncating integer mean, empty clusters frozen via the
+    LEFT JOIN + COALESCE) and ``a_n = E(c_n)`` — the exact schedule of
+    :func:`kmeans_lloyd`. The sign-split ``//`` reproduces Spark's
+    truncate-toward-zero ``DIV`` (DuckDB ``//`` floors); sums/counts are
+    cast back to BIGINT so centroid lists stay int64 like Spark's."""
+
+    def estep(n: int, cent: str) -> str:
+        return f"""d{n} AS (
+                SELECT q.vec_id, q.xp, c.cid,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, len(q.xp) + 1),
+                               i -> (q.xp[i] - c.cxp[i]) * (q.xp[i] - c.cxp[i]))),
+                           (s, v) -> s + v) AS d
+                FROM q CROSS JOIN {cent} c
+            ), a{n} AS (
+                SELECT vec_id, xp, cid AS cluster, d AS dist FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY d, cid) AS rn
+                    FROM d{n}
+                ) WHERE rn = 1
+            )"""
+
+    parts = [
+        """q AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(FLOOR(1e6 * x) AS BIGINT)) AS xp
+                FROM embeddings
+            )""",
+        """dims AS (
+                SELECT UNNEST(range(1, (SELECT MAX(len(xp)) FROM q) + 1)) AS pos
+            )""",
+        f"""c0 AS (
+                SELECT vec_id AS cid, xp AS cxp FROM q ORDER BY vec_id LIMIT {KMEANS_K}
+            )""",
+        estep(0, "c0"),
+    ]
+    for n in range(1, iters + 1):
+        parts.append(
+            f"""s{n} AS (
+                SELECT a.cluster AS cid, d.pos,
+                       CAST(SUM(a.xp[d.pos]) AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM a{n - 1} a CROSS JOIN dims d GROUP BY 1, 2
+            ), m{n} AS (
+                SELECT cid,
+                       list(CAST(CASE WHEN s >= 0 THEN s // c
+                                      ELSE -((-s) // c) END AS BIGINT)
+                            ORDER BY pos) AS cxp
+                FROM s{n} GROUP BY cid
+            ), c{n} AS (
+                SELECT p.cid, COALESCE(m.cxp, p.cxp) AS cxp
+                FROM c{n - 1} p LEFT JOIN m{n} m USING (cid)
+            )"""
+        )
+        parts.append(estep(n, f"c{n}"))
+    ctes = ",\n            ".join(parts)
+    return f"""
+            WITH {ctes}
+            SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist
+            FROM a{iters} ORDER BY vec_id
+        """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kmeans_assign": kmeans_assign,
+        "kmeans_lloyd_t3": kmeans_lloyd_t3,
         "token_budget_select": token_budget_select,
     }
 
@@ -250,6 +338,7 @@ _TOKS = DUCK_TOKENS.format(x="text")
 
 def oracles() -> dict[str, str]:
     return {
+        "kmeans_lloyd_t3": _lloyd_oracle(KMEANS_ITERS),
         "kmeans_assign": f"""
             WITH q AS (
                 SELECT vec_id,
@@ -260,7 +349,7 @@ def oracles() -> dict[str, str]:
             ), d AS (
                 SELECT q.vec_id, c.cid,
                        list_reduce(list_prepend(CAST(0 AS BIGINT),
-                           list_transform(range(1, {DIM} + 1),
+                           list_transform(range(1, len(q.xp) + 1),
                                i -> (q.xp[i] - c.cxp[i]) * (q.xp[i] - c.cxp[i]))),
                            (s, v) -> s + v) AS d
                 FROM q CROSS JOIN c
@@ -276,7 +365,7 @@ def oracles() -> dict[str, str]:
             WITH t AS (
                 SELECT doc_id, n_chars AS score,
                        CAST(len({_TOKS}) AS BIGINT) AS n_tokens
-                FROM documents
+                FROM documents WHERE n_chars IS NOT NULL
             ), c AS (
                 SELECT *, SUM(n_tokens) OVER (
                     ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING

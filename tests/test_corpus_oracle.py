@@ -65,9 +65,21 @@ def test_gate_window_rotation_leaves_no_query_unverified():
         f"in any committed CORRECTNESS artifact: {missing}"
     )
     # and the rotation is actually doing its job: the window prioritizes
-    # queries with the fewest prior green rows (round 5: the 26-query tail
-    # r04 never checked leads the window)
+    # queries with the fewest prior green rows. Round 6: the two
+    # never-driver-checked queries lead, followed by the 48 queries whose
+    # last green row is CORRECTNESS_r04 (SQL/temporal/streaming/stateful/
+    # text/pipeline) — nothing in the window was verified as recently as r05
     gated = set(names[:50])
-    for name in ("minhash_dedup_pairs", "dedup_clusters", "ann_lsh", "media_features",
-                 "repetition_stats", "decontaminate"):
-        assert name in gated, f"{name} (never driver-checked before r5) not in window"
+    for name in ("kmeans_lloyd_t3", "minhash_pairs_skew",  # new in r6
+                 "q1", "q21", "events_asof", "stream_dedup", "sessionize",
+                 "text_stats", "corpus_pipeline"):          # r04-stale
+        assert name in gated, f"{name} not in the round-6 window"
+    import json as _json
+    import os as _os
+    r05 = _json.load(
+        open(_os.path.join(_os.path.dirname(__file__), "..", "CORRECTNESS_r05.json"))
+    )
+    stale_in_window = gated & set(r05)
+    assert not stale_in_window, (
+        f"r05-verified queries occupying round-6 window slots: {stale_in_window}"
+    )
