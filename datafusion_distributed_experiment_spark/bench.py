@@ -348,7 +348,15 @@ def floor_spread_ratio(entry: dict) -> float | None:
 
 
 def compare_runs(current: dict, previous: dict) -> list[str]:
-    """Previous-run comparison lines (reference util/run.rs:212-260)."""
+    """Previous-run comparison lines (reference util/run.rs:212-260).
+
+    Each line carries BOTH estimators: the min-based headline ratio and the
+    mean-over-iterations ratio. The min structurally masks regressions that
+    raise only SOME iterations (intermittent spill, GC pressure from a
+    larger footprint — the additive-contamination class), so a query whose
+    mean regresses past the 1.2x reference threshold while its min doesn't
+    is flagged ``MEAN-REGRESSED`` explicitly instead of reading as silently
+    green."""
     prev = {q["query"]: q for q in previous.get("queries", [])}
     lines = []
     for q in current["queries"]:
@@ -364,7 +372,17 @@ def compare_runs(current: dict, previous: dict) -> list[str]:
             mark = f"-{1 / ratio:.2f}x slower"
         else:
             mark = "no change"
-        lines.append(f"{name}: {cur_s * 1000:.1f} ms (prev {prev_s * 1000:.1f} ms) {mark}")
+        cur_m = mean_iter_seconds(q)
+        prev_m = mean_iter_seconds(prev.get(name, {}))
+        mean_note = ""
+        if cur_m and prev_m and cur_m > 0:
+            mean_ratio = prev_m / cur_m
+            mean_note = f" [mean {cur_m * 1000:.1f} ms, {mean_ratio:.2f}x]"
+            if mean_ratio <= 1 / FASTER_RATIO and ratio > 1 / FASTER_RATIO:
+                mean_note += " MEAN-REGRESSED"
+        lines.append(
+            f"{name}: {cur_s * 1000:.1f} ms (prev {prev_s * 1000:.1f} ms) {mark}{mean_note}"
+        )
     return lines
 
 

@@ -41,13 +41,24 @@ python scripts/verify_correctness.py /root/testdata/sf0.1 \
   minhash_dedup_pairs dedup_incremental dedup_clusters >> "$ART" 2>&1
 SF01_RC=$?
 
+# Spill-pressure pass: sort/window/as-of queries under 128-row force-spill
+# thresholds must still hash-match AND show nonzero spillSize in the
+# executed plan — the reference's --memory-limit/FairSpillPool parity
+# (benchmarks/src/util/options.rs:90-115) proven, not just plumbed.
 {
   echo
-  echo "== result: pytest rc=$PYTEST_RC oracle rc=$ORACLE_RC sf0.1-subset rc=$SF01_RC =="
+  echo "-- spill-pressure sweep sf0.01 (scripts/verify_spill.py) --"
+} >> "$ART"
+python scripts/verify_spill.py /root/testdata/sf0.01 >> "$ART" 2>&1
+SPILL_RC=$?
+
+{
+  echo
+  echo "== result: pytest rc=$PYTEST_RC oracle rc=$ORACLE_RC sf0.1-subset rc=$SF01_RC spill rc=$SPILL_RC =="
 } >> "$ART"
 
 tail -n 5 "$ART"
-if [ "$PYTEST_RC" -ne 0 ] || [ "$ORACLE_RC" -ne 0 ] || [ "$SF01_RC" -ne 0 ]; then
+if [ "$PYTEST_RC" -ne 0 ] || [ "$ORACLE_RC" -ne 0 ] || [ "$SF01_RC" -ne 0 ] || [ "$SPILL_RC" -ne 0 ]; then
   echo "GATE RED — do not snapshot. Full output in $ART" >&2
   exit 1
 fi

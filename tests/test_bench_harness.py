@@ -98,6 +98,29 @@ def test_min_estimator_and_spread():
     assert mean_iter_seconds({"iterations": []}) is None
 
 
+def test_compare_runs_flags_mean_only_regression():
+    """A query whose min is stable but whose mean regresses past the 1.2x
+    threshold (the intermittent spill/GC class the min estimator cannot
+    see) must be called out, not read as silently green."""
+    from datafusion_distributed_experiment_spark.bench import compare_runs
+
+    def entry(name, ms):
+        return {"query": name, "iterations": [{"elapsed_ms": v} for v in ms]}
+
+    prev = {"queries": [entry("q", [100.0] * 3), entry("r", [100.0] * 3)]}
+    cur = {"queries": [entry("q", [100.0, 550.0, 550.0]), entry("r", [100.0] * 3)]}
+    lines = compare_runs(cur, prev)
+    qline = next(line for line in lines if line.startswith("q:"))
+    rline = next(line for line in lines if line.startswith("r:"))
+    assert "no change" in qline and "MEAN-REGRESSED" in qline
+    assert "[mean " in qline  # both estimators visible on every line
+    assert "MEAN-REGRESSED" not in rline
+    # a regression BOTH estimators see is a plain slower verdict, not the flag
+    cur2 = {"queries": [entry("q", [300.0, 300.0, 300.0])]}
+    (qline2,) = compare_runs(cur2, prev)
+    assert "slower" in qline2 and "MEAN-REGRESSED" not in qline2
+
+
 def test_every_query_gets_consecutive_floor_passes(monkeypatch):
     """After the interleaved passes EVERY query gets FLOOR_EXTRA extra
     consecutive iterations (tagged 'floor') — unconditionally, so two

@@ -249,6 +249,53 @@ def test_write_clustered_produces_skippable_layout(engine, spark, tmp_path):
     assert spark.read.parquet(clustered).count() == src.count()
 
 
+def test_clustered_layout_prunes_at_read_time(spark, tmp_path):
+    """The footer test above proves the clustered layout's row-group
+    intervals are disjoint; this proves the PAYOFF at read time: a
+    selective filter on the clustered dimension makes the parquet scan
+    OUTPUT a small fraction of the table (row groups skipped via min/max
+    stats before any row is materialized), while the same filter over the
+    unclustered control reads essentially everything and discards it
+    post-scan. numOutputRows on the executed scan node is the evidence —
+    the same signal that distinguishes a pruned from an unpruned scan at
+    100 TB."""
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.plans import executed_metrics
+    from datafusion_distributed_experiment_spark.sources.tables import (
+        write_clustered,
+        write_parquet,
+    )
+
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_id", "user_id")
+    n = src.count()
+    clustered, plain = str(tmp_path / "c"), str(tmp_path / "p")
+    write_clustered(src, clustered, ["user_id"], partitions=8)
+    write_parquet(src.repartition(8), plain)
+    key = src.agg(F.expr("approx_percentile(user_id, 0.5)")).collect()[0][0]
+
+    def scan_output_rows(path):
+        df = spark.read.parquet(path).filter(F.col("user_id") == key)
+        matched = df.count()
+        df.collect()
+        scans = [
+            m["numOutputRows"]
+            for m in executed_metrics(df)
+            if "Scan" in m["node"] and m.get("numOutputRows") is not None
+        ]
+        assert scans, "no scan node with numOutputRows in executed plan"
+        return matched, sum(scans)
+
+    matched_c, rows_c = scan_output_rows(clustered)
+    matched_p, rows_p = scan_output_rows(plain)
+    assert matched_c == matched_p > 0  # same answer from both layouts
+    # unclustered control: stats prune nothing, the scan reads ~the table
+    assert rows_p >= 0.9 * n, (rows_p, n)
+    # clustered: row-group skipping drops all but the key's narrow interval
+    assert rows_c <= n / 4, (rows_c, n)
+    assert rows_c < rows_p / 3
+
+
 def test_preload_mem_serves_sql_from_cached_tables(spark, tmp_path):
     """The --mem-table analog: preload_mem materializes every table in
     memory and pins the registration, so SQL-corpus queries read the cached
