@@ -91,6 +91,21 @@ def pagerank_frame(
     # an ambiguous pair.
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     wedges = edges.join(outw, "src").select("src", "dst", "w", "out_w")
+    # Guard the documented int64 headroom instead of trusting it: the
+    # per-edge product ((r*85) DIV 100) * w is bounded by PPB * max(w)
+    # (each rank <= the total 1e9 mass), so max(w) must stay under
+    # int64_max / PPB (~9.2e9) or the contribution silently wraps. The
+    # check is one MAX over the already-collapsed |E|-row edge table —
+    # KB-scale model state, not a data collect.
+    max_w = wedges.agg(F.max("w")).collect()[0][0] or 0
+    if max_w > (2**63 - 1) // PPB:
+        from ..errors import PlanningError
+
+        raise PlanningError(
+            f"pagerank edge weight {max_w} exceeds the int64 ppb headroom "
+            f"({(2**63 - 1) // PPB}); rescale edge weights (e.g. divide by a "
+            "constant) or switch the rank arithmetic to decimal(38,0)"
+        )
 
     base = (DAMP_DEN - DAMP_NUM) * PPB // DAMP_DEN // n  # (0.15e9) DIV N
     ranks = nodes.select("v", F.lit(PPB // n).cast("long").alias("r"))

@@ -6,11 +6,13 @@ rows (one per column) so downstream checks can join/threshold them.
 
 Scale shape: a single aggregate pass. Spark plans the N ``count(distinct)``
 aggregates through one Expand (N-fold row multiplication inside the
-partial aggregate, not a per-column rescan of the table). At extreme widths
-the Expand factor itself becomes the cost and a profiler would switch to
-one pass per column batch or sketched cardinalities (``events_kmv_distinct``
-is the exact-sketch building block here); the exact form is what the
-oracle can verify bit-for-bit.
+partial aggregate, not a per-column rescan of the table). Past
+``PROFILE_BATCH_COLUMNS`` the Expand factor itself becomes the cost, so
+wider profiles automatically run one pass per column batch (bounded Expand
+per pass) and union the tiny results; sketched cardinalities
+(``events_kmv_distinct`` is the exact-sketch building block) remain the
+escape hatch past that. The exact form is what the oracle verifies
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -32,8 +34,27 @@ PROFILE_COLUMNS = [
 ]
 
 
+# Past this many columns, the multi-distinct Expand (one row copy per
+# distinct agg inside the partial aggregate) costs more than re-scanning:
+# profile in batches of this width instead — B scans of the table, each
+# with a bounded Expand factor, instead of one scan carrying a
+# width-of-table row multiplication.
+PROFILE_BATCH_COLUMNS = 16
+
+
 def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
-    """(column, n_rows, n_nulls, n_distinct) per column, one aggregate job."""
+    """(column, n_rows, n_nulls, n_distinct) per column.
+
+    One aggregate job up to :data:`PROFILE_BATCH_COLUMNS` columns; wider
+    profiles run one job per batch and union the (column-count-sized)
+    results — the Expand factor stays bounded at any table width."""
+    if len(columns) > PROFILE_BATCH_COLUMNS:
+        out = profile_columns(df, columns[:PROFILE_BATCH_COLUMNS])
+        for i in range(PROFILE_BATCH_COLUMNS, len(columns), PROFILE_BATCH_COLUMNS):
+            out = out.unionAll(
+                profile_columns(df, columns[i : i + PROFILE_BATCH_COLUMNS])
+            )
+        return out.orderBy("column")
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
     for c in columns:
         aggs.append(F.count(c).cast("long").alias(f"__nn_{c}"))

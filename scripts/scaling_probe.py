@@ -55,20 +55,71 @@ PROBE_OPS = [
 ]
 
 
+# --xstep: probe ONE more 10x step past sf0.1 for the riskiest
+# candidate-generation / iterative / prefix-sum operators, against a
+# synthetic 10x documents corpus (sf0.1 replicated with per-copy salted
+# text so replicas are NOT near-duplicates of each other — the pair graph
+# grows linearly with the corpus, which is exactly the property under test,
+# instead of quadratically by construction of the fixture).
+XSTEP_OPS = ["minhash_dedup_pairs", "dedup_clusters_star", "token_budget_select"]
+XSTEP_FACTOR = 10
+XSTEP_DIR = "/tmp/scaling_docs_x10"
+
+
+def build_xstep_dir(spark) -> str:
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    # Per-copy character rotation over 10 letters: every token of every copy
+    # hashes differently from every other copy's, so shingle sets, minhash
+    # signatures AND distinct-token sets are all cross-copy dissimilar — the
+    # corpus grows by genuinely-new documents (the real 100 TB growth mode),
+    # each copy carrying its own intact near-dup structure. A prefix-only
+    # salt was tried first and is a trap: it perturbs two shingles out of
+    # hundreds, making every copy a ~99% near-dup of its siblings and
+    # growing the TRUE pair count quadratically by construction — the
+    # fixture, not the operator, blows up.
+    alpha = "abcdefghij"
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(c * 10_000_000)).alias("doc_id"),
+            (
+                F.translate(F.col("text"), alpha, alpha[c:] + alpha[:c])
+                if c
+                else F.col("text")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for c in range(XSTEP_FACTOR)
+    ]
+    big = reduce(DataFrame.unionAll, copies)
+    big.repartition(32).write.mode("overwrite").parquet(f"{XSTEP_DIR}/documents.parquet")
+    return XSTEP_DIR
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datafusion_distributed_experiment_spark import build_session
 
-    only = sys.argv[1:] or PROBE_OPS
+    args = sys.argv[1:]
+    xstep = "--xstep" in args
+    args = [a for a in args if a != "--xstep"]
+    only = args or (XSTEP_OPS if xstep else PROBE_OPS)
     spark = build_session(app_name="scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
+    sf_dirs = SF_DIRS + ([build_xstep_dir(spark)] if xstep else [])
 
     out: dict[str, dict] = {}
     for name in only:
         fn = queries[name]
         times, rows = [], []
-        for sf_dir in SF_DIRS:
+        for sf_dir in sf_dirs:
             fn(spark, sf_dir).collect()  # warm: listing, codegen, caches
             spark.catalog.clearCache()
             t0 = time.perf_counter()

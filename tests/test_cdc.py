@@ -95,6 +95,33 @@ def test_profile_columns_counts_nulls_and_distincts(spark):
     assert got == {"k": (5, 2, 3), "s": (5, 2, 2)}
 
 
+def test_profile_columns_batches_past_expand_width(spark):
+    """Wider than PROFILE_BATCH_COLUMNS, the profile splits into one
+    bounded-Expand aggregate per batch (B scans instead of a width-of-table
+    row multiplication) with identical per-column answers."""
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.operators.profile import (
+        PROFILE_BATCH_COLUMNS,
+        profile_columns,
+    )
+
+    width = PROFILE_BATCH_COLUMNS + 3
+    df = spark.range(40).select(
+        *[(F.col("id") % (i + 2)).alias(f"c{i:02d}") for i in range(width)]
+    )
+    wide = profile_columns(df, [f"c{i:02d}" for i in range(width)])
+    got = {
+        r["column"]: (r["n_rows"], r["n_nulls"], r["n_distinct"]) for r in wide.collect()
+    }
+    assert len(got) == width
+    for i in range(width):
+        assert got[f"c{i:02d}"] == (40, 0, min(i + 2, 40))
+    # the batched path really ran: more than one aggregate scan in the plan
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 40") >= 2, plan[:1500]
+
+
 def test_profile_is_single_aggregate_pass(spark):
     """All per-column statistics come from ONE aggregate over the table
     (Expand-based multi-distinct), not a scan per column."""

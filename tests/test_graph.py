@@ -71,3 +71,22 @@ def test_pagerank_handles_dangling_nodes(spark):
     got = {r.v: r.r for r in ranks.collect()}
     assert got[0] == base  # nothing points at 0
     assert got[2] > got[1] > got[0]
+
+
+def test_pagerank_overflow_guard_rejects_oversized_weights(spark):
+    """The int64 ppb headroom bound (graph.py docstring) is enforced at
+    runtime, not just documented: an edge weight past int64_max/PPB would
+    silently wrap the per-edge contribution, so pagerank_frame refuses it
+    with a typed planning error naming the remedy."""
+    import pytest
+
+    from datafusion_distributed_experiment_spark.errors import PlanningError
+
+    nodes = spark.createDataFrame([(0,), (1,)], "v LONG")
+    bad_w = (2**63 - 1) // graph.PPB + 1
+    edges = spark.createDataFrame([(0, 1, bad_w)], "src LONG, dst LONG, w LONG")
+    with pytest.raises(PlanningError, match="headroom"):
+        graph.pagerank_frame(nodes, edges)
+    # one below the bound is accepted and completes
+    ok_edges = spark.createDataFrame([(0, 1, bad_w - 1)], "src LONG, dst LONG, w LONG")
+    assert graph.pagerank_frame(nodes, ok_edges).count() == 2
