@@ -209,7 +209,11 @@ def kmeans_lloyd(
     Arithmetic is all-int64 on ppm-quantized components with truncating
     mean, so every round is exactly reproducible (the differential test
     replays the identical integers in pure Python)."""
-    qvecs = emb.select("vec_id", F.expr(_QUANT).alias("xp"))
+    # Eager localCheckpoint: the seed collect + one M-step collect per round
+    # + the final assignment are 2+iters separate jobs over the same
+    # scan+quantize chain — materialize it once (the ann_ivf fit-step
+    # pattern) instead of re-reading parquet and re-quantizing per job.
+    qvecs = emb.select("vec_id", F.expr(_QUANT).alias("xp")).localCheckpoint()
     cents = [
         (int(r["vec_id"]), [int(v) for v in r["xp"]])
         for r in qvecs.orderBy("vec_id").limit(k).collect()
