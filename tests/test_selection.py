@@ -101,3 +101,27 @@ def test_kmeans_estep_is_map_only(spark):
     assert s["exchanges"] == base["exchanges"], (s, base)
     assert s["broadcasts"] == base["broadcasts"], (s, base)
     assert s["aggregates"] == 0, s
+
+
+def test_fixture_embedding_dim_matches_oracle_expansion():
+    """The similarity/selection oracles expand dot products and distance
+    lambdas to a fixed DIM=64 term count (DUCK_DOT et al.), while the Spark
+    side folds over the actual array length. If the driver's fixture dim
+    ever drifts, the two sides would silently compute different values —
+    this pins the drift to a loud failure instead (the ADVICE-flagged
+    failure mode on kmeans_assign, closed generally here)."""
+    import pyarrow.parquet as pq
+
+    from datafusion_distributed_experiment_spark.operators import selection, similarity
+
+    assert selection.DIM == similarity.DIM == 64
+    for sf in ("0.001", "0.01", "0.1"):
+        schema = pq.ParquetFile(f"/root/testdata/sf{sf}/embeddings.parquet").schema_arrow
+        first = pq.ParquetFile(
+            f"/root/testdata/sf{sf}/embeddings.parquet"
+        ).read_row_group(0, columns=["embedding"])
+        dims = {len(v) for v in first.column("embedding")[:50].to_pylist()}
+        assert dims == {selection.DIM}, (
+            f"sf{sf} embedding dim {dims} != oracle expansion {selection.DIM}"
+        )
+        assert str(schema.field("embedding").type).startswith("list"), schema
