@@ -19,12 +19,19 @@ import sys
 
 def load(path: str) -> dict[str, float]:
     with open(path) as fh:
-        # bench.py prints exactly one JSON object line; tolerate log noise
+        # bench.py stdout carries several JSON lines (detail lines first,
+        # headline last); take the one with the per-query map and tolerate
+        # log noise / truncated lines around it
         for line in fh:
             line = line.strip()
             if line.startswith("{"):
-                return json.loads(line)["queries"]
-    raise SystemExit(f"no JSON line in {path}")
+                try:
+                    obj = json.loads(line)
+                except ValueError:
+                    continue
+                if "queries" in obj:
+                    return obj["queries"]
+    raise SystemExit(f"no per-query JSON line in {path}")
 
 
 def main() -> int:
