@@ -138,10 +138,12 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
 
     tiers = pipeline_tiers()
     by_name = dict(tiers)
-    # never driver-checked -> must lead the window
+    # never driver-checked -> must lead the window (the third slot is
+    # vacated by corpus_pipeline, r04-green, rotating to the tail)
     fresh = {
         "kmeans_lloyd_t3": by_name["selection"].pop("kmeans_lloyd_t3"),
         "minhash_pairs_skew": by_name["dedup"].pop("minhash_pairs_skew"),
+        "semantic_dedup": by_name["similarity"].pop("semantic_dedup"),
     }
     window_tiers = ("temporal", "streaming", "stateful", "text", "pipeline")
     lead = [(n, by_name[n]) for n in window_tiers]

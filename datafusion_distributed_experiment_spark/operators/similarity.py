@@ -312,6 +312,72 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cos_ppm") >= DEDUP_MIN_PPM).orderBy("vec_a", "vec_b")
 
 
+# Semantic-dedup cosine threshold: vectors this close inside one cluster are
+# "semantically identical" and only the smallest vec_id survives.
+SEM_DEDUP_MIN_PPM = 995_000
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus, compare vectors only
+    WITHIN their cluster, and keep a vector unless a near-identical one
+    (cosine >= ``SEM_DEDUP_MIN_PPM`` ppm) with a smaller vec_id shares its
+    cluster. Output is a per-vector verdict ``(vec_id, cluster, is_kept)``
+    — the drop set for the curation pipeline. The corpus is augmented with
+    exact copies of every 10th vector (same observability device as
+    ``embedding_dedup``).
+
+    Scale shape: clustering is the IVF build reused verbatim —
+    K = max(16, ceil(sqrt(N))) literal seed centroids, map-only assignment
+    (``_ivf_assign``) — so the pairwise stage is confined to ~sqrt(N)-sized
+    clusters: total candidate volume ~N^1.5 / 2 instead of N^2, the
+    published SemDeDup shape. Degenerate hub clusters (> VEC_BUCKET_CAP
+    members — e.g. a null-embedding pileup) are excluded from pair mining
+    (their members stay kept=true) via the shared broadcast-anti-join cap,
+    identically in the oracle, so one pathological cluster can cost at most
+    its own comparisons. No driver materialization beyond the KB-scale
+    centroid model state (the ann_ivf fit-step contract)."""
+    vecs = _vectors(spark, sf_dir)
+    aug = vecs.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + AUG_OFFSET).alias("vec_id"), "v", "nrm"
+    )
+    # Eager checkpoint: count + seed collect + main job all read this frame.
+    corpus = vecs.unionAll(aug).localCheckpoint()
+    k = _ivf_k(corpus.count())
+    seed_rows = (
+        corpus.filter(F.col("vec_id") < k).select("vec_id", "v").orderBy("vec_id").collect()
+    )
+    centroids = [(int(r["vec_id"]), list(r["v"])) for r in seed_rows]
+    assigned = _ivf_assign(corpus, centroids)
+    minable = _cap_buckets(assigned, ["list_id"], cap=VEC_BUCKET_CAP)
+    a, b = minable.alias("a"), minable.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            cosine_ppm(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")).alias(
+                "cos_ppm"
+            ),
+        )
+        .filter(F.col("cos_ppm") >= SEM_DEDUP_MIN_PPM)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        assigned.join(dups.withColumn("_dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("list_id").cast("long").alias("cluster"),
+            F.col("_dup").isNull().alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 scalar quantization — the compression step that makes
     a 100 TB ANN corpus hold 4x more vectors per byte (float32 -> int8 codes
@@ -366,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "embedding_dedup": embedding_dedup,
+        "semantic_dedup": semantic_dedup,
         "embedding_quantize": embedding_quantize,
     }
 
@@ -480,6 +547,39 @@ def oracles() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cos_ppm, rank FROM ranked
             WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
+        """,
+        "semantic_dedup": f"""
+            WITH {_DUCK_VECS}, withaug AS (
+                SELECT vec_id, v, nrm FROM vecs
+                UNION ALL
+                SELECT vec_id + {AUG_OFFSET} AS vec_id, v, nrm FROM vecs WHERE vec_id % 10 = 0
+            ), cent AS (
+                SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM withaug
+                WHERE vec_id < (SELECT GREATEST({IVF_K_MIN}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM withaug)
+            ), assign AS (
+                SELECT vec_id, v, nrm, cid AS cluster FROM (
+                    SELECT w.vec_id, w.v, w.nrm, cent.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY w.vec_id
+                               ORDER BY {DUCK_DOT.format(a="w.v", b="cent.cv", n=DIM)} / (w.nrm * cent.cnrm) DESC,
+                                        cent.cid ASC
+                           ) AS rn
+                    FROM withaug w CROSS JOIN cent
+                ) WHERE rn = 1
+            ), minable AS (
+                SELECT vec_id, v, nrm, cluster FROM (
+                    SELECT *, COUNT(*) OVER (PARTITION BY cluster) AS cn FROM assign
+                ) WHERE cn <= {VEC_BUCKET_CAP}
+            ), dups AS (
+                SELECT DISTINCT b.vec_id
+                FROM minable a JOIN minable b
+                  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                WHERE FLOOR(1e6 * {DUCK_DOT.format(a="a.v", b="b.v", n=DIM)} / (a.nrm * b.nrm)) >= {SEM_DEDUP_MIN_PPM}
+            )
+            SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
+                   d.vec_id IS NULL AS is_kept
+            FROM assign s LEFT JOIN dups d ON d.vec_id = s.vec_id
+            ORDER BY s.vec_id
         """,
         "embedding_dedup": f"""
             WITH {_DUCK_VECS}, withaug AS (

@@ -70,9 +70,9 @@ def test_gate_window_rotation_leaves_no_query_unverified():
     # last green row is CORRECTNESS_r04 (SQL/temporal/streaming/stateful/
     # text/pipeline) — nothing in the window was verified as recently as r05
     gated = set(names[:50])
-    for name in ("kmeans_lloyd_t3", "minhash_pairs_skew",  # new in r6
+    for name in ("kmeans_lloyd_t3", "minhash_pairs_skew", "semantic_dedup",  # new in r6
                  "q1", "q21", "events_asof", "stream_dedup", "sessionize",
-                 "text_stats", "corpus_pipeline"):          # r04-stale
+                 "text_stats"):                             # r04-stale
         assert name in gated, f"{name} not in the round-6 window"
     import json as _json
     import os as _os
