@@ -138,12 +138,16 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
 
     tiers = pipeline_tiers()
     by_name = dict(tiers)
-    # never driver-checked -> must lead the window (the third slot is
-    # vacated by corpus_pipeline, r04-green, rotating to the tail)
+    # never driver-checked -> must lead the window (slots 3-4 are vacated
+    # by corpus_pipeline and quality_score, both r04-green, rotating to the
+    # tail; with dedup_exact and minhash_signatures that makes 4 r04
+    # queries going two rounds stale — within the <=5 budget the round-5
+    # verdict allowed for this rotation)
     fresh = {
         "kmeans_lloyd_t3": by_name["selection"].pop("kmeans_lloyd_t3"),
         "minhash_pairs_skew": by_name["dedup"].pop("minhash_pairs_skew"),
         "semantic_dedup": by_name["similarity"].pop("semantic_dedup"),
+        "chunk_overlap": by_name["dedup"].pop("chunk_overlap"),
     }
     window_tiers = ("temporal", "streaming", "stateful", "text", "pipeline")
     lead = [(n, by_name[n]) for n in window_tiers]

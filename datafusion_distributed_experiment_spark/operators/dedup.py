@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import DUCK_POLY_HASH, DUCK_TOKENS, poly_hash, tokens
@@ -55,6 +55,12 @@ MAX_BAND_BUCKET = 64
 # guard proven against the oracle, not just present in the plan.
 HUB_OFFSET = 2_000_000
 HUB_COPIES = 96
+# Content-defined chunking (chunk_overlap): a token ends a chunk when its
+# hash % CHUNK_DIV == 0 -> expected chunk length CHUNK_DIV tokens, and chunk
+# boundaries depend only on content, never on offsets — the property that
+# makes passage-level dedup catch a duplicated paragraph pasted into an
+# otherwise-different document (whole-doc MinHash cannot).
+CHUNK_DIV = 16
 
 
 def _corpus(spark: SparkSession, sf_dir: str, rebalance: bool = True) -> DataFrame:
@@ -266,6 +272,80 @@ def minhash_pairs_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     test: one hot key must cost pairs inside its own bucket, never the
     ability to answer the rest of the corpus."""
     return _mine_minhash_pairs(_skew_corpus(spark, sf_dir))
+
+
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level overlap via content-defined chunking: per document, the
+    fraction of its chunks that also appear in an earlier (smaller-doc_id)
+    document. Output ``(doc_id, n_chunks, n_shared, overlap_ppm)``.
+
+    A token ends its chunk when ``poly_hash(token) % CHUNK_DIV == 0``, so
+    chunk boundaries are a pure function of content — the same passage
+    produces the same chunks at ANY offset in any document (the rsync/CDC
+    boundary idea on tokens). A chunk is the order-sensitive hash fold of
+    its token hashes; equal folds = equal passages.
+
+    Scale shape: one doc_id exchange carries the exploded tokens into the
+    per-doc boundary prefix-sum window and the per-chunk fold (the
+    ``event_sequences`` pattern — windows and aggregates share the ONE
+    partitioning); the chunk-owner table then shuffles on chunk_hash, whose
+    cardinality is corpus_tokens / CHUNK_DIV. Nothing is quadratic: a
+    passage duplicated across D documents costs D chunk rows, not D^2
+    comparisons. Over the augmented corpus, every copy overlaps its
+    original ~fully (tail-token chunk boundaries may differ), while
+    distinct documents stay near zero."""
+    return chunk_overlap_frame(_corpus(spark, sf_dir))
+
+
+def chunk_overlap_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level chunker/overlap kernel over ``(doc_id, text)`` — see
+    :func:`chunk_overlap`. Exposed separately so the offset-independence
+    property (the point of content-defined boundaries) is testable on
+    constructed documents."""
+    th = F.transform(tokens(F.col("text")), poly_hash)
+    toks = docs.select("doc_id", F.posexplode(th).alias("pos", "h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # chunk id = number of boundary tokens strictly BEFORE this one (a
+    # boundary token closes its own chunk)
+    chunked = toks.withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum((F.col("h") % CHUNK_DIV == 0).cast("long")).over(w), F.lit(0)
+        ),
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "h"))).alias("ph"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.col("ph"),
+                F.lit(0).cast("long"),
+                lambda acc, s: (acc * SHINGLE_MULT + s["h"]) % MOD,
+            ).alias("chunk_hash"),
+        )
+    )
+    owners = chunks.groupBy("chunk_hash").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        chunks.join(owners, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum((F.col("first_doc") < F.col("doc_id")).cast("long")).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_shared",
+        F.floor(F.lit(1e6) * F.col("n_shared") / F.greatest("n_chunks", F.lit(1)))
+        .cast("long")
+        .alias("overlap_ppm"),
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------- #
@@ -714,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": minhash_signatures,
         "minhash_dedup_pairs": minhash_dedup_pairs,
         "minhash_pairs_skew": minhash_pairs_skew,
+        "chunk_overlap": chunk_overlap,
         "dedup_incremental": dedup_incremental,
         "simhash_signatures": simhash_signatures,
         "simhash_dedup_pairs": simhash_dedup_pairs,
@@ -872,6 +953,36 @@ def _oracles() -> dict[str, str]:
         "minhash_pairs_skew": f"""
             WITH {_DUCK_SKEW_CORPUS}, {_DUCK_SIG}, {_DUCK_MINHASH_PAIRS}
             SELECT doc_a, doc_b, jaccard_ppm FROM pairs ORDER BY doc_a, doc_b
+        """,
+        "chunk_overlap": f"""
+            WITH {_DUCK_CORPUS}, tokd AS (
+                SELECT doc_id, list_transform({_TOKS}, t -> {_POLY_T}) AS th FROM corpus
+            ), tok AS (
+                SELECT doc_id, UNNEST(range(1, len(th) + 1)) AS pos, UNNEST(th) AS h
+                FROM tokd
+            ), chunked AS (
+                SELECT doc_id, pos, h,
+                       COALESCE(SUM(CASE WHEN h % {CHUNK_DIV} = 0 THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+                FROM tok
+            ), chunks AS (
+                SELECT doc_id, chunk_id,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY pos)),
+                                   (acc, x) -> (acc * {SHINGLE_MULT} + x) % {MOD}) AS chunk_hash
+                FROM chunked GROUP BY doc_id, chunk_id
+            ), owners AS (
+                SELECT chunk_hash, MIN(doc_id) AS first_doc FROM chunks GROUP BY chunk_hash
+            ), per_doc AS (
+                SELECT c.doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                       CAST(SUM(CASE WHEN o.first_doc < c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+                FROM chunks c JOIN owners o USING (chunk_hash)
+                GROUP BY c.doc_id
+            )
+            SELECT doc_id, n_chunks, n_shared,
+                   CAST(FLOOR(1e6 * n_shared / GREATEST(n_chunks, 1)) AS BIGINT) AS overlap_ppm
+            FROM per_doc ORDER BY doc_id
         """,
         "dedup_incremental": f"""
             WITH {_DUCK_CORPUS}, {_DUCK_SIG}, {_DUCK_INCREMENTAL}

@@ -1,0 +1,69 @@
+"""Content-defined chunking: the offset-independence property.
+
+The whole point of CDC boundaries (vs fixed-width chunks) is that a shared
+passage produces identical chunks regardless of WHERE it sits in each
+document — so passage-level dedup works across different prefixes/suffixes.
+Oracle equivalence is covered by the corpus differential test; this pins the
+property itself on constructed documents.
+"""
+
+from __future__ import annotations
+
+from datafusion_distributed_experiment_spark.operators.dedup import (
+    CHUNK_DIV,
+    chunk_overlap_frame,
+)
+
+
+def _words(seed: str, n: int) -> str:
+    return " ".join(f"{seed}{i}" for i in range(n))
+
+
+def test_shared_passage_detected_at_different_offsets(spark):
+    passage = _words("shared", 200)  # ~12 expected chunks at CHUNK_DIV=16
+    docs = spark.createDataFrame(
+        [
+            (0, passage),  # the passage alone
+            (1, _words("prefix", 37) + " " + passage + " " + _words("suffix", 23)),
+            (2, _words("unrelated", 240)),  # no overlap at all
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in chunk_overlap_frame(docs).collect()}
+    # doc 1 embeds the passage at a different offset: its interior chunks
+    # hash identically to doc 0's (only the passage's edge chunks, merged
+    # with prefix/suffix tokens, may differ) -> substantial overlap
+    assert rows[1]["n_shared"] >= rows[0]["n_chunks"] - 2 > 0, rows[1]
+    assert rows[1]["overlap_ppm"] > 500_000, rows[1]
+    # a genuinely-unrelated document shares nothing
+    assert rows[2]["n_shared"] == 0 and rows[2]["overlap_ppm"] == 0, rows[2]
+    # chunk count sanity: ~len/CHUNK_DIV boundaries on average
+    assert 200 // (CHUNK_DIV * 4) <= rows[0]["n_chunks"] <= 200, rows[0]
+
+
+def test_fixed_width_chunking_would_miss_this(spark):
+    """Contrast control: fixed-width chunking of the SAME two documents
+    shares (almost) nothing because the offset shift misaligns every
+    boundary — the failure mode CDC exists to fix. Computed inline (split
+    every CHUNK_DIV tokens) rather than via the operator, as documentation
+    of WHY the operator uses content-defined boundaries."""
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.functions.text import tokens
+
+    passage = _words("shared", 200)
+    docs = spark.createDataFrame(
+        [(0, passage), (1, _words("prefix", 37) + " " + passage)],
+        "doc_id long, text string",
+    )
+    fixed = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "tok"),
+    ).withColumn("chunk_id", F.expr(f"pos DIV {CHUNK_DIV}"))
+    chunks = fixed.groupBy("doc_id", "chunk_id").agg(
+        F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("pos", "tok")))["tok"]).alias("c")
+    )
+    a = {r["c"] for r in chunks.filter("doc_id = 0").collect()}
+    b = {r["c"] for r in chunks.filter("doc_id = 1").collect()}
+    # 37-token prefix is not a multiple of CHUNK_DIV -> all grids misaligned
+    assert len(a & b) == 0
