@@ -328,6 +328,12 @@ def chunk_overlap_frame(docs: DataFrame) -> DataFrame:
                 lambda acc, s: (acc * SHINGLE_MULT + s["h"]) % MOD,
             ).alias("chunk_hash"),
         )
+        # two consumers (the owners aggregate and the per-doc join); the
+        # eager checkpoint runs the tokenize->explode->window->fold chain
+        # ONCE and both read its (doc_id, chunk_hash) output — tokens/DIV
+        # rows, far smaller than the exploded tokens it replaces (the
+        # top_terms tf-checkpoint pattern).
+        .localCheckpoint()
     )
     owners = chunks.groupBy("chunk_hash").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
