@@ -52,6 +52,11 @@ PROBE_OPS = [
     # selection tier: K-way broadcast distance fan-out, banded prefix sum
     "kmeans_assign",
     "token_budget_select",
+    # round-6 additions: cluster-confined pairwise cosine, CDC chunk joins,
+    # iterative Lloyd rounds
+    "semantic_dedup",
+    "chunk_overlap",
+    "kmeans_lloyd_t3",
 ]
 
 
