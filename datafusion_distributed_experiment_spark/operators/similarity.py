@@ -348,7 +348,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.filter(F.col("vec_id") < k).select("vec_id", "v").orderBy("vec_id").collect()
     )
     centroids = [(int(r["vec_id"]), list(r["v"])) for r in seed_rows]
-    assigned = _ivf_assign(corpus, centroids)
+    # Checkpoint the built index: three consumers (the cap's bucket count
+    # and both sides of the pair self-join) would otherwise each recompute
+    # the K-way distance projection — at scale this materialization is the
+    # IVF index build a real pipeline persists once anyway.
+    assigned = _ivf_assign(corpus, centroids).localCheckpoint()
     minable = _cap_buckets(assigned, ["list_id"], cap=VEC_BUCKET_CAP)
     a, b = minable.alias("a"), minable.alias("b")
     dups = (
