@@ -67,3 +67,80 @@ def test_fixed_width_chunking_would_miss_this(spark):
     b = {r["c"] for r in chunks.filter("doc_id = 1").collect()}
     # 37-token prefix is not a multiple of CHUNK_DIV -> all grids misaligned
     assert len(a & b) == 0
+
+
+# ---- property: Spark pipeline vs a pure-Python replica ------------------- #
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datafusion_distributed_experiment_spark.operators.dedup import MOD, SHINGLE_MULT
+
+_PMOD, _PMULT = 1_000_000_007, 31  # functions.text poly_hash constants
+
+
+def _py_poly(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * _PMULT + ord(ch)) % _PMOD
+    return acc
+
+
+def _py_chunk_overlap(docs: list[tuple[int, str]]) -> dict[int, tuple[int, int, int]]:
+    per_doc: dict[int, list[int]] = {}
+    for doc_id, text in docs:
+        th = [_py_poly(t) for t in text.split(" ") if t]
+        groups: list[list[int]] = []
+        cur: list[int] = []
+        for h in th:
+            cur.append(h)
+            if h % CHUNK_DIV == 0:  # boundary token closes its own chunk
+                groups.append(cur)
+                cur = []
+        if cur:
+            groups.append(cur)
+        if groups:
+            hashes = []
+            for g in groups:
+                acc = 0
+                for h in g:
+                    acc = (acc * SHINGLE_MULT + h) % MOD
+                hashes.append(acc)
+            per_doc[doc_id] = hashes
+    first: dict[int, int] = {}
+    for doc_id in sorted(per_doc):
+        for h in per_doc[doc_id]:
+            first.setdefault(h, doc_id)
+    return {
+        doc_id: (
+            len(hashes),
+            sum(1 for h in hashes if first[h] < doc_id),
+            math.floor(
+                1e6 * sum(1 for h in hashes if first[h] < doc_id) / max(len(hashes), 1)
+            ),
+        )
+        for doc_id, hashes in per_doc.items()
+    }
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        # tiny alphabet with spaces -> short repeating tokens, so chunk
+        # hashes genuinely collide across documents and the first-owner /
+        # overlap logic is exercised, not just the zero-overlap path
+        st.text(alphabet="ab c", max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_chunk_overlap_matches_python_replica(spark, texts):
+    docs = list(enumerate(texts))
+    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_shared"], r["overlap_ppm"])
+        for r in chunk_overlap_frame(frame).collect()
+    }
+    assert got == _py_chunk_overlap(docs)
