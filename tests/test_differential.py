@@ -57,6 +57,14 @@ _SAMPLE = [
     "bloom_semi_agg",
     "basket_pairs",
     "sessionize_native",
+    # round-6 additions: iterative Lloyd rounds (centroid collects from
+    # shuffled partials), capped LSH under a forced hub, cluster-confined
+    # cosine dedup, CDC chunk prefix-sum window — each claims
+    # partition-count-independent determinism
+    "kmeans_lloyd_t3",
+    "minhash_pairs_skew",
+    "semantic_dedup",
+    "chunk_overlap",
 ]
 
 
