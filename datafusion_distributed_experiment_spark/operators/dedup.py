@@ -291,7 +291,10 @@ def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning); the chunk-owner table then shuffles on chunk_hash, whose
     cardinality is corpus_tokens / CHUNK_DIV. Nothing is quadratic: a
     passage duplicated across D documents costs D chunk rows, not D^2
-    comparisons. Over the augmented corpus, every copy overlaps its
+    comparisons. Per-task state is bounded by the LARGEST DOCUMENT's tokens
+    (the per-doc window/fold holds one document at a time — the same
+    max-group bound as event_sequences' per-user state), not by the corpus.
+    Over the augmented corpus, every copy overlaps its
     original ~fully (tail-token chunk boundaries may differ), while
     distinct documents stay near zero."""
     return chunk_overlap_frame(_corpus(spark, sf_dir))
