@@ -119,11 +119,12 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     driver-verified row may go more than ~two rounds stale. Round 5
     verified the dedup/similarity/multimodal/curation/joins/analytics half;
     round 6 rotates the OTHER half (the 48 r04-verified SQL/temporal/
-    streaming/stateful/text/pipeline queries) back in, led by the two
-    round-6 queries that have never been driver-checked (kmeans_lloyd_t3,
-    minhash_pairs_skew). The 2 slots they take are vacated by dedup_exact
-    and minhash_signatures — green in FOUR committed rounds (r01-r04), the
-    deepest evidence of any query. Everything outside the window holds a
+    streaming/stateful/text/pipeline queries) back in, led by the five
+    round-6 queries that have never been driver-checked. The slots they
+    take are vacated by dedup_exact, minhash_signatures and token_count —
+    green in FOUR committed rounds (r01-r04), the deepest evidence of any
+    query — plus corpus_pipeline and quality_score (r02-r04). Everything
+    outside the window holds a
     green row in a committed CORRECTNESS_r*.json (invariant pinned by
     tests/test_corpus_oracle.py). The bench re-orders tiers for measurement
     isolation; see ``operators.pipeline_tiers``."""
@@ -148,6 +149,10 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
         "minhash_pairs_skew": by_name["dedup"].pop("minhash_pairs_skew"),
         "semantic_dedup": by_name["similarity"].pop("semantic_dedup"),
         "chunk_overlap": by_name["dedup"].pop("chunk_overlap"),
+        # 5th fresh slot: its displacement pushes token_count (green
+        # r01-r04, the deepest evidence in the window tail) past slot 50 —
+        # the 5th and last of the <=5 two-rounds-stale budget
+        "ngram_span_dedup": by_name["dedup"].pop("ngram_span_dedup"),
     }
     window_tiers = ("temporal", "streaming", "stateful", "text", "pipeline")
     lead = [(n, by_name[n]) for n in window_tiers]

@@ -61,6 +61,11 @@ HUB_COPIES = 96
 # makes passage-level dedup catch a duplicated paragraph pasted into an
 # otherwise-different document (whole-doc MinHash cannot).
 CHUNK_DIV = 16
+# Exact-substring span dedup (ngram_span_dedup): the duplicated-passage unit
+# is a SPAN_K-token n-gram; maximal runs of cross-document-duplicated n-grams
+# are merged into spans (Lee et al. 2021, "Deduplicating Training Data Makes
+# Language Models Better" — the suffix-array pass re-expressed relationally).
+SPAN_K = 8
 
 
 def _corpus(spark: SparkSession, sf_dir: str, rebalance: bool = True) -> DataFrame:
@@ -355,6 +360,102 @@ def chunk_overlap_frame(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("overlap_ppm"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------- #
+# exact-substring span dedup (duplicated n-gram runs, merged to spans)
+# --------------------------------------------------------------------- #
+
+def ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span detection: for every document, the maximal token
+    spans whose every SPAN_K-token n-gram also occurs in at least one OTHER
+    document. Output ``(doc_id, span_start, span_end, n_dup_ngrams)`` with
+    token-index bounds (0-based, inclusive) and the count of duplicated
+    n-gram positions the span merges.
+
+    This is the relational form of the suffix-array exact-substring pass of
+    Lee et al. 2021 (public paper): instead of one machine building a suffix
+    array over the concatenated corpus, every document emits its n-gram
+    hashes with positions, cross-document duplicates are found with ONE
+    aggregation on the n-gram hash, and overlapping/adjacent duplicated
+    positions are merged per document with a gaps-and-islands window —
+    each step an operation Spark already distributes. Differs from
+    ``chunk_overlap`` (which scores documents by shared content-defined
+    chunks) by reporting exact sub-document SPANS at n-gram granularity —
+    the unit you'd actually cut out of a training document.
+
+    Scale shape: n-gram position table is linear in corpus tokens; the
+    duplicate test is a map-side-combinable min/max groupBy on gh (never a
+    self-join, never quadratic in occurrences); the join back to positions
+    is gh-keyed with AQE skew handling; span merging partitions by doc_id so
+    per-task window state is bounded by the largest single document. The
+    position table feeds two consumers (owner aggregate + join back), so it
+    is checkpointed once — the chunk_overlap two-consumer pattern.
+    Matching is by 64-bit-range polynomial hash, as in the paper's
+    implementation; hash collisions are identical on both engines."""
+    return ngram_span_frame(_corpus(spark, sf_dir))
+
+
+def ngram_span_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level span kernel over ``(doc_id, text)`` — see
+    :func:`ngram_span_dedup`. Exposed separately so span maximality and
+    merge semantics are testable on constructed documents."""
+    th = F.transform(tokens(F.col("text")), poly_hash)
+    pos = (
+        docs.select("doc_id", th.alias("th"))
+        .filter(F.size("th") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("th") - SPAN_K),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.aggregate(
+                            F.slice("th", i + 1, SPAN_K),
+                            F.lit(0).cast("long"),
+                            lambda acc, h: (acc * SHINGLE_MULT + h) % MOD,
+                        ).alias("gh"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gh").alias("gh"))
+        # two consumers (cross-doc owner aggregate + position join-back):
+        # checkpoint so the tokenize->fold chain runs once
+        .localCheckpoint()
+    )
+    dup = (
+        pos.groupBy("gh")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("gh")
+    )
+    hits = pos.join(dup, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        hits.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_island",
+            (F.col("prev").isNull() | (F.col("pos") - F.col("prev") > SPAN_K)).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + SPAN_K - 1).alias("span_end"),
+            F.count("*").cast("long").alias("n_dup_ngrams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_dup_ngrams")
+        .orderBy("doc_id", "span_start")
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -804,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": minhash_dedup_pairs,
         "minhash_pairs_skew": minhash_pairs_skew,
         "chunk_overlap": chunk_overlap,
+        "ngram_span_dedup": ngram_span_dedup,
         "dedup_incremental": dedup_incremental,
         "simhash_signatures": simhash_signatures,
         "simhash_dedup_pairs": simhash_dedup_pairs,
@@ -992,6 +1094,34 @@ def _oracles() -> dict[str, str]:
             SELECT doc_id, n_chunks, n_shared,
                    CAST(FLOOR(1e6 * n_shared / GREATEST(n_chunks, 1)) AS BIGINT) AS overlap_ppm
             FROM per_doc ORDER BY doc_id
+        """,
+        "ngram_span_dedup": f"""
+            WITH {_DUCK_CORPUS}, tokd AS (
+                SELECT doc_id, list_transform({_TOKS}, t -> {_POLY_T}) AS th FROM corpus
+            ), pos AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT), th[i : i + {SPAN_K - 1}]),
+                                   (acc, h) -> (acc * {SHINGLE_MULT} + h) % {MOD}) AS gh
+                FROM tokd, UNNEST(range(1, len(th) - {SPAN_K} + 2)) AS g(i)
+                WHERE len(th) >= {SPAN_K}
+            ), dup AS (
+                SELECT gh FROM pos GROUP BY gh HAVING MIN(doc_id) <> MAX(doc_id)
+            ), hits AS (
+                SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gh)
+            ), lagged AS (
+                SELECT doc_id, pos,
+                       LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM hits
+            ), isl AS (
+                SELECT doc_id, pos,
+                       SUM(CASE WHEN prev IS NULL OR pos - prev > {SPAN_K} THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM lagged
+            )
+            SELECT doc_id, MIN(pos) AS span_start,
+                   MAX(pos) + {SPAN_K} - 1 AS span_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_dup_ngrams
+            FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
         """,
         "dedup_incremental": f"""
             WITH {_DUCK_CORPUS}, {_DUCK_SIG}, {_DUCK_INCREMENTAL}
