@@ -84,6 +84,42 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+def staged_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], DataFrame]]]]:
+    """Operators built and oracle-verified this round but NOT yet in the
+    50-entry driver gate window (every window slot round 6 can spend is
+    taken by the rotation refreshing the r04-verified half — see
+    ``__spark_entry__.query_tiers``). Each staged operator carries the same
+    contract as a declared query — (spark, sf_dir) callable + DuckDB oracle
+    twin — and ``tests/test_staged_oracle.py`` runs the full cross-engine
+    hash comparison over them in every pytest run. At the round-7 rotation
+    they move into ``pipeline_tiers()``/the window's fresh tier and earn
+    driver-verified CORRECTNESS rows."""
+    from . import graph, retrieval, selection
+
+    return [
+        ("graph", graph.staged_queries()),
+        ("retrieval", retrieval.staged_queries()),
+        ("selection", selection.staged_queries()),
+    ]
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for _, tier in staged_tiers():
+        out.update(tier)
+    return out
+
+
+def staged_oracles() -> dict[str, str]:
+    from . import graph, retrieval, selection
+
+    out: dict[str, str] = {}
+    out.update(graph.staged_oracles())
+    out.update(retrieval.staged_oracles())
+    out.update(selection.staged_oracles())
+    return out
+
+
 def pipeline_oracles() -> dict[str, str]:
     from ..streaming import events as streaming_events
     from ..streaming import stateful

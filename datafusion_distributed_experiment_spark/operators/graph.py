@@ -24,6 +24,15 @@ from pyspark.sql import functions as F
 PPB = 1_000_000_000
 DAMP_NUM, DAMP_DEN = 85, 100  # 0.85 damping, kept rational
 PAGERANK_ITERS = 3
+# Triangle counting: undirected graph = collapsed trade edges; an edge
+# survives iff its weight exceeds TRIANGLE_W_PCT% of the mean edge weight
+# (the cross-multiplied integer form 100*n*w > PCT*total never divides, so
+# both engines agree exactly and the kept graph is data-dependent rather
+# than trivially complete). Orientation key = deg*BASE + node_id — requires
+# node ids < ORIENT_KEY_BASE (nation keys here; rescale BASE for bigger id
+# spaces).
+TRIANGLE_W_PCT = 150
+ORIENT_KEY_BASE = 1_000_000
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,8 +140,177 @@ def pagerank_frame(
     return ranks.select("v", F.col("r").alias("rank_ppb"))
 
 
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count over the undirected nation trade graph
+    (edges above :data:`TRIANGLE_W_PCT`% of mean weight), output
+    ``(node, n_triangles)``.
+
+    Scale design — degree-ordered orientation (Suri & Vassilvitskii,
+    WWW'11, "Counting Triangles and the Curse of the Last Reducer"): every
+    undirected edge is oriented from its lower ``(degree, id)`` endpoint to
+    the higher, which bounds every vertex's oriented out-degree by
+    O(sqrt(|E|)). The wedge self-join (the quadratic step of naive triangle
+    counting) then fans out at most |E|^1.5 candidate wedges TOTAL and no
+    single vertex — however much a hub in the original graph — produces a
+    "last reducer" partition: a degree-D hub's wedges are generated at its
+    (low-degree, therefore low-fanout) neighbors. Each candidate wedge is
+    closed with one hash join back to the oriented edge list, counting each
+    triangle exactly once (its minimum-key vertex owns it). The collapsed
+    graph is checkpointed once (<= |V|^2 rows, KB-scale here) so the fact
+    joins never re-run for the three edge consumers."""
+    e = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = (
+        e.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            "w",
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()  # collapsed graph; reused by stats + threshold
+    )
+    stats = und.agg(F.count("*").alias("n_pairs"), F.sum("w").alias("total_w"))
+    kept = (
+        und.crossJoin(F.broadcast(stats))
+        .filter(
+            100 * F.col("n_pairs") * F.col("w")
+            > TRIANGLE_W_PCT * F.col("total_w")
+        )
+        .select("u", "v")
+    )
+    deg = (
+        kept.select(F.col("u").alias("node"))
+        .unionAll(kept.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    keyed = (
+        kept.join(
+            deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+        )
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            (F.col("du") * ORIENT_KEY_BASE + F.col("u")).alias("ku"),
+            (F.col("dv") * ORIENT_KEY_BASE + F.col("v")).alias("kv"),
+        )
+    )
+    orient = (
+        keyed.select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("src"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("dst"),
+            F.greatest("ku", "kv").alias("kdst"),
+        )
+        # three consumers: both wedge sides + the closing-edge probe
+        .localCheckpoint()
+    )
+    o1, o2, o3 = orient.alias("o1"), orient.alias("o2"), orient.alias("o3")
+    tri = (
+        o1.join(
+            o2,
+            (F.col("o1.src") == F.col("o2.src"))
+            & (F.col("o1.kdst") < F.col("o2.kdst")),
+        )
+        .join(
+            o3,
+            (F.col("o3.src") == F.col("o1.dst"))
+            & (F.col("o3.dst") == F.col("o2.dst")),
+        )
+        .select(
+            F.col("o1.src").alias("a"),
+            F.col("o1.dst").alias("b"),
+            F.col("o2.dst").alias("c"),
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    nodes = (
+        kept.select(F.col("u").alias("node"))
+        .unionAll(kept.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(per_node, "node", "left")
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+        .orderBy("node")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {"pagerank_nations": pagerank_nations}
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Built + oracle-verified this round; enter the 50-entry driver gate
+    window at the round-7 rotation (see ``__spark_entry__.query_tiers``)."""
+    return {"triangle_count": triangle_count}
+
+
+def staged_oracles() -> dict[str, str]:
+    return {
+        "triangle_count": f"""
+            WITH pairs AS (
+                SELECT LEAST(c.c_nationkey, s.s_nationkey) AS u,
+                       GREATEST(c.c_nationkey, s.s_nationkey) AS v,
+                       CAST(COUNT(*) AS BIGINT) AS w
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                WHERE c.c_nationkey <> s.s_nationkey
+                GROUP BY 1, 2
+            ), stats AS (
+                SELECT COUNT(*) AS n_pairs, SUM(w) AS total_w FROM pairs
+            ), kept AS (
+                SELECT u, v FROM pairs, stats
+                WHERE 100 * n_pairs * w > {TRIANGLE_W_PCT} * total_w
+            ), deg AS (
+                SELECT node, COUNT(*) AS deg
+                FROM (SELECT u AS node FROM kept UNION ALL SELECT v FROM kept)
+                GROUP BY node
+            ), keyed AS (
+                SELECT u, v,
+                       du.deg * {ORIENT_KEY_BASE} + u AS ku,
+                       dv.deg * {ORIENT_KEY_BASE} + v AS kv
+                FROM kept
+                JOIN deg du ON du.node = u
+                JOIN deg dv ON dv.node = v
+            ), orient AS (
+                SELECT CASE WHEN ku < kv THEN u ELSE v END AS src,
+                       CASE WHEN ku < kv THEN v ELSE u END AS dst,
+                       GREATEST(ku, kv) AS kdst
+                FROM keyed
+            ), tri AS (
+                SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+                FROM orient o1
+                JOIN orient o2 ON o1.src = o2.src AND o1.kdst < o2.kdst
+                JOIN orient o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+            ), pn AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+                FROM (SELECT a AS node FROM tri
+                      UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri)
+                GROUP BY node
+            ), nodes AS (
+                SELECT u AS node FROM kept UNION SELECT v AS node FROM kept
+            )
+            SELECT CAST(n.node AS BIGINT) AS node,
+                   CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+            FROM nodes n LEFT JOIN pn ON pn.node = n.node
+            ORDER BY node
+        """,
+    }
 
 
 def _iter_sql(prev: str, this: str) -> str:

@@ -33,7 +33,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import DUCK_TOKENS, tokens
+from ..functions.text import DUCK_POLY_HASH, DUCK_TOKENS, poly_hash, tokens
 
 # k-means assignment: K centroids = the K vectors with the smallest vec_id
 # (a deterministic seed choice, like the IVF tier's); 64-dim corpus.
@@ -46,6 +46,16 @@ DIM = 64
 # ordering.
 SELECT_BUDGET_TOKENS = 10_000
 SCORE_BAND_WIDTH = 50
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling" — public paper): hashed-bigram features,
+# target domain = the corpus 'en' slice, raw = the whole corpus. The paper's
+# per-feature log-likelihood ratio is replaced by its smoothed ppm
+# probability RATIO (double-floored integer division, identical on both
+# engines); DSIR_NBUCK bounds the feature space so the per-feature weight
+# table is KB-scale and broadcasts.
+DSIR_NBUCK = 4096
+DSIR_MULT = 1_000_003
+DSIR_MOD = 1_000_000_007
 
 _QUANT = "transform(embedding, x -> CAST(FLOOR(1e6 * x) AS BIGINT))"
 
@@ -329,11 +339,127 @@ def _lloyd_oracle(iters: int) -> str:
         """
 
 
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: how much more likely the
+    document's hashed-bigram features are under the target domain (the
+    ``lang = 'en'`` slice) than under the raw corpus. Output
+    ``(doc_id, n_bigrams, dsir_weight)`` — the resampling step then keeps
+    documents proportionally to weight; scoring every document is the
+    expensive distributed part and is what this operator implements.
+
+    Scale shape: the bigram feature stream is linear in corpus tokens and
+    feeds two consumers (feature-count build + document scoring), so it is
+    checkpointed once. Feature counts for target AND raw accumulate in ONE
+    map-side-combinable aggregation (cnt_t as a conditional sum — the
+    corpus is never scanned per-domain); the resulting weight table has at
+    most DSIR_NBUCK rows, so scoring is a broadcast hash join — the corpus
+    never shuffles on feature. Weight arithmetic is the add-one-smoothed
+    probability ratio in ppm, all int64 (bounds: w <= 1e12, per-doc sum
+    <= bigrams * 1e12 << 2^63)."""
+    base = _dsir_docs(spark, sf_dir)
+    th = F.transform(tokens(F.col("text")), poly_hash)
+    big = (
+        base.select("doc_id", "is_t", th.alias("th"))
+        .filter(F.size("th") >= 2)
+        .select(
+            "doc_id",
+            "is_t",
+            F.explode(
+                F.zip_with(
+                    F.slice("th", 1, F.size("th") - 1),
+                    F.slice("th", 2, F.size("th") - 1),
+                    lambda a, b: ((a * DSIR_MULT + b) % DSIR_MOD) % DSIR_NBUCK,
+                )
+            ).alias("f"),
+        )
+        # two consumers (count build + scoring join): tokenize once
+        .localCheckpoint()
+    )
+    counts = big.groupBy("f").agg(
+        F.count("*").cast("long").alias("cnt_r"),
+        F.sum(F.col("is_t").cast("long")).cast("long").alias("cnt_t"),
+    )
+    tot = counts.agg(
+        F.sum("cnt_r").cast("long").alias("tr"),
+        F.sum("cnt_t").cast("long").alias("tt"),
+    )
+    wts = counts.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.expr(
+            f"""
+            (1000000 * (1000000 * (cnt_t + 1) DIV (tt + {DSIR_NBUCK})))
+            DIV ((1000000 * (cnt_r + 1) DIV (tr + {DSIR_NBUCK})) + 1)
+            """
+        ).alias("w"),
+    )
+    return (
+        big.join(F.broadcast(wts), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("w").cast("long").alias("dsir_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import rebalance_narrow_scan
+
+    path = f"{sf_dir}/documents.parquet"
+    return rebalance_narrow_scan(
+        spark.read.parquet(path).select(
+            "doc_id",
+            "text",
+            F.coalesce(F.col("lang") == F.lit("en"), F.lit(False)).alias("is_t"),
+        ),
+        path,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kmeans_assign": kmeans_assign,
         "kmeans_lloyd_t3": kmeans_lloyd_t3,
         "token_budget_select": token_budget_select,
+    }
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Built + oracle-verified this round; enter the 50-entry driver gate
+    window at the round-7 rotation (see ``__spark_entry__.query_tiers``)."""
+    return {"dsir_weights": dsir_weights}
+
+
+def staged_oracles() -> dict[str, str]:
+    poly_t = DUCK_POLY_HASH.format(x="t")
+    return {
+        "dsir_weights": f"""
+            WITH base AS (
+                SELECT doc_id, COALESCE(lang = 'en', FALSE) AS is_t,
+                       list_transform({DUCK_TOKENS.format(x="text")}, t -> {poly_t}) AS th
+                FROM documents
+            ), big AS (
+                SELECT doc_id, is_t,
+                       ((th[i] * {DSIR_MULT} + th[i + 1]) % {DSIR_MOD}) % {DSIR_NBUCK} AS f
+                FROM base, UNNEST(range(1, len(th))) AS g(i)
+            ), counts AS (
+                SELECT f, CAST(COUNT(*) AS BIGINT) AS cnt_r,
+                       CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+                FROM big GROUP BY f
+            ), tot AS (
+                SELECT SUM(cnt_r) AS tr, SUM(cnt_t) AS tt FROM counts
+            ), wts AS (
+                SELECT f,
+                       (1000000 * (1000000 * (cnt_t + 1) // (tt + {DSIR_NBUCK})))
+                       // ((1000000 * (cnt_r + 1) // (tr + {DSIR_NBUCK})) + 1) AS w
+                FROM counts, tot
+            )
+            SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(w.w) AS BIGINT) AS dsir_weight
+            FROM big b JOIN wts w ON w.f = b.f
+            GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
     }
 
 
