@@ -1,0 +1,270 @@
+"""Distributed BPE tokenizer training: the pair-merge iteration as dataflow.
+
+Byte-pair-encoding training (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units" — the algorithm behind GPT/
+Llama tokenizers) is usually presented as a single-machine loop over a
+word-frequency dictionary. The dataflow form: collapse the corpus to its
+(word, freq) dictionary — the ONE corpus-sized shuffle — then each merge
+iteration is (a) an adjacent-pair count weighted by word frequency, (b) an
+argmax over the pair table, (c) a left-to-right greedy merge applied to
+every word's token sequence. Steps (a) and (c) are vocabulary-sized
+map/window work; (b) reduces to one row. At 100 TB the corpus aggregation
+dominates and everything downstream runs on the vocabulary table (millions
+of rows, not billions) — which is exactly why tokenizer training is
+tractable at all.
+
+The subtle part is (c): BPE's merge is GREEDY left-to-right, so in a run of
+overlapping matches ("aaa" under pair (a,a)) only every other position
+merges. Relationally: match positions per word -> gaps-and-islands to find
+maximal runs -> keep positions at EVEN offsets within their run. Both
+engines run the identical window chain, so the learned merges and the
+resulting tokenization match bit-for-bit.
+
+Reference analog: the extension-operator mechanism
+(tests/custom_extension_codec.rs:160-264). MERGE_ITERS is fixed (2) so the
+DuckDB oracle is the same dataflow unrolled as CTEs — the
+kmeans_lloyd_t3 / pagerank_nations pattern for iterative algorithms.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import DUCK_POLY_HASH, DUCK_TOKENS, poly_hash, tokens
+
+MERGE_ITERS = 2
+
+
+def _vocab_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, pos, tok) — every vocabulary word exploded to single
+    characters. The corpus collapses to (word, freq) first, so the exploded
+    table is vocabulary-sized, never corpus-sized."""
+    from ..sources.tables import rebalance_narrow_scan
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = rebalance_narrow_scan(
+        spark.read.parquet(path).select("text"), path
+    )
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    return vocab.select(
+        "word",
+        "freq",
+        F.posexplode(F.split("word", "")).alias("pos", "tok"),
+    ).select("word", "freq", F.col("pos").cast("long").alias("pos"), "tok")
+
+
+def _merge_round(chars: DataFrame) -> DataFrame:
+    """One BPE iteration over (word, freq, pos, tok): count pairs, pick the
+    winner, apply the greedy merge, re-compact positions.
+
+    Precondition: the vocabulary contains at least one 2+-character word
+    (else there is no pair to merge and the round degenerates — impossible
+    on a real corpus).
+
+    Greedy left-to-right without a self-join: positions are dense per word,
+    so a maximal run of overlapping matches is a run of consecutive rows
+    with ``match`` set, and the classic islands windows find run starts and
+    offsets in one pass — a matched position merges iff its offset within
+    its run is even, and the row after a merged position is the consumed
+    right half."""
+    wp = Window.partitionBy("word").orderBy("pos")
+    wcum = wp.rowsBetween(Window.unboundedPreceding, 0)
+    paired = chars.withColumn("nxt", F.lead("tok").over(wp))
+    top = F.broadcast(
+        paired.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("x"), F.col("nxt").alias("y"))
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "x", "y")
+        .limit(1)
+        .select("x", "y")
+    )
+    flagged = (
+        paired.crossJoin(top)
+        .withColumn(
+            "match",
+            F.coalesce(
+                (F.col("tok") == F.col("x")) & (F.col("nxt") == F.col("y")),
+                F.lit(False),  # last char of a word has NULL nxt
+            ),
+        )
+        .withColumn(
+            "new_run",
+            F.col("match") & ~F.coalesce(F.lag("match").over(wp), F.lit(False)),
+        )
+        .withColumn(
+            "run0", F.max(F.when(F.col("new_run"), F.col("pos"))).over(wcum)
+        )
+        .withColumn(
+            "merge_here",
+            F.col("match") & ((F.col("pos") - F.col("run0")) % 2 == 0),
+        )
+    )
+    merged = (
+        flagged.withColumn(
+            "consumed", F.coalesce(F.lag("merge_here").over(wp), F.lit(False))
+        )
+        .filter(~F.col("consumed"))
+        .select(
+            "word",
+            "freq",
+            "pos",
+            F.when(F.col("merge_here"), F.concat(F.col("x"), F.col("y")))
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+    )
+    return merged.withColumn(
+        "pos",
+        (F.row_number().over(Window.partitionBy("word").orderBy("pos")) - 1).cast(
+            "long"
+        ),
+    )
+
+
+def bpe_merges_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization statistics after :data:`MERGE_ITERS` learned BPE merges:
+    ``(doc_id, n_words, n_bpe_tokens, tok_fp)`` per document, where
+    ``n_bpe_tokens`` is the document's token count under the trained
+    merges and ``tok_fp`` fingerprints each word's post-merge token
+    sequence (so the oracle verifies the learned segmentation itself, not
+    just counts).
+
+    Scale shape: the corpus is aggregated ONCE to (word, freq); both merge
+    rounds run windows/joins partitioned by word over the vocabulary-sized
+    character table (per-task state = one word's characters); the winning
+    pair is a 1-row broadcast. Applying the tokenizer back to documents is
+    a vocabulary-table broadcast join onto per-doc word counts — the corpus
+    is scanned exactly twice (dictionary build + application) and never
+    shuffles except on (doc_id, word)."""
+    chars = _vocab_chars(spark, sf_dir).localCheckpoint()
+    for _ in range(MERGE_ITERS):
+        # each round reads its predecessor twice (pair count + merge):
+        # checkpoint keeps the window/join chains from re-running
+        chars = _merge_round(chars).localCheckpoint()
+    per_word = chars.groupBy("word", "freq").agg(
+        F.count("*").cast("long").alias("n_toks"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            F.lit(0).cast("long"),
+            lambda acc, s: (acc * 1_000_003 + poly_hash(s["tok"])) % 1_000_000_007,
+        ).alias("word_fp"),
+    )
+    from ..sources.tables import rebalance_narrow_scan
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = rebalance_narrow_scan(
+        spark.read.parquet(path).select("doc_id", "text"), path
+    )
+    doc_words = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        doc_words.join(F.broadcast(per_word), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_toks")).cast("long").alias("n_bpe_tokens"),
+            F.sum(F.col("cnt") * F.col("word_fp")).cast("long").alias("tok_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {}
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Built + oracle-verified this round; enter the 50-entry driver gate
+    window at the round-7 rotation (see ``__spark_entry__.query_tiers``)."""
+    return {"bpe_merges_t2": bpe_merges_t2}
+
+
+_POLY_TOK = DUCK_POLY_HASH.format(x="tok")
+
+
+def _duck_round(prev: str, this: str) -> str:
+    """One unrolled merge iteration: chars_{i} -> chars_{i+1}."""
+    return f"""
+    {this}_paired AS (
+        SELECT word, freq, pos, tok,
+               LEAD(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM {prev}
+    ), {this}_top AS (
+        SELECT tok AS x, nxt AS y
+        FROM {this}_paired WHERE nxt IS NOT NULL
+        GROUP BY tok, nxt
+        ORDER BY SUM(freq) DESC, x, y LIMIT 1
+    ), {this}_matched AS (
+        SELECT word, pos,
+               pos - MAX(CASE WHEN isnew THEN pos END) OVER (
+                   PARTITION BY word ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS off
+        FROM (
+            SELECT word, pos,
+                   COALESCE(pos - LAG(pos) OVER (PARTITION BY word ORDER BY pos), 2) > 1 AS isnew
+            FROM {this}_paired, {this}_top
+            WHERE tok = x AND nxt = y
+        )
+    ), {this}_mpos AS (
+        SELECT word, pos FROM {this}_matched WHERE off % 2 = 0
+    ), {this}_raw AS (
+        SELECT c.word, c.freq, c.pos,
+               CASE WHEN m.pos IS NOT NULL THEN t.x || t.y ELSE c.tok END AS tok
+        FROM {this}_paired c
+        CROSS JOIN {this}_top t
+        LEFT JOIN {this}_mpos m ON m.word = c.word AND m.pos = c.pos
+        LEFT JOIN {this}_mpos p ON p.word = c.word AND p.pos = c.pos - 1
+        WHERE p.pos IS NULL
+    ), {this} AS (
+        SELECT word, freq,
+               CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS BIGINT) AS pos,
+               tok
+        FROM {this}_raw
+    )"""
+
+
+def staged_oracles() -> dict[str, str]:
+    rounds = "".join(
+        "," + _duck_round(f"chars{i}", f"chars{i + 1}") for i in range(MERGE_ITERS)
+    )
+    return {
+        "bpe_merges_t2": f"""
+            WITH vocab AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+                FROM (SELECT UNNEST({DUCK_TOKENS.format(x="text")}) AS word FROM documents)
+                GROUP BY word
+            ), chars0 AS (
+                SELECT word, freq, CAST(i - 1 AS BIGINT) AS pos,
+                       string_split(word, '')[i] AS tok
+                FROM vocab, UNNEST(range(1, len(string_split(word, '')) + 1)) AS g(i)
+            ){rounds}, per_word AS (
+                SELECT word, freq, CAST(COUNT(*) AS BIGINT) AS n_toks,
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                               list_transform(list(tok ORDER BY pos), tok -> {_POLY_TOK})),
+                           (acc, h) -> (acc * 1000003 + h) % 1000000007) AS word_fp
+                FROM chars{MERGE_ITERS} GROUP BY word, freq
+            ), doc_words AS (
+                SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (SELECT doc_id, UNNEST({DUCK_TOKENS.format(x="text")}) AS word
+                      FROM documents)
+                GROUP BY doc_id, word
+            )
+            SELECT d.doc_id,
+                   CAST(SUM(d.cnt) AS BIGINT) AS n_words,
+                   CAST(SUM(d.cnt * w.n_toks) AS BIGINT) AS n_bpe_tokens,
+                   CAST(SUM(d.cnt * w.word_fp) AS BIGINT) AS tok_fp
+            FROM doc_words d JOIN per_word w ON w.word = d.word
+            GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+    }
