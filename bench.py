@@ -91,12 +91,21 @@ def main() -> int:
     if mem_mode:
         entry_mod.preload_mem(spark, sf_dir, partitions=int(cpus))
 
+    # Staged operators (oracle-verified but not yet holding a driver-gate
+    # window slot; operators.staged_tiers) are benched alongside the
+    # declared surface so their round-over-round perf history starts NOW,
+    # not at promotion. run_benchmark still moves streaming last.
+    from datafusion_distributed_experiment_spark.operators import staged_tiers
+
+    tiers = entry_mod.query_tiers() + [
+        (f"staged-{name}", qs) for name, qs in staged_tiers()
+    ]
     results = run_benchmark(
         spark,
         None,
         sf_dir,
         iterations=iterations,
-        tiers=entry_mod.query_tiers(),
+        tiers=tiers,
         clear_cache=not mem_mode,
         warm_epoch=os.environ.get("SPARK_GRAFT_BENCH_WARM_EPOCH", "1") != "0",
     )

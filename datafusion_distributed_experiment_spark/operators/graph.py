@@ -27,11 +27,13 @@ PAGERANK_ITERS = 3
 # Triangle counting: undirected graph = collapsed trade edges; an edge
 # survives iff its weight exceeds TRIANGLE_W_PCT% of the mean edge weight
 # (the cross-multiplied integer form 100*n*w > PCT*total never divides, so
-# both engines agree exactly and the kept graph is data-dependent rather
-# than trivially complete). Orientation key = deg*BASE + node_id — requires
-# node ids < ORIENT_KEY_BASE (nation keys here; rescale BASE for bigger id
-# spaces).
-TRIANGLE_W_PCT = 150
+# both engines agree exactly, and no global sort/percentile is ever needed
+# to pick the threshold). 50% prunes the noise floor while never emptying
+# a near-uniform graph (a 150% cut did exactly that at sf0.1, where the
+# co-trade weights concentrate around the mean). Orientation key =
+# deg*BASE + node_id — requires node ids < ORIENT_KEY_BASE (nation keys
+# here; rescale BASE for bigger id spaces).
+TRIANGLE_W_PCT = 50
 ORIENT_KEY_BASE = 1_000_000
 
 

@@ -90,8 +90,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.size("toks")).cast("long").alias("total_toks"),
     )
-    # map-side restriction to query terms BEFORE df/scoring aggregates
-    qpost = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+    # map-side restriction to query terms BEFORE df/scoring aggregates; the
+    # restricted slice feeds two consumers (document frequency + scoring),
+    # so it is checkpointed — without this every consumer re-runs the
+    # corpus tokenize/explode chain (observed: 12 parquet scans in the
+    # executed plan vs 3 after)
+    qpost = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).localCheckpoint()
     dfreq = qpost.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     scored = (
         qpost.join(F.broadcast(qterms), "term")

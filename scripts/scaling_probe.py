@@ -57,6 +57,14 @@ PROBE_OPS = [
     "semantic_dedup",
     "chunk_overlap",
     "kmeans_lloyd_t3",
+    # round-6 wave 2 (incl. staged ops): n-gram span islands, oriented
+    # triangle wedges, inverted-index scoring, feature-hash ratio weights,
+    # vocabulary-sized merge iterations
+    "ngram_span_dedup",
+    "triangle_count",
+    "bm25_topk",
+    "dsir_weights",
+    "bpe_merges_t2",
 ]
 
 
@@ -117,7 +125,9 @@ def main() -> int:
     only = args or (XSTEP_OPS if xstep else PROBE_OPS)
     spark = build_session(app_name="scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = entry_mod.queries()
+    from datafusion_distributed_experiment_spark.operators import staged_queries
+
+    queries = {**entry_mod.queries(), **staged_queries()}
     sf_dirs = SF_DIRS + ([build_xstep_dir(spark)] if xstep else [])
 
     out: dict[str, dict] = {}

@@ -65,7 +65,29 @@ _SAMPLE = [
     "minhash_pairs_skew",
     "semantic_dedup",
     "chunk_overlap",
+    # round-6 wave 2: islands-window span merging, checkpointed position
+    # table built from shuffled partials
+    "ngram_span_dedup",
 ]
+
+
+@pytest.mark.parametrize("name", ["triangle_count", "bm25_topk", "dsir_weights", "bpe_merges_t2"])
+def test_staged_ops_are_partition_count_independent(name, spark):
+    """Same cross-topology claim for the staged tier (checkpointed oriented
+    edges, broadcast-restricted postings, feature-count shuffles, 1-row
+    argmax from shuffled pair counts)."""
+    from datafusion_distributed_experiment_spark.operators import staged_queries
+
+    fn = staged_queries()[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        single = canonical(fn(spark, SF_DIR).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        distributed = canonical(fn(spark, SF_DIR).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert single == distributed
 
 
 @pytest.mark.parametrize("name", _SAMPLE)

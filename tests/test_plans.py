@@ -437,3 +437,86 @@ def test_token_budget_select_never_runs_a_global_corpus_window(spark):
     # one single-partition exchange is the tiny band-offset window; a second
     # would mean the corpus itself got globally funneled
     assert plan.count("Exchange SinglePartition") <= 1, plan[:3000]
+
+
+def test_ngram_span_dedup_checkpoints_positions_once(spark):
+    """The n-gram position table feeds two consumers (cross-doc owner
+    aggregate + join-back); the plan must read the checkpointed RDD, never
+    re-run the tokenize->fold chain (zero parquet scans downstream), and
+    must never funnel the corpus through a single partition."""
+    from datafusion_distributed_experiment_spark.operators.dedup import ngram_span_dedup
+
+    from .conftest import SF_DIR
+
+    df = ngram_span_dedup(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert s["scans"] == 0, (s, plan[:2000])  # both consumers read the RDD
+    assert plan.count("ExistingRDD") == 2, plan[:2000]
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_bm25_scoring_broadcasts_every_small_side(spark):
+    """Inverted-index scoring: query terms, document frequencies and the
+    1-row corpus stats must all BROADCAST onto the postings slice (three
+    broadcast exchanges); the checkpointed qpost slice is read twice
+    instead of re-running the corpus tokenize chain (3 parquet scans:
+    postings + query build + stats — not 12, the pre-checkpoint shape)."""
+    from datafusion_distributed_experiment_spark.operators.retrieval import bm25_topk
+
+    from .conftest import SF_DIR
+
+    df = bm25_topk(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert s["broadcasts"] == 3, (s, plan[:3000])
+    assert s["scans"] <= 4, (s, plan[:3000])
+    assert plan.count("ExistingRDD") == 2, plan[:3000]
+    # the only single-partition exchange is the 1-row stats aggregate
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:3000]
+
+
+def test_dsir_weight_table_broadcasts_onto_bigrams(spark):
+    """The NBUCK-row feature-weight table must broadcast; the checkpointed
+    bigram stream is read by both consumers (no re-tokenize: zero scans);
+    the only single-partition exchange is the 1-row totals aggregate."""
+    from datafusion_distributed_experiment_spark.operators.selection import dsir_weights
+
+    from .conftest import SF_DIR
+
+    df = dsir_weights(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert s["scans"] == 0, (s, plan[:2000])
+    assert s["broadcasts"] >= 2, (s, plan[:2000])  # totals + weight table
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:2000]
+
+
+def test_triangle_count_reuses_checkpointed_oriented_edges(spark):
+    """The wedge self-join and the closing-edge probe must all read the
+    checkpointed oriented-edge RDD — the fact-table joins that built the
+    graph must not re-run (zero parquet scans after the checkpoint)."""
+    from datafusion_distributed_experiment_spark.operators.graph import triangle_count
+
+    from .conftest import SF_DIR
+
+    df = triangle_count(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert s["scans"] == 0, (s, plan[:2000])
+    assert plan.count("ExistingRDD") >= 3, plan[:2000]  # o1, o2, o3
+
+
+def test_bpe_scans_the_corpus_exactly_twice(spark):
+    """Dictionary build + tokenizer application are the only corpus scans;
+    both merge rounds run over checkpointed vocabulary-sized tables and the
+    winning pair is a broadcast."""
+    from datafusion_distributed_experiment_spark.operators.bpe import bpe_merges_t2
+
+    from .conftest import SF_DIR
+
+    df = bpe_merges_t2(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert s["scans"] == 2, (s, plan[:2000])
+    assert s["broadcasts"] >= 1, (s, plan[:2000])
