@@ -94,13 +94,14 @@ def staged_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Da
     hash comparison over them in every pytest run. At the round-7 rotation
     they move into ``pipeline_tiers()``/the window's fresh tier and earn
     driver-verified CORRECTNESS rows."""
-    from . import bpe, graph, retrieval, selection
+    from . import bpe, dedup, graph, retrieval, selection
 
     return [
         ("graph", graph.staged_queries()),
         ("retrieval", retrieval.staged_queries()),
         ("selection", selection.staged_queries()),
         ("bpe", bpe.staged_queries()),
+        ("dedup", dedup.staged_queries()),
     ]
 
 
@@ -112,13 +113,14 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def staged_oracles() -> dict[str, str]:
-    from . import bpe, graph, retrieval, selection
+    from . import bpe, dedup, graph, retrieval, selection
 
     out: dict[str, str] = {}
     out.update(graph.staged_oracles())
     out.update(retrieval.staged_oracles())
     out.update(selection.staged_oracles())
     out.update(bpe.staged_oracles())
+    out.update(dedup.staged_oracles())
     return out
 
 

@@ -66,6 +66,13 @@ CHUNK_DIV = 16
 # are merged into spans (Lee et al. 2021, "Deduplicating Training Data Makes
 # Language Models Better" — the suffix-array pass re-expressed relationally).
 SPAN_K = 8
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# algorithm): k-gram unit and guarantee-window width. Every window of
+# WINNOW_W consecutive k-gram hashes contributes its rightmost minimum, so
+# any shared substring of >= WINNOW_W + WINNOW_K - 1 tokens is GUARANTEED
+# to share a fingerprint (the property random sampling lacks).
+WINNOW_K = 4
+WINNOW_W = 4
 
 
 def _corpus(spark: SparkSession, sf_dir: str, rebalance: bool = True) -> DataFrame:
@@ -396,23 +403,23 @@ def ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_span_frame(_corpus(spark, sf_dir))
 
 
-def ngram_span_frame(docs: DataFrame) -> DataFrame:
-    """Frame-level span kernel over ``(doc_id, text)`` — see
-    :func:`ngram_span_dedup`. Exposed separately so span maximality and
-    merge semantics are testable on constructed documents."""
+def _ngram_positions(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, gh): the order-sensitive hash of every k-token n-gram
+    with its 0-based start position. Linear in corpus tokens; shared by the
+    span-dedup and winnowing kernels."""
     th = F.transform(tokens(F.col("text")), poly_hash)
-    pos = (
+    return (
         docs.select("doc_id", th.alias("th"))
-        .filter(F.size("th") >= SPAN_K)
+        .filter(F.size("th") >= k)
         .select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.size("th") - SPAN_K),
+                    F.sequence(F.lit(0), F.size("th") - k),
                     lambda i: F.struct(
                         i.cast("long").alias("pos"),
                         F.aggregate(
-                            F.slice("th", i + 1, SPAN_K),
+                            F.slice("th", i + 1, k),
                             F.lit(0).cast("long"),
                             lambda acc, h: (acc * SHINGLE_MULT + h) % MOD,
                         ).alias("gh"),
@@ -421,10 +428,16 @@ def ngram_span_frame(docs: DataFrame) -> DataFrame:
             ).alias("pg"),
         )
         .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gh").alias("gh"))
-        # two consumers (cross-doc owner aggregate + position join-back):
-        # checkpoint so the tokenize->fold chain runs once
-        .localCheckpoint()
     )
+
+
+def ngram_span_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level span kernel over ``(doc_id, text)`` — see
+    :func:`ngram_span_dedup`. Exposed separately so span maximality and
+    merge semantics are testable on constructed documents."""
+    # two consumers (cross-doc owner aggregate + position join-back):
+    # checkpoint so the tokenize->fold chain runs once
+    pos = _ngram_positions(docs, SPAN_K).localCheckpoint()
     dup = (
         pos.groupBy("gh")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
@@ -455,6 +468,62 @@ def ngram_span_frame(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "span_start", "span_end", "n_dup_ngrams")
         .orderBy("doc_id", "span_start")
+    )
+
+
+# --------------------------------------------------------------------- #
+# winnowing fingerprints (rightmost window minima, MOSS)
+# --------------------------------------------------------------------- #
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03,
+    public paper): from each window of :data:`WINNOW_W` consecutive
+    :data:`WINNOW_K`-gram hashes, select the RIGHTMOST MINIMUM; the union of
+    selections is the fingerprint set. Output ``(doc_id, pos, fp)``.
+
+    Why this selection and not hash%p sampling: winnowing guarantees any
+    match of length >= W + K - 1 tokens shares a fingerprint, with expected
+    density 2/(W+1) — the local-algorithm property MOSS is built on.
+
+    The windowed-scan spelling: "rightmost minimum of SOME full window
+    containing q" decomposes into fixed frames — q is selected iff for some
+    split j, the j hashes AFTER q are all > h(q) (strict: rightmost wins
+    ties) and the W-1-j hashes BEFORE q are all >= h(q), with the window in
+    bounds. min-over-frame aggregates for 2(W-1) fixed frames share ONE
+    (doc_id, pos) window partitioning — one exchange for the whole
+    selection, per-task state bounded by the largest document, zero joins
+    and zero per-window explosion (a naive windows-as-rows spelling costs
+    W rows per position). Hypothesis drives this against a direct
+    rightmost-min-per-window Python replica, which is what proves the
+    frame decomposition."""
+    return winnow_frame(_corpus(spark, sf_dir))
+
+
+def winnow_frame(docs: DataFrame) -> DataFrame:
+    from functools import reduce as _reduce
+
+    pos = _ngram_positions(docs, WINNOW_K)
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    c = pos.withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    for i in range(1, WINNOW_W):
+        c = c.withColumn(f"p{i}", F.min("gh").over(wp.rowsBetween(-i, -1)))
+        c = c.withColumn(f"f{i}", F.min("gh").over(wp.rowsBetween(1, i)))
+    h = F.col("gh")
+    conds = []
+    for j in range(WINNOW_W):
+        pcnt = WINNOW_W - 1 - j
+        cond = F.lit(True)
+        if pcnt:
+            cond = cond & (F.col("pos") >= pcnt) & (F.col(f"p{pcnt}") >= h)
+        if j:
+            cond = cond & (F.col("pos") <= F.col("n") - 1 - j) & (
+                F.col(f"f{j}") > h
+            )
+        conds.append(cond)
+    return (
+        c.filter(_reduce(lambda a, b: a | b, conds))
+        .select("doc_id", "pos", h.alias("fp"))
+        .orderBy("doc_id", "pos")
     )
 
 
@@ -1041,6 +1110,55 @@ def oracles() -> dict[str, str]:
     # variant is graded against the very same recursive-CTE oracle.
     out["dedup_clusters_star"] = out["dedup_clusters"]
     return out
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Built + oracle-verified this round; enter the 50-entry driver gate
+    window at the round-7 rotation (see ``__spark_entry__.query_tiers``)."""
+    return {"winnow_fingerprints": winnow_fingerprints}
+
+
+def staged_oracles() -> dict[str, str]:
+    w = WINNOW_W
+    frames = ",\n                       ".join(
+        f"MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN {i} PRECEDING AND 1 PRECEDING) AS p{i},\n"
+        f"                       "
+        f"MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN 1 FOLLOWING AND {i} FOLLOWING) AS f{i}"
+        for i in range(1, w)
+    )
+    conds = []
+    for j in range(w):
+        pcnt = w - 1 - j
+        parts = []
+        if pcnt:
+            parts.append(f"pos >= {pcnt} AND p{pcnt} >= gh")
+        if j:
+            parts.append(f"pos <= n - 1 - {j} AND f{j} > gh")
+        conds.append("(" + " AND ".join(parts) + ")")
+    sel = " OR ".join(conds)
+    return {
+        "winnow_fingerprints": f"""
+            WITH {_DUCK_CORPUS}, tokd AS (
+                SELECT doc_id, list_transform({_TOKS}, t -> {_POLY_T}) AS th FROM corpus
+            ), pos AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT), th[i : i + {WINNOW_K - 1}]),
+                                   (acc, h) -> (acc * {SHINGLE_MULT} + h) % {MOD}) AS gh
+                FROM tokd, UNNEST(range(1, len(th) - {WINNOW_K} + 2)) AS g(i)
+                WHERE len(th) >= {WINNOW_K}
+            ), win AS (
+                SELECT doc_id, pos, gh,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS n,
+                       {frames}
+                FROM pos
+            )
+            SELECT doc_id, pos, gh AS fp FROM win
+            WHERE {sel}
+            ORDER BY doc_id, pos
+        """,
+    }
 
 
 def _oracles() -> dict[str, str]:

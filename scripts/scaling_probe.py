@@ -65,6 +65,7 @@ PROBE_OPS = [
     "bm25_topk",
     "dsir_weights",
     "bpe_merges_t2",
+    "winnow_fingerprints",
 ]
 
 

@@ -71,7 +71,10 @@ _SAMPLE = [
 ]
 
 
-@pytest.mark.parametrize("name", ["triangle_count", "bm25_topk", "dsir_weights", "bpe_merges_t2"])
+@pytest.mark.parametrize(
+    "name",
+    ["triangle_count", "bm25_topk", "dsir_weights", "bpe_merges_t2", "winnow_fingerprints"],
+)
 def test_staged_ops_are_partition_count_independent(name, spark):
     """Same cross-topology claim for the staged tier (checkpointed oriented
     edges, broadcast-restricted postings, feature-count shuffles, 1-row

@@ -520,3 +520,24 @@ def test_bpe_scans_the_corpus_exactly_twice(spark):
     s = stage_summary(df)
     assert s["scans"] == 2, (s, plan[:2000])
     assert s["broadcasts"] >= 1, (s, plan[:2000])
+
+
+def test_winnow_selection_shares_one_exchange(spark):
+    """All 2(W-1) min-frames plus the per-doc count must ride ONE
+    (doc_id) hash exchange — winnowing is a single windowed scan, with no
+    joins and no per-window row explosion (plus the presentation sort)."""
+    from datafusion_distributed_experiment_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    from .conftest import SF_DIR
+
+    df = winnow_fingerprints(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    # exchanges: the 2 corpus-rebalance round-robins + ONE doc_id hash
+    # partitioning (shared by the count window AND all 6 min-frames) + the
+    # presentation sort — nothing else
+    assert plan.count("hashpartitioning(doc_id") == 1, plan[:3000]
+    assert s["exchanges"] <= 4, (s, plan[:3000])
+    assert "Join" not in plan, plan[:3000]
