@@ -94,7 +94,7 @@ def staged_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Da
     hash comparison over them in every pytest run. At the round-7 rotation
     they move into ``pipeline_tiers()``/the window's fresh tier and earn
     driver-verified CORRECTNESS rows."""
-    from . import bpe, dedup, graph, retrieval, selection
+    from . import bpe, dedup, graph, retrieval, selection, sketches
 
     return [
         ("graph", graph.staged_queries()),
@@ -102,6 +102,7 @@ def staged_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Da
         ("selection", selection.staged_queries()),
         ("bpe", bpe.staged_queries()),
         ("dedup", dedup.staged_queries()),
+        ("sketches", sketches.staged_queries()),
     ]
 
 
@@ -113,7 +114,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def staged_oracles() -> dict[str, str]:
-    from . import bpe, dedup, graph, retrieval, selection
+    from . import bpe, dedup, graph, retrieval, selection, sketches
 
     out: dict[str, str] = {}
     out.update(graph.staged_oracles())
@@ -121,6 +122,7 @@ def staged_oracles() -> dict[str, str]:
     out.update(selection.staged_oracles())
     out.update(bpe.staged_oracles())
     out.update(dedup.staged_oracles())
+    out.update(sketches.staged_oracles())
     return out
 
 

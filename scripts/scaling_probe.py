@@ -66,6 +66,7 @@ PROBE_OPS = [
     "dsir_weights",
     "bpe_merges_t2",
     "winnow_fingerprints",
+    "cms_heavy_hitters",
 ]
 
 

@@ -73,7 +73,14 @@ _SAMPLE = [
 
 @pytest.mark.parametrize(
     "name",
-    ["triangle_count", "bm25_topk", "dsir_weights", "bpe_merges_t2", "winnow_fingerprints"],
+    [
+        "triangle_count",
+        "bm25_topk",
+        "dsir_weights",
+        "bpe_merges_t2",
+        "winnow_fingerprints",
+        "cms_heavy_hitters",
+    ],
 )
 def test_staged_ops_are_partition_count_independent(name, spark):
     """Same cross-topology claim for the staged tier (checkpointed oriented

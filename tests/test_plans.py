@@ -541,3 +541,20 @@ def test_winnow_selection_shares_one_exchange(spark):
     assert plan.count("hashpartitioning(doc_id") == 1, plan[:3000]
     assert s["exchanges"] <= 4, (s, plan[:3000])
     assert "Join" not in plan, plan[:3000]
+
+
+def test_cms_sketch_broadcasts_onto_probes(spark):
+    """The D*W-cell sketch must BROADCAST onto the candidate probes (plus
+    the 1-row totals); the stream contributes one bounded-key aggregate and
+    the one per-user shuffle the exact candidate side needs anyway."""
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    from .conftest import SF_DIR
+
+    df = cms_heavy_hitters(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert s["broadcasts"] == 2, (s, plan[:3000])  # sketch + totals
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:3000]  # totals only
