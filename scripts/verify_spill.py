@@ -36,6 +36,10 @@ SPILL_QUERIES = (
     "events_asof",
     "token_budget_select",
     "text_stats",
+    # round-6 window-heavy additions: islands windows per doc_id, six
+    # min-frames on one doc window — both route through WindowExec buffers
+    "ngram_span_dedup",
+    "winnow_fingerprints",
 )
 FORCE_SPILL_ROWS = "128"
 
@@ -64,8 +68,13 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    queries = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    from datafusion_distributed_experiment_spark.operators import (
+        staged_oracles,
+        staged_queries,
+    )
+
+    queries = {**entry_mod.queries(), **staged_queries()}
+    oracles = {**entry_mod.oracle_sql(), **staged_oracles()}
     failures: list[str] = []
     for name in SPILL_QUERIES:
         try:
