@@ -472,6 +472,70 @@ def ngram_span_frame(docs: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# span scrubbing: cut duplicated spans, keep the first occurrence
+# --------------------------------------------------------------------- #
+
+def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of exact-substring dedup (Lee et al. 2021 cut the
+    duplicated spans out of the training text; :func:`ngram_span_dedup` is
+    the detect step): drop every token covered by a duplicated n-gram whose
+    FIRST corpus occurrence lies in an earlier document, so exactly one
+    copy of every duplicated passage survives (in its smallest-doc_id
+    document). Output ``(doc_id, n_tokens, n_dropped, scrubbed_fp)`` with
+    ``scrubbed_fp`` the order-sensitive fold of the KEPT token hashes —
+    byte-level proof of the surviving text without shipping it.
+
+    Scale shape: same linear position table as the detect step
+    (checkpointed once for its two consumers); ownership is a
+    map-side-combinable MIN per n-gram hash (``first_doc < doc_id`` alone
+    implies cross-document duplication — no distinct-count needed); token
+    coverage explodes each foreign hit into K token indices (constant
+    fan-out); the verdict is ONE left join + per-doc aggregate on the
+    (doc_id, token) stream. Every step shuffles on explicit keys; per-task
+    state is bounded by the largest document's tokens (the per-doc fold)."""
+    return span_scrub_frame(_corpus(spark, sf_dir))
+
+
+def span_scrub_frame(docs: DataFrame) -> DataFrame:
+    pos = _ngram_positions(docs, SPAN_K).localCheckpoint()
+    owners = pos.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    dropped = (
+        pos.join(owners, "gh")
+        .filter(F.col("first_doc") < F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + SPAN_K - 1)
+            ).alias("t"),
+        )
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.transform(tokens(F.col("text")), poly_hash)).alias("t", "h"),
+    ).select("doc_id", F.col("t").cast("long").alias("t"), "h")
+    flagged = tok.join(dropped, ["doc_id", "t"], "left").withColumn(
+        "keep", F.col("is_dropped").isNull()
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum((~F.col("keep")).cast("long")).cast("long").alias("n_dropped"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("t", "h")))
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, s: (acc * SHINGLE_MULT + s["h"]) % MOD,
+            ).alias("scrubbed_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------- #
 # winnowing fingerprints (rightmost window minima, MOSS)
 # --------------------------------------------------------------------- #
 
@@ -1115,7 +1179,7 @@ def oracles() -> dict[str, str]:
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Built + oracle-verified this round; enter the 50-entry driver gate
     window at the round-7 rotation (see ``__spark_entry__.query_tiers``)."""
-    return {"winnow_fingerprints": winnow_fingerprints}
+    return {"winnow_fingerprints": winnow_fingerprints, "span_scrub": span_scrub}
 
 
 def staged_oracles() -> dict[str, str]:
@@ -1157,6 +1221,35 @@ def staged_oracles() -> dict[str, str]:
             SELECT doc_id, pos, gh AS fp FROM win
             WHERE {sel}
             ORDER BY doc_id, pos
+        """,
+        "span_scrub": f"""
+            WITH {_DUCK_CORPUS}, tokd AS (
+                SELECT doc_id, list_transform({_TOKS}, t -> {_POLY_T}) AS th FROM corpus
+            ), pos AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT), th[i : i + {SPAN_K - 1}]),
+                                   (acc, h) -> (acc * {SHINGLE_MULT} + h) % {MOD}) AS gh
+                FROM tokd, UNNEST(range(1, len(th) - {SPAN_K} + 2)) AS g(i)
+                WHERE len(th) >= {SPAN_K}
+            ), own AS (
+                SELECT gh, MIN(doc_id) AS first_doc FROM pos GROUP BY gh
+            ), fhits AS (
+                SELECT p.doc_id, p.pos FROM pos p JOIN own USING (gh)
+                WHERE own.first_doc < p.doc_id
+            ), dropped AS (
+                SELECT DISTINCT doc_id, pos + i AS t
+                FROM fhits, UNNEST(range(0, {SPAN_K})) AS g(i)
+            ), tok AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS t, th[i] AS h
+                FROM tokd, UNNEST(range(1, len(th) + 1)) AS g(i)
+            )
+            SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN d.t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       COALESCE(list(h ORDER BY tok.t) FILTER (WHERE d.t IS NULL), [])),
+                       (acc, x) -> (acc * {SHINGLE_MULT} + x) % {MOD}) AS scrubbed_fp
+            FROM tok LEFT JOIN dropped d ON d.doc_id = tok.doc_id AND d.t = tok.t
+            GROUP BY tok.doc_id ORDER BY tok.doc_id
         """,
     }
 

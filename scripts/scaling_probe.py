@@ -67,6 +67,7 @@ PROBE_OPS = [
     "bpe_merges_t2",
     "winnow_fingerprints",
     "cms_heavy_hitters",
+    "span_scrub",
 ]
 
 

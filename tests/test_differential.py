@@ -80,6 +80,7 @@ _SAMPLE = [
         "bpe_merges_t2",
         "winnow_fingerprints",
         "cms_heavy_hitters",
+        "span_scrub",
     ],
 )
 def test_staged_ops_are_partition_count_independent(name, spark):

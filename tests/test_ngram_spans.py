@@ -140,3 +140,77 @@ def test_ngram_spans_match_python_replica(spark, texts):
         for r in ngram_span_frame(frame).collect()
     }
     assert got == _py_spans(docs)
+
+
+# ---- span_scrub: the apply step ------------------------------------------ #
+
+from datafusion_distributed_experiment_spark.operators.dedup import span_scrub_frame
+
+
+def test_scrub_keeps_first_copy_and_empties_later_copies(spark):
+    passage = _words("shared", 30)
+    docs = spark.createDataFrame(
+        [
+            (0, passage),
+            (1, passage),  # exact duplicate: must lose every token
+            (2, _words("pre", 10) + " " + passage),  # loses exactly the passage
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in span_scrub_frame(docs).collect()}
+    assert rows[0]["n_dropped"] == 0  # first occurrence survives whole
+    assert rows[1]["n_dropped"] == 30 and rows[1]["scrubbed_fp"] == 0
+    # doc 2: the embedded passage goes, the unique prefix stays
+    assert rows[2]["n_dropped"] == 30
+    assert rows[2]["n_tokens"] == 40
+    # kept prefix of doc 2 == doc "pre only" fingerprint
+    pre_only = {r["doc_id"]: r for r in span_scrub_frame(
+        spark.createDataFrame([(9, _words("pre", 10))], "doc_id long, text string")
+    ).collect()}
+    assert rows[2]["scrubbed_fp"] == pre_only[9]["scrubbed_fp"]
+
+
+def _py_scrub(docs: list[tuple[int, str]]) -> dict[int, tuple[int, int, int]]:
+    token_hashes = {d: [_py_poly(t) for t in s.split(" ") if t] for d, s in docs}
+    grams: dict[int, list[tuple[int, int]]] = {}
+    first: dict[int, int] = {}
+    for d in sorted(token_hashes):
+        th = token_hashes[d]
+        for i in range(len(th) - SPAN_K + 1):
+            acc = 0
+            for h in th[i : i + SPAN_K]:
+                acc = (acc * SHINGLE_MULT + h) % MOD
+            grams.setdefault(d, []).append((i, acc))
+            first.setdefault(acc, d)
+    out = {}
+    for d, th in token_hashes.items():
+        if not th:
+            continue
+        drop: set[int] = set()
+        for i, gh in grams.get(d, []):
+            if first[gh] < d:
+                drop.update(range(i, i + SPAN_K))
+        acc = 0
+        for t, h in enumerate(th):
+            if t not in drop:
+                acc = (acc * SHINGLE_MULT + h) % MOD
+        out[d] = (len(th), len(drop), acc)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.text(alphabet="ab c", max_size=80),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_span_scrub_matches_python_replica(spark, texts):
+    docs = list(enumerate(texts))
+    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["scrubbed_fp"])
+        for r in span_scrub_frame(frame).collect()
+    }
+    assert got == _py_scrub(docs)

@@ -558,3 +558,20 @@ def test_cms_sketch_broadcasts_onto_probes(spark):
     s = stage_summary(df)
     assert s["broadcasts"] == 2, (s, plan[:3000])  # sketch + totals
     assert plan.count("Exchange SinglePartition") <= 1, plan[:3000]  # totals only
+
+
+def test_span_scrub_reuses_positions_and_never_funnels(spark):
+    """The n-gram position chain must not re-run for its two consumers
+    (checkpoint read twice); the corpus appears only as the position build
+    + the token stream (2 union branches each = 4 scans); nothing funnels
+    through a single partition."""
+    from datafusion_distributed_experiment_spark.operators.dedup import span_scrub
+
+    from .conftest import SF_DIR
+
+    df = span_scrub(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert plan.count("ExistingRDD") == 2, plan[:3000]
+    assert s["scans"] <= 4, (s, plan[:3000])
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
