@@ -253,14 +253,134 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {"pagerank_nations": pagerank_nations}
 
 
+LPA_ITERS = 3
+
+
+def lpa_communities_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007, "Near linear time algorithm to detect community structures
+    in large-scale networks" — public paper), :data:`LPA_ITERS` fixed
+    rounds over the undirected weighted trade graph. Per round every node
+    adopts the label with the greatest incident edge weight among its
+    neighbors (ties -> smallest label; isolated nodes keep their own).
+    Output ``(v, community)``.
+
+    Fixed synchronous rounds make the otherwise order-dependent algorithm
+    bit-deterministic, which is what lets the DuckDB oracle replay it as
+    unrolled CTEs — the pagerank_nations pattern. Scale shape: after the
+    fact tables collapse to the |E|-row edge list (checkpointed, reused
+    every round), each round is one labels-edges join + one (node, label)
+    aggregate + one per-node top-1 window — per-task window state is one
+    node's distinct neighbor labels, and round cost is independent of fact
+    volume."""
+    und = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            "w",
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    nodes = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("v")
+    )
+    return lpa_frame(nodes, und).orderBy("v")
+
+
+def lpa_frame(nodes: DataFrame, und: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """Frame-level LPA kernel: ``nodes(v)`` x undirected ``und(u, v, w)``
+    -> ``(v, community)`` after ``iters`` synchronous rounds — see
+    :func:`lpa_communities_t3`. Exposed separately so community semantics
+    (weighted majority, min-label ties, isolated nodes) are testable on
+    constructed graphs."""
+    from pyspark.sql import Window as W
+
+    bi = und.select(
+        F.col("u").alias("a"), F.col("v").alias("b"), "w"
+    ).unionAll(und.select(F.col("v").alias("a"), F.col("u").alias("b"), "w"))
+    bi = bi.localCheckpoint()  # reused every round
+    labels = nodes.select("v", F.col("v").alias("lab"))
+    for _ in range(iters):
+        scored = (
+            bi.join(labels.select(F.col("v").alias("b"), "lab"), "b")
+            .groupBy(F.col("a").alias("v"), "lab")
+            .agg(F.sum("w").alias("s"))
+        )
+        top = (
+            scored.withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("v").orderBy(F.col("s").desc(), F.col("lab"))
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("v", F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            nodes.join(labels, "v")
+            .join(top, "v", "left")
+            .select("v", F.coalesce("new_lab", "lab").alias("lab"))
+        )
+    return labels.select(
+        F.col("v").cast("long").alias("v"), F.col("lab").cast("long").alias("community")
+    )
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Built + oracle-verified this round; enter the 50-entry driver gate
     window at the round-7 rotation (see ``__spark_entry__.query_tiers``)."""
-    return {"triangle_count": triangle_count}
+    return {"triangle_count": triangle_count, "lpa_communities_t3": lpa_communities_t3}
+
+
+def _lpa_round(prev: str, i: int) -> str:
+    return f"""
+            s{i} AS (
+                SELECT e.a AS v, p.lab, SUM(e.w) AS s
+                FROM biedges e JOIN {prev} p ON p.v = e.b
+                GROUP BY e.a, p.lab
+            ), t{i} AS (
+                SELECT v, lab FROM (
+                    SELECT v, lab,
+                           ROW_NUMBER() OVER (PARTITION BY v ORDER BY s DESC, lab) AS rk
+                    FROM s{i}
+                ) WHERE rk = 1
+            ), l{i + 1} AS (
+                SELECT n.v, COALESCE(t.lab, p.lab) AS lab
+                FROM nodes n
+                JOIN {prev} p ON p.v = n.v
+                LEFT JOIN t{i} t ON t.v = n.v
+            )"""
 
 
 def staged_oracles() -> dict[str, str]:
+    lpa_rounds = ",".join(_lpa_round(f"l{i}", i) for i in range(LPA_ITERS))
+    lpa_sql = f"""
+            WITH pairs AS (
+                SELECT LEAST(c.c_nationkey, s.s_nationkey) AS u,
+                       GREATEST(c.c_nationkey, s.s_nationkey) AS v,
+                       CAST(COUNT(*) AS BIGINT) AS w
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                WHERE c.c_nationkey <> s.s_nationkey
+                GROUP BY 1, 2
+            ), biedges AS (
+                SELECT u AS a, v AS b, w FROM pairs
+                UNION ALL
+                SELECT v AS a, u AS b, w FROM pairs
+            ), nodes AS (
+                SELECT n_nationkey AS v FROM nation
+            ), l0 AS (
+                SELECT v, v AS lab FROM nodes
+            ),{lpa_rounds}
+            SELECT CAST(v AS BIGINT) AS v, CAST(lab AS BIGINT) AS community
+            FROM l{LPA_ITERS} ORDER BY v"""
     return {
+        "lpa_communities_t3": lpa_sql,
         "triangle_count": f"""
             WITH pairs AS (
                 SELECT LEAST(c.c_nationkey, s.s_nationkey) AS u,

@@ -68,6 +68,7 @@ PROBE_OPS = [
     "winnow_fingerprints",
     "cms_heavy_hitters",
     "span_scrub",
+    "lpa_communities_t3",
 ]
 
 
@@ -77,7 +78,16 @@ PROBE_OPS = [
 # text so replicas are NOT near-duplicates of each other — the pair graph
 # grows linearly with the corpus, which is exactly the property under test,
 # instead of quadratically by construction of the fixture).
-XSTEP_OPS = ["minhash_dedup_pairs", "dedup_clusters_star", "token_budget_select"]
+XSTEP_OPS = [
+    "minhash_dedup_pairs",
+    "dedup_clusters_star",
+    "token_budget_select",
+    # round-6: the token-explode-heavy span/fingerprint family — the ops
+    # whose position tables grow linearly with corpus tokens
+    "ngram_span_dedup",
+    "span_scrub",
+    "winnow_fingerprints",
+]
 XSTEP_FACTOR = 10
 XSTEP_DIR = "/tmp/scaling_docs_x10"
 

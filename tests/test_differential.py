@@ -81,6 +81,7 @@ _SAMPLE = [
         "winnow_fingerprints",
         "cms_heavy_hitters",
         "span_scrub",
+        "lpa_communities_t3",
     ],
 )
 def test_staged_ops_are_partition_count_independent(name, spark):

@@ -90,3 +90,33 @@ def test_pagerank_overflow_guard_rejects_oversized_weights(spark):
     # one below the bound is accepted and completes
     ok_edges = spark.createDataFrame([(0, 1, bad_w - 1)], "src LONG, dst LONG, w LONG")
     assert graph.pagerank_frame(nodes, ok_edges).count() == 2
+
+
+def test_lpa_separates_weakly_bridged_cliques(spark):
+    """Two triangles joined by ONE weak bridge edge: label propagation must
+    converge each triangle to its own min label and never merge them across
+    the bridge (the bridge weight loses every majority vote)."""
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 10), (0, 2, 10), (1, 2, 10),   # clique A
+            (3, 4, 10), (3, 5, 10), (4, 5, 10),   # clique B
+            (2, 3, 1),                            # weak bridge
+            # isolated node 9 keeps its own label
+        ],
+        "u LONG, v LONG, w LONG",
+    )
+    nodes = spark.createDataFrame([(i,) for i in (0, 1, 2, 3, 4, 5, 9)], "v LONG")
+    got = {r["v"]: r["community"] for r in graph.lpa_frame(nodes, edges).collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == got[4] == got[5] == 3
+    assert got[9] == 9
+
+
+def test_lpa_tie_breaks_to_min_label(spark):
+    """A node pulled equally by two labels adopts the smaller one."""
+    edges = spark.createDataFrame(
+        [(0, 2, 5), (1, 2, 5)], "u LONG, v LONG, w LONG"
+    )
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "v LONG")
+    got = {r["v"]: r["community"] for r in graph.lpa_frame(nodes, edges, iters=1).collect()}
+    assert got[2] == 0

@@ -575,3 +575,32 @@ def test_span_scrub_reuses_positions_and_never_funnels(spark):
     assert plan.count("ExistingRDD") == 2, plan[:3000]
     assert s["scans"] <= 4, (s, plan[:3000])
     assert "Exchange SinglePartition" not in plan, plan[:3000]
+
+
+def test_lpa_rounds_reuse_checkpointed_edges(spark):
+    """Every LPA round must read the checkpointed bidirected edge RDD — the
+    fact-table joins that derived the graph never re-run (zero parquet
+    scans besides the nodes dimension)."""
+    from datafusion_distributed_experiment_spark.operators.graph import (
+        LPA_ITERS,
+        lpa_communities_t3,
+    )
+
+    from .conftest import SF_DIR
+
+    df = lpa_communities_t3(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    # every round references the checkpointed RDD (the label lineage embeds
+    # prior rounds' references too — fine at 3 fixed rounds, the pagerank
+    # no-checkpoint argument); the FACT tables never appear: the only
+    # parquet scans left are the |V|-row nodes dimension
+    assert plan.count("ExistingRDD") >= LPA_ITERS, plan[:3000]
+    assert "lineitem" not in plan and "orders.parquet" not in plan, plan[:3000]
+    assert all("nation" in f for f in _parquet_scan_paths(plan)), plan[:3000]
+
+
+def _parquet_scan_paths(plan: str) -> list[str]:
+    import re as _re
+
+    return _re.findall(r"Location: InMemoryFileIndex[^\]]*\[([^\]]+)\]", plan)
