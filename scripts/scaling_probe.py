@@ -87,6 +87,11 @@ XSTEP_OPS = [
     "ngram_span_dedup",
     "span_scrub",
     "winnow_fingerprints",
+    # round-6 wave 3: postings restriction under a 10x query set, bounded
+    # feature space, vocabulary growth under genuinely-new words
+    "bm25_topk",
+    "dsir_weights",
+    "bpe_merges_t2",
 ]
 XSTEP_FACTOR = 10
 XSTEP_DIR = "/tmp/scaling_docs_x10"
