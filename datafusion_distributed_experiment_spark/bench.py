@@ -101,6 +101,14 @@ def prepare_sorted_dir(spark: SparkSession, sf_dir: str, dest: str) -> str:
 
 
 MEASURE_LAST_TIERS = ("streaming",)  # leaves RocksDB maintenance threads behind
+
+
+def _measure_last(tier_name: str) -> bool:
+    """Substring match so staged streaming tiers ("staged-streaming") get
+    the same end-of-run isolation as the declared streaming tier."""
+    return any(m in tier_name for m in MEASURE_LAST_TIERS)
+
+
 SETTLE_SECONDS = 1.0
 
 
@@ -158,8 +166,8 @@ def run_benchmark(
     at the cost of operator-internal persist()s accumulating too."""
     if tiers is None:
         tiers = [("all", dict(queries or {}))]
-    tiers = [t for t in tiers if t[0] not in MEASURE_LAST_TIERS] + [
-        t for t in tiers if t[0] in MEASURE_LAST_TIERS
+    tiers = [t for t in tiers if not _measure_last(t[0])] + [
+        t for t in tiers if _measure_last(t[0])
     ]
     results = {
         "context": {
@@ -270,7 +278,7 @@ def run_benchmark(
                     # intermediate reuse (which would measure a different job)
                     if clear_cache:
                         spark.catalog.clearCache()
-            if clear_cache and tier_name in MEASURE_LAST_TIERS:
+            if clear_cache and _measure_last(tier_name):
                 _isolate(spark)
     return results
 

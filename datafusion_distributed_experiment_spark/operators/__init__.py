@@ -94,6 +94,7 @@ def staged_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Da
     hash comparison over them in every pytest run. At the round-7 rotation
     they move into ``pipeline_tiers()``/the window's fresh tier and earn
     driver-verified CORRECTNESS rows."""
+    from ..streaming import events as streaming_events
     from . import bpe, dedup, graph, retrieval, selection, sketches
 
     return [
@@ -103,6 +104,9 @@ def staged_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Da
         ("bpe", bpe.staged_queries()),
         ("dedup", dedup.staged_queries()),
         ("sketches", sketches.staged_queries()),
+        # named so the bench's measure-last rule matches it (RocksDB
+        # maintenance threads must not contaminate batch timings)
+        ("streaming-staged", streaming_events.staged_queries()),
     ]
 
 
@@ -114,6 +118,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def staged_oracles() -> dict[str, str]:
+    from ..streaming import events as streaming_events
     from . import bpe, dedup, graph, retrieval, selection, sketches
 
     out: dict[str, str] = {}
@@ -123,6 +128,7 @@ def staged_oracles() -> dict[str, str]:
     out.update(bpe.staged_oracles())
     out.update(dedup.staged_oracles())
     out.update(sketches.staged_oracles())
+    out.update(streaming_events.staged_oracles())
     return out
 
 

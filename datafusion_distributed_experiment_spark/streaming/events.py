@@ -259,6 +259,67 @@ def stream_click_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LOOKBACK_MS = 600_000  # 10 minutes, mirrored in the oracle below
 
+STREAM_TOPK_N = 3
+
+
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-day top-:data:`STREAM_TOPK_N` event types by count:
+    ``(day, rank, event_type, n_events)``.
+
+    Structured Streaming does not support rank/window functions over a
+    stream, so production top-k splits exactly as here: the STATEFUL part
+    is the watermark-bounded tumbling aggregate (state = one counter per
+    (window, type), continuously maintained); ranking happens ON the
+    materialized aggregate at read time — a windows x types table, orders
+    of magnitude smaller than the stream, so the rank is a trivially cheap
+    batch pass however large the input was. Watermark spans the bounded
+    replay so the gated result is exact (the ``stream_sliding`` contract);
+    ties break to the lexicographically-first event type."""
+    from pyspark.sql import Window
+
+    ev = read_events_stream(_stream_session(spark), sf_dir, glob="events.parquet")
+    agg = run_to_completion(
+        windowed_counts(ev, watermark="40 days"),
+        query_name="stream_topk",
+        output_mode="complete",
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= STREAM_TOPK_N)
+        .select("day", "rank", "event_type", "n_events")
+        .orderBy("day", "rank")
+    )
+
+
+def staged_queries():
+    """Built + oracle-verified this round; enter the 50-entry driver gate
+    window at the round-7 rotation (see ``__spark_entry__.query_tiers``)."""
+    return {"stream_topk": stream_topk}
+
+
+def staged_oracles() -> dict[str, str]:
+    return {
+        "stream_topk": f"""
+            WITH agg AS (
+                SELECT date_trunc('day', ts) AS day, event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            ), r AS (
+                SELECT day, event_type, n_events,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY day
+                           ORDER BY n_events DESC, event_type) AS BIGINT) AS rank
+                FROM agg
+            )
+            SELECT day, rank, event_type, n_events FROM r
+            WHERE rank <= {STREAM_TOPK_N}
+            ORDER BY day, rank
+        """,
+    }
+
 
 def queries():
     return {
