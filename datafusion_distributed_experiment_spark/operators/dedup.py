@@ -403,13 +403,25 @@ def ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_span_frame(_corpus(spark, sf_dir))
 
 
+def _token_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, th): per-token polynomial hashes as one array per document
+    — the char-level fold is the expensive tokenize step, so consumers that
+    need it twice checkpoint THIS frame."""
+    return docs.select(
+        "doc_id", F.transform(tokens(F.col("text")), poly_hash).alias("th")
+    )
+
+
 def _ngram_positions(docs: DataFrame, k: int) -> DataFrame:
     """(doc_id, pos, gh): the order-sensitive hash of every k-token n-gram
     with its 0-based start position. Linear in corpus tokens; shared by the
     span-dedup and winnowing kernels."""
-    th = F.transform(tokens(F.col("text")), poly_hash)
+    return _ngram_positions_from_th(_token_hashes(docs), k)
+
+
+def _ngram_positions_from_th(th_df: DataFrame, k: int) -> DataFrame:
     return (
-        docs.select("doc_id", th.alias("th"))
+        th_df
         .filter(F.size("th") >= k)
         .select(
             "doc_id",
@@ -497,7 +509,11 @@ def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def span_scrub_frame(docs: DataFrame) -> DataFrame:
-    pos = _ngram_positions(docs, SPAN_K).localCheckpoint()
+    # the char-level tokenize fold is needed by BOTH the n-gram positions
+    # and the final token stream — checkpoint it once (2 corpus scans +
+    # 2 tokenize passes otherwise; measured 4 scans -> 2 in the plan)
+    th_df = _token_hashes(docs).localCheckpoint()
+    pos = _ngram_positions_from_th(th_df, SPAN_K).localCheckpoint()
     owners = pos.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
     dropped = (
         pos.join(owners, "gh")
@@ -511,9 +527,8 @@ def span_scrub_frame(docs: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("is_dropped", F.lit(True))
     )
-    tok = docs.select(
-        "doc_id",
-        F.posexplode(F.transform(tokens(F.col("text")), poly_hash)).alias("t", "h"),
+    tok = th_df.select(
+        "doc_id", F.posexplode("th").alias("t", "h")
     ).select("doc_id", F.col("t").cast("long").alias("t"), "h")
     flagged = tok.join(dropped, ["doc_id", "t"], "left").withColumn(
         "keep", F.col("is_dropped").isNull()

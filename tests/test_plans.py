@@ -561,9 +561,10 @@ def test_cms_sketch_broadcasts_onto_probes(spark):
 
 
 def test_span_scrub_reuses_positions_and_never_funnels(spark):
-    """The n-gram position chain must not re-run for its two consumers
-    (checkpoint read twice); the corpus appears only as the position build
-    + the token stream (2 union branches each = 4 scans); nothing funnels
+    """Neither the tokenize fold nor the n-gram position chain may re-run:
+    the token-hash checkpoint feeds the position build + the token stream,
+    the position checkpoint feeds its two consumers (1 + 2 ExistingRDD
+    reads), ZERO parquet scans remain downstream, and nothing funnels
     through a single partition."""
     from datafusion_distributed_experiment_spark.operators.dedup import span_scrub
 
@@ -572,8 +573,8 @@ def test_span_scrub_reuses_positions_and_never_funnels(spark):
     df = span_scrub(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     s = stage_summary(df)
-    assert plan.count("ExistingRDD") == 2, plan[:3000]
-    assert s["scans"] <= 4, (s, plan[:3000])
+    assert plan.count("ExistingRDD") == 3, plan[:3000]
+    assert s["scans"] == 0, (s, plan[:3000])
     assert "Exchange SinglePartition" not in plan, plan[:3000]
 
 
