@@ -53,13 +53,22 @@ SF01_RC=$?
 python scripts/verify_spill.py /root/testdata/sf0.01 >> "$ART" 2>&1
 SPILL_RC=$?
 
+# Staged operators (operators.staged_queries — no driver-window slot until
+# the next rotation) verified at the driver's sf0.01 scale.
 {
   echo
-  echo "== result: pytest rc=$PYTEST_RC oracle rc=$ORACLE_RC sf0.1-subset rc=$SF01_RC spill rc=$SPILL_RC =="
+  echo "-- staged-operator sweep sf0.01 (scripts/verify_staged.py) --"
+} >> "$ART"
+python scripts/verify_staged.py /root/testdata/sf0.01 >> "$ART" 2>&1
+STAGED_RC=$?
+
+{
+  echo
+  echo "== result: pytest rc=$PYTEST_RC oracle rc=$ORACLE_RC sf0.1-subset rc=$SF01_RC spill rc=$SPILL_RC staged rc=$STAGED_RC =="
 } >> "$ART"
 
 tail -n 5 "$ART"
-if [ "$PYTEST_RC" -ne 0 ] || [ "$ORACLE_RC" -ne 0 ] || [ "$SF01_RC" -ne 0 ] || [ "$SPILL_RC" -ne 0 ]; then
+if [ "$PYTEST_RC" -ne 0 ] || [ "$ORACLE_RC" -ne 0 ] || [ "$SF01_RC" -ne 0 ] || [ "$SPILL_RC" -ne 0 ] || [ "$STAGED_RC" -ne 0 ]; then
   echo "GATE RED — do not snapshot. Full output in $ART" >&2
   exit 1
 fi
