@@ -142,6 +142,32 @@ def pagerank_frame(
     return ranks.select("v", F.col("r").alias("rank_ppb"))
 
 
+def _kept_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (u, v) edges above :data:`TRIANGLE_W_PCT`% of the mean
+    weight — the collapsed, noise-pruned trade graph shared by the
+    triangle/traversal family. Checkpointed once (<= |V|^2 rows)."""
+    e = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = (
+        e.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            "w",
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()  # collapsed graph; reused by stats + threshold
+    )
+    stats = und.agg(F.count("*").alias("n_pairs"), F.sum("w").alias("total_w"))
+    return (
+        und.crossJoin(F.broadcast(stats))
+        .filter(
+            100 * F.col("n_pairs") * F.col("w")
+            > TRIANGLE_W_PCT * F.col("total_w")
+        )
+        .select("u", "v")
+    )
+
+
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle count over the undirected nation trade graph
     (edges above :data:`TRIANGLE_W_PCT`% of mean weight), output
@@ -160,26 +186,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle exactly once (its minimum-key vertex owns it). The collapsed
     graph is checkpointed once (<= |V|^2 rows, KB-scale here) so the fact
     joins never re-run for the three edge consumers."""
-    e = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    und = (
-        e.select(
-            F.least("src", "dst").alias("u"),
-            F.greatest("src", "dst").alias("v"),
-            "w",
-        )
-        .groupBy("u", "v")
-        .agg(F.sum("w").alias("w"))
-        .localCheckpoint()  # collapsed graph; reused by stats + threshold
-    )
-    stats = und.agg(F.count("*").alias("n_pairs"), F.sum("w").alias("total_w"))
-    kept = (
-        und.crossJoin(F.broadcast(stats))
-        .filter(
-            100 * F.col("n_pairs") * F.col("w")
-            > TRIANGLE_W_PCT * F.col("total_w")
-        )
-        .select("u", "v")
-    )
+    kept = _kept_undirected(spark, sf_dir)
     deg = (
         kept.select(F.col("u").alias("node"))
         .unionAll(kept.select(F.col("v").alias("node")))
@@ -329,10 +336,65 @@ def lpa_frame(nodes: DataFrame, und: DataFrame, iters: int = LPA_ITERS) -> DataF
     )
 
 
+BFS_ITERS = 3
+BFS_INF = 99  # unreached-within-BFS_ITERS sentinel (< int bounds, > any hop)
+BFS_SOURCE_REGION = 0
+
+
+def bfs_hops_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: hop distance from the region-:data:`BFS_SOURCE_REGION`
+    nations to every node of the pruned trade graph, :data:`BFS_ITERS`
+    synchronous min-plus rounds (nodes not reached within the round budget
+    report :data:`BFS_INF`). Output ``(v, hops)``.
+
+    The frontier-relaxation form every Pregel-style engine runs: per round
+    ``dist'(v) = min(dist(v), min over neighbors u of dist(u) + 1)`` — one
+    labels-edges join + one min-aggregate per round over the checkpointed
+    |E|-row bidirected edge list, round cost independent of fact volume
+    (the same shape as :func:`lpa_frame` with min-plus in place of
+    weighted-majority). Fixed rounds keep it bit-deterministic and make the
+    DuckDB oracle an unrolled-CTE replay."""
+    kept = _kept_undirected(spark, sf_dir)
+    bi = kept.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        kept.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint()  # reused every round
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nodes = nation.select(
+        F.col("n_nationkey").alias("v"),
+        F.when(F.col("n_regionkey") == BFS_SOURCE_REGION, F.lit(0))
+        .otherwise(F.lit(BFS_INF))
+        .cast("long")
+        .alias("d"),
+    )
+    dist = nodes
+    for _ in range(BFS_ITERS):
+        relaxed = (
+            bi.join(dist.select(F.col("v").alias("b"), "d"), "b")
+            .groupBy(F.col("a").alias("v"))
+            .agg(F.min(F.col("d") + 1).alias("nd"))
+        )
+        dist = (
+            dist.join(relaxed, "v", "left")
+            .select(
+                "v",
+                F.least(F.col("d"), F.coalesce("nd", F.lit(BFS_INF)))
+                .cast("long")
+                .alias("d"),
+            )
+        )
+    return dist.select(
+        F.col("v").cast("long").alias("v"), F.col("d").alias("hops")
+    ).orderBy("v")
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Built + oracle-verified this round; enter the 50-entry driver gate
     window at the round-7 rotation (see ``__spark_entry__.query_tiers``)."""
-    return {"triangle_count": triangle_count, "lpa_communities_t3": lpa_communities_t3}
+    return {
+        "triangle_count": triangle_count,
+        "lpa_communities_t3": lpa_communities_t3,
+        "bfs_hops_t3": bfs_hops_t3,
+    }
 
 
 def _lpa_round(prev: str, i: int) -> str:
@@ -355,7 +417,51 @@ def _lpa_round(prev: str, i: int) -> str:
             )"""
 
 
+_DUCK_KEPT = f"""pairs AS (
+                SELECT LEAST(c.c_nationkey, s.s_nationkey) AS u,
+                       GREATEST(c.c_nationkey, s.s_nationkey) AS v,
+                       CAST(COUNT(*) AS BIGINT) AS w
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                WHERE c.c_nationkey <> s.s_nationkey
+                GROUP BY 1, 2
+            ), stats AS (
+                SELECT COUNT(*) AS n_pairs, SUM(w) AS total_w FROM pairs
+            ), kept AS (
+                SELECT u, v FROM pairs, stats
+                WHERE 100 * n_pairs * w > {TRIANGLE_W_PCT} * total_w
+            )"""
+
+
+def _bfs_round(i: int) -> str:
+    return f"""
+            b{i} AS (
+                SELECT e.a AS v, MIN(p.d + 1) AS nd
+                FROM biedges e JOIN d{i} p ON p.v = e.b
+                GROUP BY e.a
+            ), d{i + 1} AS (
+                SELECT p.v, LEAST(p.d, COALESCE(b.nd, {BFS_INF})) AS d
+                FROM d{i} p LEFT JOIN b{i} b ON b.v = p.v
+            )"""
+
+
 def staged_oracles() -> dict[str, str]:
+    bfs_rounds = ",".join(_bfs_round(i) for i in range(BFS_ITERS))
+    bfs_sql = f"""
+            WITH {_DUCK_KEPT}, biedges AS (
+                SELECT u AS a, v AS b FROM kept
+                UNION ALL
+                SELECT v AS a, u AS b FROM kept
+            ), d0 AS (
+                SELECT n_nationkey AS v,
+                       CASE WHEN n_regionkey = {BFS_SOURCE_REGION}
+                            THEN 0 ELSE {BFS_INF} END AS d
+                FROM nation
+            ),{bfs_rounds}
+            SELECT CAST(v AS BIGINT) AS v, CAST(d AS BIGINT) AS hops
+            FROM d{BFS_ITERS} ORDER BY v"""
     lpa_rounds = ",".join(_lpa_round(f"l{i}", i) for i in range(LPA_ITERS))
     lpa_sql = f"""
             WITH pairs AS (
@@ -380,6 +486,7 @@ def staged_oracles() -> dict[str, str]:
             SELECT CAST(v AS BIGINT) AS v, CAST(lab AS BIGINT) AS community
             FROM l{LPA_ITERS} ORDER BY v"""
     return {
+        "bfs_hops_t3": bfs_sql,
         "lpa_communities_t3": lpa_sql,
         "triangle_count": f"""
             WITH pairs AS (

@@ -69,6 +69,7 @@ PROBE_OPS = [
     "cms_heavy_hitters",
     "span_scrub",
     "lpa_communities_t3",
+    "bfs_hops_t3",
 ]
 
 

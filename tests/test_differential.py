@@ -82,6 +82,8 @@ _SAMPLE = [
         "cms_heavy_hitters",
         "span_scrub",
         "lpa_communities_t3",
+        "bfs_hops_t3",
+        "stream_topk",
     ],
 )
 def test_staged_ops_are_partition_count_independent(name, spark):

@@ -120,3 +120,28 @@ def test_lpa_tie_breaks_to_min_label(spark):
     nodes = spark.createDataFrame([(0,), (1,), (2,)], "v LONG")
     got = {r["v"]: r["community"] for r in graph.lpa_frame(nodes, edges, iters=1).collect()}
     assert got[2] == 0
+
+
+def test_bfs_sources_are_zero_and_neighbors_one(spark):
+    """Region-0 nations report hop 0; every kept-graph neighbor of a source
+    reports 1; anything the 3-round frontier never reached reports the INF
+    sentinel."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    hops = {r["v"]: r["hops"] for r in graph.bfs_hops_t3(spark, sf).collect()}
+    sources = {
+        r["n_nationkey"]
+        for r in spark.read.parquet(f"{sf}/nation.parquet")
+        .filter(F.col("n_regionkey") == graph.BFS_SOURCE_REGION)
+        .collect()
+    }
+    kept = graph._kept_undirected(spark, sf).collect()
+    neighbors_of_sources = {
+        r["v"] for r in kept if r["u"] in sources
+    } | {r["u"] for r in kept if r["v"] in sources}
+    for s in sources:
+        assert hops[s] == 0
+    for n in neighbors_of_sources - sources:
+        assert hops[n] == 1, (n, hops[n])
+    assert all(h in (0, 1, 2, 3, graph.BFS_INF) for h in hops.values())
