@@ -63,7 +63,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, partitioned by query_id — bounded by that query's candidate
     postings, never the corpus. No term-at-a-time driver loop, no score
     matrix: at 1000 executors each scores its postings shard against all
-    (broadcast) queries in one pass."""
+    (broadcast) queries in one pass.
+
+    Precondition: a corpus with at least one token (``total_toks > 0``); on
+    an all-empty corpus the length-norm division yields NULL contributions
+    on BOTH engines (Spark ``DIV`` and DuckDB ``//`` agree on NULL for a
+    zero divisor), so the comparison stays exact but vacuous."""
     base = _docs(spark, sf_dir).select(
         "doc_id",
         tokens(F.col("text")).alias("toks"),
