@@ -43,6 +43,7 @@ def pipeline_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], 
     from ..streaming import stateful
     from . import (
         analytics,
+        bpe,
         cdc,
         curation,
         dedup,
@@ -51,8 +52,10 @@ def pipeline_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], 
         multimodal,
         pipeline,
         profile,
+        retrieval,
         selection,
         similarity,
+        sketches,
         temporal,
         text,
     )
@@ -68,6 +71,9 @@ def pipeline_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], 
         ("profile", profile.queries()),
         ("analytics", analytics.queries()),
         ("graph", graph.queries()),
+        ("retrieval", retrieval.queries()),
+        ("bpe", bpe.queries()),
+        ("sketches", sketches.queries()),
         ("custom", custom.queries()),
         ("stateful", stateful.queries()),
         ("pipeline", pipeline.queries()),
@@ -138,10 +144,13 @@ def pipeline_oracles() -> dict[str, str]:
     from . import curation, dedup, joins, multimodal, pipeline, similarity, temporal, text
 
     from ..sources import custom
-    from . import analytics, cdc, graph, profile, selection
+    from . import analytics, bpe, cdc, graph, profile, retrieval, selection, sketches
 
     out: dict[str, str] = {}
     out.update(selection.oracles())
+    out.update(retrieval.oracles())
+    out.update(bpe.oracles())
+    out.update(sketches.oracles())
     out.update(analytics.oracles())
     out.update(graph.oracles())
     out.update(profile.oracles())

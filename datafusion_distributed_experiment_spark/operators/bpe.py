@@ -180,12 +180,6 @@ def bpe_merges_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {}
-
-
-def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Built + oracle-verified this round; enter the 50-entry driver gate
-    window at the round-7 rotation (see ``__spark_entry__.query_tiers``)."""
     return {"bpe_merges_t2": bpe_merges_t2}
 
 
@@ -233,7 +227,7 @@ def _duck_round(prev: str, this: str) -> str:
     )"""
 
 
-def staged_oracles() -> dict[str, str]:
+def oracles() -> dict[str, str]:
     rounds = "".join(
         "," + _duck_round(f"chars{i}", f"chars{i + 1}") for i in range(MERGE_ITERS)
     )
@@ -268,3 +262,14 @@ def staged_oracles() -> dict[str, str]:
             GROUP BY d.doc_id ORDER BY d.doc_id
         """,
     }
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Empty since the round-7 promotion: bpe_merges_t2 moved into
+    :func:`queries` and the driver gate window."""
+    return {}
+
+
+def staged_oracles() -> dict[str, str]:
+    """Empty since the round-7 promotion (see :func:`staged_queries`)."""
+    return {}

@@ -1060,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "dedup_clusters": dedup_clusters,
         "dedup_clusters_star": dedup_clusters_star,
+        "winnow_fingerprints": winnow_fingerprints,
+        "span_scrub": span_scrub,
     }
 
 
@@ -1188,16 +1190,22 @@ def oracles() -> dict[str, str]:
     # Both CC algorithms must reproduce the identical clustering — the star
     # variant is graded against the very same recursive-CTE oracle.
     out["dedup_clusters_star"] = out["dedup_clusters"]
+    out.update(_winnow_span_oracles())
     return out
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Built + oracle-verified this round; enter the 50-entry driver gate
-    window at the round-7 rotation (see ``__spark_entry__.query_tiers``)."""
-    return {"winnow_fingerprints": winnow_fingerprints, "span_scrub": span_scrub}
+    """Empty since the round-7 promotion: winnow_fingerprints and span_scrub
+    moved into :func:`queries` and the driver gate window."""
+    return {}
 
 
 def staged_oracles() -> dict[str, str]:
+    """Empty since the round-7 promotion (see :func:`staged_queries`)."""
+    return {}
+
+
+def _winnow_span_oracles() -> dict[str, str]:
     w = WINNOW_W
     frames = ",\n                       ".join(
         f"MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos "

@@ -257,7 +257,12 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {"pagerank_nations": pagerank_nations}
+    return {
+        "pagerank_nations": pagerank_nations,
+        "triangle_count": triangle_count,
+        "lpa_communities_t3": lpa_communities_t3,
+        "bfs_hops_t3": bfs_hops_t3,
+    }
 
 
 LPA_ITERS = 3
@@ -388,13 +393,9 @@ def bfs_hops_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Built + oracle-verified this round; enter the 50-entry driver gate
-    window at the round-7 rotation (see ``__spark_entry__.query_tiers``)."""
-    return {
-        "triangle_count": triangle_count,
-        "lpa_communities_t3": lpa_communities_t3,
-        "bfs_hops_t3": bfs_hops_t3,
-    }
+    """Empty since the round-7 promotion: triangle_count / lpa_communities_t3
+    / bfs_hops_t3 moved into :func:`queries` and the driver gate window."""
+    return {}
 
 
 def _lpa_round(prev: str, i: int) -> str:
@@ -448,6 +449,11 @@ def _bfs_round(i: int) -> str:
 
 
 def staged_oracles() -> dict[str, str]:
+    """Empty since the round-7 promotion (see :func:`staged_queries`)."""
+    return {}
+
+
+def _t3_oracles() -> dict[str, str]:
     bfs_rounds = ",".join(_bfs_round(i) for i in range(BFS_ITERS))
     bfs_sql = f"""
             WITH {_DUCK_KEPT}, biedges AS (
@@ -571,4 +577,4 @@ def oracles() -> dict[str, str]:
             SELECT v, r AS rank_ppb FROM r{PAGERANK_ITERS} ORDER BY v"""
     # the per-iteration damping base needs N; spell it as a scalar subquery
     sql = sql.replace("{base}", "(150000000 // (SELECT n FROM nn))")
-    return {"pagerank_nations": sql}
+    return {"pagerank_nations": sql, **_t3_oracles()}

@@ -138,16 +138,17 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {}
-
-
-def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Built + oracle-verified this round; enter the 50-entry driver gate
-    window at the round-7 rotation (see ``__spark_entry__.query_tiers``)."""
     return {"bm25_topk": bm25_topk}
 
 
-def oracles() -> dict[str, str]:
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Empty since the round-7 promotion: bm25_topk moved into
+    :func:`queries` and the driver gate window."""
+    return {}
+
+
+def staged_oracles() -> dict[str, str]:
+    """Empty since the round-7 promotion (see :func:`staged_queries`)."""
     return {}
 
 
@@ -155,7 +156,7 @@ _TOKS = DUCK_TOKENS.format(x="text")
 _DOC_HASH = DUCK_POLY_HASH.format(x="CAST(doc_id AS VARCHAR)")
 
 
-def staged_oracles() -> dict[str, str]:
+def oracles() -> dict[str, str]:
     return {
         "bm25_topk": f"""
             WITH base AS (

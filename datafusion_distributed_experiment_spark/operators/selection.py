@@ -422,16 +422,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": kmeans_assign,
         "kmeans_lloyd_t3": kmeans_lloyd_t3,
         "token_budget_select": token_budget_select,
+        "dsir_weights": dsir_weights,
     }
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Built + oracle-verified this round; enter the 50-entry driver gate
-    window at the round-7 rotation (see ``__spark_entry__.query_tiers``)."""
-    return {"dsir_weights": dsir_weights}
+    """Empty since the round-7 promotion: dsir_weights moved into
+    :func:`queries` and the driver gate window."""
+    return {}
 
 
 def staged_oracles() -> dict[str, str]:
+    """Empty since the round-7 promotion (see :func:`staged_queries`)."""
+    return {}
+
+
+def _dsir_oracle() -> dict[str, str]:
     poly_t = DUCK_POLY_HASH.format(x="t")
     return {
         "dsir_weights": f"""
@@ -468,6 +474,7 @@ _TOKS = DUCK_TOKENS.format(x="text")
 
 def oracles() -> dict[str, str]:
     return {
+        **_dsir_oracle(),
         "kmeans_lloyd_t3": _lloyd_oracle(KMEANS_ITERS),
         "kmeans_assign": f"""
             WITH q AS (

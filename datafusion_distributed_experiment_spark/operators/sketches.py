@@ -120,20 +120,25 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {}
+    return {"cms_heavy_hitters": cms_heavy_hitters}
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Built + oracle-verified this round; enter the 50-entry driver gate
-    window at the round-7 rotation (see ``__spark_entry__.query_tiers``)."""
-    return {"cms_heavy_hitters": cms_heavy_hitters}
+    """Empty since the round-7 promotion: cms_heavy_hitters moved into
+    :func:`queries` and the driver gate window."""
+    return {}
+
+
+def staged_oracles() -> dict[str, str]:
+    """Empty since the round-7 promotion (see :func:`staged_queries`)."""
+    return {}
 
 
 def _duck_bucket(d: int) -> str:
     return f"(({CMS_A[d]} * user_id + {CMS_B[d]}) % {CMS_P}) % {CMS_W}"
 
 
-def staged_oracles() -> dict[str, str]:
+def oracles() -> dict[str, str]:
     cell_rows = " UNION ALL ".join(
         f"SELECT {d} AS d, {_duck_bucket(d)} AS bucket FROM events"
         for d in range(CMS_D)

@@ -295,12 +295,17 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def staged_queries():
-    """Built + oracle-verified this round; enter the 50-entry driver gate
-    window at the round-7 rotation (see ``__spark_entry__.query_tiers``)."""
-    return {"stream_topk": stream_topk}
+    """Empty since the round-7 promotion: stream_topk moved into
+    :func:`queries` and the driver gate window."""
+    return {}
 
 
 def staged_oracles() -> dict[str, str]:
+    """Empty since the round-7 promotion (see :func:`staged_queries`)."""
+    return {}
+
+
+def _topk_oracle() -> dict[str, str]:
     return {
         "stream_topk": f"""
             WITH agg AS (
@@ -327,11 +332,13 @@ def queries():
         "stream_dedup": stream_dedup,
         "stream_enrich": stream_enrich,
         "stream_sliding": stream_sliding,
+        "stream_topk": stream_topk,
     }
 
 
 def oracles() -> dict[str, str]:
     return {
+        **_topk_oracle(),
         "stream_dedup": """
             SELECT DISTINCT user_id % 100 AS user_bucket, event_type,
                    date_trunc('day', ts) AS day

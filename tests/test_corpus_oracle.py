@@ -65,21 +65,49 @@ def test_gate_window_rotation_leaves_no_query_unverified():
         f"in any committed CORRECTNESS artifact: {missing}"
     )
     # and the rotation is actually doing its job: the window prioritizes
-    # queries with the fewest prior green rows. Round 6: the two
-    # never-driver-checked queries lead, followed by the 48 queries whose
-    # last green row is CORRECTNESS_r04 (SQL/temporal/streaming/stateful/
-    # text/pipeline) — nothing in the window was verified as recently as r05
+    # queries with the fewest prior green rows. Round 7 (the promotion
+    # round): the 10 never-driver-checked promoted operators lead, then the
+    # 5 queries whose last green row is CORRECTNESS_r04 (two rounds stale,
+    # must not reach three), then 35 of the r05-verified half — nothing in
+    # the window was verified as recently as r06
     gated = set(names[:50])
-    for name in ("kmeans_lloyd_t3", "minhash_pairs_skew", "semantic_dedup",  # new in r6
-                 "q1", "q21", "events_asof", "stream_dedup", "sessionize",
-                 "text_stats"):                             # r04-stale
-        assert name in gated, f"{name} not in the round-6 window"
+    for name in (
+        # promoted round-6 staged operators (never driver-checked)
+        "triangle_count", "lpa_communities_t3", "bfs_hops_t3", "bm25_topk",
+        "dsir_weights", "bpe_merges_t2", "winnow_fingerprints", "span_scrub",
+        "cms_heavy_hitters", "stream_topk",
+        # last green r04 — already two rounds stale
+        "dedup_exact", "minhash_signatures", "token_count", "quality_score",
+        "corpus_pipeline",
+        # representative r05-verified rotation entries
+        "kmeans_assign", "pii_scrub", "funnel", "pagerank_nations",
+        "custom_source_scan",
+    ):
+        assert name in gated, f"{name} not in the round-7 window"
     import json as _json
     import os as _os
+    r06 = _json.load(
+        open(_os.path.join(_os.path.dirname(__file__), "..", "CORRECTNESS_r06.json"))
+    )
+    fresh_in_window = gated & set(r06)
+    assert not fresh_in_window, (
+        f"r06-verified queries occupying round-7 window slots: {fresh_in_window}"
+    )
+    # the documented round-7 stale budget: exactly these 15 r05-verified
+    # queries are skipped this cycle (deepest evidence first — see the
+    # query_tiers docstring) and MUST re-enter the round-8 window
+    sacrificed = {
+        "ann_ivf", "ann_lsh", "embedding_dedup", "embedding_topk",
+        "media_features", "minhash_dedup_pairs", "ngram_jaccard_pairs",
+        "simhash_dedup_pairs", "simhash_signatures", "dedup_clusters",
+        "dedup_incremental", "media_frames", "media_meta_stats",
+        "events_window_funcs", "split_assign",
+    }
     r05 = _json.load(
         open(_os.path.join(_os.path.dirname(__file__), "..", "CORRECTNESS_r05.json"))
     )
-    stale_in_window = gated & set(r05)
-    assert not stale_in_window, (
-        f"r05-verified queries occupying round-6 window slots: {stale_in_window}"
+    r05_skipped = {n for n in names[50:] if n in r05 and n not in r06}
+    assert r05_skipped == sacrificed, (
+        f"stale-budget drift: r05-verified queries outside the window "
+        f"unexpected={r05_skipped - sacrificed} missing={sacrificed - r05_skipped}"
     )

@@ -87,12 +87,12 @@ _SAMPLE = [
     ],
 )
 def test_staged_ops_are_partition_count_independent(name, spark):
-    """Same cross-topology claim for the staged tier (checkpointed oriented
-    edges, broadcast-restricted postings, feature-count shuffles, 1-row
-    argmax from shuffled pair counts)."""
-    from datafusion_distributed_experiment_spark.operators import staged_queries
+    """Same cross-topology claim for the operators promoted at round 7
+    (checkpointed oriented edges, broadcast-restricted postings,
+    feature-count shuffles, 1-row argmax from shuffled pair counts)."""
+    from datafusion_distributed_experiment_spark.operators import pipeline_queries
 
-    fn = staged_queries()[name]
+    fn = pipeline_queries()[name]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "1")
