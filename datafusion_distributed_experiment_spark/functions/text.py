@@ -24,10 +24,15 @@ def tokens(text: Column | str) -> Column:
 
 
 def poly_hash(text: Column | str) -> Column:
-    """Deterministic int64 polynomial rolling hash over characters."""
+    """Deterministic int64 polynomial rolling hash over characters.
+
+    Char split uses "(?!$)" (zero-width match before every char, never at
+    end-of-string): identical to split("") on the pinned Spark 4.1.2 but
+    immune to older Sparks' trailing-"" element, which would fold an extra
+    ``acc*31 + ascii('')=0`` step into every hash."""
     c = F.col(text) if isinstance(text, str) else text
     return F.aggregate(
-        F.split(c, ""),
+        F.split(c, "(?!$)"),
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * MULT + F.ascii(ch)) % F.lit(MOD).cast("long"),
     )

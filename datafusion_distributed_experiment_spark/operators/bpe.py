@@ -56,7 +56,12 @@ def _vocab_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.select(
         "word",
         "freq",
-        F.posexplode(F.split("word", "")).alias("pos", "tok"),
+        # "(?!$)" (split before every char, never at end-of-string) instead
+        # of "": identical on the pinned Spark 4.1.2 (unit-asserted in
+        # tests/test_bpe.py) but version-independent — Spark 3.x's
+        # default-limit split("", -1) emits a trailing "" element that
+        # would silently shift positions vs the DuckDB oracle
+        F.posexplode(F.split("word", "(?!$)")).alias("pos", "tok"),
     ).select("word", "freq", F.col("pos").cast("long").alias("pos"), "tok")
 
 

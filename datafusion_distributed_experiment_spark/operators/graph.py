@@ -101,7 +101,15 @@ def pagerank_frame(
     # "out_w", not "W": Spark resolves case-insensitively, so w/W would be
     # an ambiguous pair.
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    wedges = edges.join(outw, "src").select("src", "dst", "w", "out_w")
+    # Checkpointed BEFORE the guard below so the guard job and the rank
+    # iterations share one materialization — without this, callers passing
+    # an unpersisted edge chain (the property suite; any external user of
+    # the frame API) re-execute the full edge derivation once extra just to
+    # read the guard's one scalar. Also spares each iteration the
+    # edges->outw join re-run.
+    wedges = (
+        edges.join(outw, "src").select("src", "dst", "w", "out_w").localCheckpoint()
+    )
     # Guard the documented int64 headroom instead of trusting it: the
     # per-edge product ((r*85) DIV 100) * w is bounded by PPB * max(w)
     # (each rank <= the total 1e9 mass), so max(w) must stay under

@@ -41,6 +41,26 @@ B_X = 750
 TOPK = 10
 
 
+def check_score_headroom(n_docs: int, max_tf: int, max_dl: int) -> None:
+    """Raise PlanningError when the integer scoring expression could exceed
+    int64 (see the guard's call site in :func:`bm25_topk` for the bound
+    derivation). Pure so the trip condition is unit-testable without a
+    pathological multi-terabyte corpus."""
+    i64 = 2**63 - 1
+    if (
+        n_docs * max_tf > i64 // (667 * (K1_X + 1000))
+        or n_docs * max_dl > i64 // B_X
+    ):
+        from ..errors import PlanningError
+
+        raise PlanningError(
+            f"bm25 integer scoring would exceed int64 headroom at "
+            f"n_docs={n_docs}, max_tf={max_tf}, max_dl={max_dl}; "
+            "rescale (shard the corpus or clip tf/dl) or switch the "
+            "score arithmetic to decimal(38,0)"
+        )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import rebalance_narrow_scan
 
@@ -103,6 +123,24 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qpost = postings.join(
         F.broadcast(qterms.select("term").distinct()), "term"
     ).localCheckpoint()
+    # Guard the scoring expression's int64 headroom instead of trusting it
+    # (the pagerank_frame pattern). Worst-case bounds with df >= 1:
+    #   idf_x <= (1000*(2N-1)) DIV 3 < 667*N, so the numerator
+    #   idf_x * tf * (K1_X+1000) < 667*N * max_tf * 2200 ~ 1.5e6*N*max_tf
+    #   -> requires N * max_tf < int64_max / (667*(K1_X+1000));
+    #   the length-norm term B_X * dl * N -> requires N * max_dl <
+    #   int64_max / B_X. One KB-scale aggregate over the checkpointed
+    #   restricted slice + the 1-row stats — bounded by model state, not
+    #   data size. (At 1e9 docs these caps mean max_tf < ~6.3e3 and
+    #   max_dl < ~1.2e7 — real corpora pass; a pathological one fails
+    #   loudly here instead of wrapping silently.)
+    head = (
+        qpost.agg(F.max("tf").alias("max_tf"), F.max("dl").alias("max_dl"))
+        .crossJoin(F.broadcast(stats))
+        .collect()[0]
+    )
+    if head["max_tf"] is not None:
+        check_score_headroom(head["n_docs"], head["max_tf"], head["max_dl"])
     dfreq = qpost.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     scored = (
         qpost.join(F.broadcast(qterms), "term")

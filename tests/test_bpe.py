@@ -8,6 +8,7 @@ algorithm itself — in particular the overlapping-run rule ("aaaa" under
 from __future__ import annotations
 
 from hypothesis import HealthCheck, assume, given, settings
+from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
 from datafusion_distributed_experiment_spark.operators.bpe import (
@@ -108,3 +109,24 @@ def test_two_rounds_over_vocab_chars(spark):
     assert merged_words, "two merge rounds merged nothing"
     for w, ts in toks.items():
         assert "".join(ts) == w
+
+
+def test_char_split_is_version_independent(spark):
+    """Pin the "(?!$)" char-split (ADVICE r6): chars come out one per
+    position with NO trailing empty element — the behavior split("") only
+    guarantees on Spark 4.x, and positions feed the greedy-merge windows."""
+    chars = _vocab_chars(spark, "/root/testdata/sf0.001")
+    row = (
+        chars.filter(chars.word.isNotNull())
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.length("tok")).alias("maxlen"),
+            F.min(F.length("tok")).alias("minlen"),
+            F.max("pos").alias("maxpos"),
+            F.first(F.length("word")).alias("wordlen"),
+        )
+        .filter((F.col("n") != F.col("wordlen")) | (F.col("minlen") != 1)
+                | (F.col("maxlen") != 1) | (F.col("maxpos") != F.col("n") - 1))
+    )
+    assert row.count() == 0, "char split emitted empties or skewed positions"
