@@ -100,6 +100,29 @@ def main() -> int:
     tiers = entry_mod.query_tiers() + [
         (f"staged-{name}", qs) for name, qs in staged_tiers()
     ]
+    # Reference --query N analog (benchmarks/src/tpch/run.rs:140-143,
+    # benchmarks/src/util/options.rs): SPARK_GRAFT_BENCH_ONLY=q9,bm25_topk
+    # restricts the run to the named queries. Tier membership is preserved,
+    # so run_benchmark's measure-last rule still pushes streaming-named
+    # tiers to the end. The run is marked PARTIAL in results.json:
+    # compare_runs refuses to use a partial file as a regression baseline
+    # (its warm-epoch composition differs, so its timings are not
+    # comparable run-over-run).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = wanted - {n for _, qs in tiers for n in qs}
+        if unknown:
+            print(
+                f"SPARK_GRAFT_BENCH_ONLY names not in the query surface: "
+                f"{sorted(unknown)}",
+                file=sys.stderr,
+            )
+            return 2
+        tiers = [
+            (t, {n: fn for n, fn in qs.items() if n in wanted}) for t, qs in tiers
+        ]
+        tiers = [t for t in tiers if t[1]]
     results = run_benchmark(
         spark,
         None,
@@ -109,6 +132,8 @@ def main() -> int:
         clear_cache=not mem_mode,
         warm_epoch=os.environ.get("SPARK_GRAFT_BENCH_WARM_EPOCH", "1") != "0",
     )
+    if only:
+        results["context"]["partial"] = sorted(wanted)
     write_results(results, os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json"))
 
     per_query = {}

@@ -364,7 +364,21 @@ def compare_runs(current: dict, previous: dict) -> list[str]:
     larger footprint — the additive-contamination class), so a query whose
     mean regresses past the 1.2x reference threshold while its min doesn't
     is flagged ``MEAN-REGRESSED`` explicitly instead of reading as silently
-    green."""
+    green.
+
+    A PARTIAL previous run (produced under ``SPARK_GRAFT_BENCH_ONLY``) is
+    REFUSED as a baseline: its warm-epoch ran only the filtered queries, so
+    machine warmth — the dominant timing factor this harness spends a full
+    unmeasured epoch controlling — differed, and ratios against it would
+    read as phantom regressions/improvements."""
+    partial = previous.get("context", {}).get("partial")
+    if partial:
+        return [
+            "previous results.json is a PARTIAL run "
+            f"(SPARK_GRAFT_BENCH_ONLY={','.join(partial)}); regression "
+            "comparison refused — rerun the full bench to re-establish a "
+            "baseline"
+        ]
     prev = {q["query"]: q for q in previous.get("queries", [])}
     lines = []
     for q in current["queries"]:

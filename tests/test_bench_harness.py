@@ -206,3 +206,24 @@ def test_prepare_sorted_dir_preserves_results(spark, tmp_path):
     assert len(spans) > 1
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, (hi1, lo2)
+
+
+def test_compare_runs_refuses_partial_baseline():
+    from datafusion_distributed_experiment_spark.bench import compare_runs
+
+    prev = {
+        "context": {"partial": ["q9", "bm25_topk"]},
+        "queries": [
+            {"query": "q9", "iterations": [{"elapsed_ms": 100.0, "row_count": 1}]}
+        ],
+    }
+    cur = {
+        "queries": [
+            {"query": "q9", "iterations": [{"elapsed_ms": 500.0, "row_count": 1}]}
+        ]
+    }
+    lines = compare_runs(cur, prev)
+    assert len(lines) == 1 and "PARTIAL" in lines[0] and "refused" in lines[0]
+    # a full previous run still compares normally
+    del prev["context"]["partial"]
+    assert any("q9" in l for l in compare_runs(cur, prev))
