@@ -92,16 +92,16 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def staged_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], DataFrame]]]]:
     """Operators built and oracle-verified this round but NOT yet in the
-    50-entry driver gate window (every window slot round 6 can spend is
-    taken by the rotation refreshing the r04-verified half — see
+    50-entry driver gate window (round 7's window is fully spent on the 10
+    promoted round-6 operators plus the rotation — see
     ``__spark_entry__.query_tiers``). Each staged operator carries the same
     contract as a declared query — (spark, sf_dir) callable + DuckDB oracle
     twin — and ``tests/test_staged_oracle.py`` runs the full cross-engine
-    hash comparison over them in every pytest run. At the round-7 rotation
+    hash comparison over them in every pytest run. At the round-8 rotation
     they move into ``pipeline_tiers()``/the window's fresh tier and earn
     driver-verified CORRECTNESS rows."""
     from ..streaming import events as streaming_events
-    from . import bpe, dedup, graph, retrieval, selection, sketches
+    from . import bpe, curation, dedup, graph, retrieval, selection, sketches
 
     return [
         ("graph", graph.staged_queries()),
@@ -110,6 +110,7 @@ def staged_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Da
         ("bpe", bpe.staged_queries()),
         ("dedup", dedup.staged_queries()),
         ("sketches", sketches.staged_queries()),
+        ("curation", curation.staged_queries()),
         # named so the bench's measure-last rule matches it (RocksDB
         # maintenance threads must not contaminate batch timings)
         ("streaming-staged", streaming_events.staged_queries()),
@@ -125,7 +126,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def staged_oracles() -> dict[str, str]:
     from ..streaming import events as streaming_events
-    from . import bpe, dedup, graph, retrieval, selection, sketches
+    from . import bpe, curation, dedup, graph, retrieval, selection, sketches
 
     out: dict[str, str] = {}
     out.update(graph.staged_oracles())
@@ -134,6 +135,7 @@ def staged_oracles() -> dict[str, str]:
     out.update(bpe.staged_oracles())
     out.update(dedup.staged_oracles())
     out.update(sketches.staged_oracles())
+    out.update(curation.staged_oracles())
     out.update(streaming_events.staged_oracles())
     return out
 

@@ -133,6 +133,18 @@ def _merge_round(chars: DataFrame) -> DataFrame:
     )
 
 
+def _trained_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, tpos, tok) after :data:`MERGE_ITERS` trained merge
+    rounds — the tokenizer model, shared by training-statistics
+    (:func:`bpe_merges_t2`) and corpus encoding (:func:`bpe_apply`)."""
+    chars = _vocab_chars(spark, sf_dir).localCheckpoint()
+    for _ in range(MERGE_ITERS):
+        # each round reads its predecessor twice (pair count + merge):
+        # checkpoint keeps the window/join chains from re-running
+        chars = _merge_round(chars).localCheckpoint()
+    return chars
+
+
 def bpe_merges_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenization statistics after :data:`MERGE_ITERS` learned BPE merges:
     ``(doc_id, n_words, n_bpe_tokens, tok_fp)`` per document, where
@@ -148,11 +160,7 @@ def bpe_merges_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     a vocabulary-table broadcast join onto per-doc word counts — the corpus
     is scanned exactly twice (dictionary build + application) and never
     shuffles except on (doc_id, word)."""
-    chars = _vocab_chars(spark, sf_dir).localCheckpoint()
-    for _ in range(MERGE_ITERS):
-        # each round reads its predecessor twice (pair count + merge):
-        # checkpoint keeps the window/join chains from re-running
-        chars = _merge_round(chars).localCheckpoint()
+    chars = _trained_chars(spark, sf_dir)
     per_word = chars.groupBy("word", "freq").agg(
         F.count("*").cast("long").alias("n_toks"),
         F.aggregate(
@@ -182,6 +190,55 @@ def bpe_merges_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the trained tokenizer — the step
+    :func:`bpe_merges_t2` trains for: every document becomes its id
+    sequence ``(doc_id, pos, token_id, token)``, with ``token_id`` assigned
+    by corpus frequency (ties by token string) exactly as a production
+    tokenizer's vocab file orders ids.
+
+    Scale shape: training is the shared vocabulary-sized dataflow
+    (:func:`_trained_chars`). Encoding is one corpus scan: per-doc word
+    positions explode map-side, then TWO BROADCAST joins against the
+    model — word -> its trained token rows, token -> id (both
+    vocabulary-sized, i.e. model state). The only corpus-wide exchange is
+    the per-doc position window, partitioned by doc_id with per-task state
+    bounded by one document's tokens. The id-assignment window is global
+    but runs over the VOCABULARY (model-sized, like the kmeans centroid
+    collect) — never the corpus."""
+    chars = _trained_chars(spark, sf_dir)
+    ids = (
+        chars.groupBy("tok")
+        .agg(F.sum("freq").cast("long").alias("tot"))
+        .withColumn(
+            "token_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("tot").desc(), "tok"))
+            .cast("long"),
+        )
+        .select("tok", "token_id")
+    )
+    from ..sources.tables import rebalance_narrow_scan
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = rebalance_narrow_scan(
+        spark.read.parquet(path).select("doc_id", "text"), path
+    )
+    dw = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("widx", "word")
+    )
+    flat = dw.join(
+        F.broadcast(chars.select("word", F.col("pos").alias("tpos"), "tok")), "word"
+    ).join(F.broadcast(ids), "tok")
+    wdoc = Window.partitionBy("doc_id").orderBy("widx", "tpos")
+    return flat.select(
+        "doc_id",
+        (F.row_number().over(wdoc) - 1).cast("long").alias("pos"),
+        "token_id",
+        F.col("tok").alias("token"),
+    ).orderBy("doc_id", "pos")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -232,13 +289,14 @@ def _duck_round(prev: str, this: str) -> str:
     )"""
 
 
-def oracles() -> dict[str, str]:
+def _duck_chain() -> str:
+    """The trained-model CTE chain (vocab -> chars0 -> chars{MERGE_ITERS}),
+    shared by the bpe_merges_t2 and bpe_apply oracles so the two replays of
+    the tokenizer cannot drift."""
     rounds = "".join(
         "," + _duck_round(f"chars{i}", f"chars{i + 1}") for i in range(MERGE_ITERS)
     )
-    return {
-        "bpe_merges_t2": f"""
-            WITH vocab AS (
+    return f"""vocab AS (
                 SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
                 FROM (SELECT UNNEST({DUCK_TOKENS.format(x="text")}) AS word FROM documents)
                 GROUP BY word
@@ -246,7 +304,13 @@ def oracles() -> dict[str, str]:
                 SELECT word, freq, CAST(i - 1 AS BIGINT) AS pos,
                        string_split(word, '')[i] AS tok
                 FROM vocab, UNNEST(range(1, len(string_split(word, '')) + 1)) AS g(i)
-            ){rounds}, per_word AS (
+            ){rounds}"""
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "bpe_merges_t2": f"""
+            WITH {_duck_chain()}, per_word AS (
                 SELECT word, freq, CAST(COUNT(*) AS BIGINT) AS n_toks,
                        list_reduce(
                            list_prepend(CAST(0 AS BIGINT),
@@ -270,11 +334,35 @@ def oracles() -> dict[str, str]:
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Empty since the round-7 promotion: bpe_merges_t2 moved into
-    :func:`queries` and the driver gate window."""
-    return {}
+    """Round-7 staged tier (bpe_merges_t2 was promoted into the window at
+    the round-7 rotation; bpe_apply is new this round and enters the window
+    at round 8)."""
+    return {"bpe_apply": bpe_apply}
 
 
 def staged_oracles() -> dict[str, str]:
-    """Empty since the round-7 promotion (see :func:`staged_queries`)."""
-    return {}
+    toks = DUCK_TOKENS.format(x="text")
+    return {
+        "bpe_apply": f"""
+            WITH {_duck_chain()}, ids AS (
+                SELECT tok,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY SUM(freq) DESC, tok) AS BIGINT) AS token_id
+                FROM chars{MERGE_ITERS} GROUP BY tok
+            ), dw AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS widx, toks[i] AS word
+                FROM (SELECT doc_id, {toks} AS toks FROM documents),
+                     UNNEST(range(1, len(toks) + 1)) AS g(i)
+            ), flat AS (
+                SELECT d.doc_id, d.widx, c.pos AS tpos, c.tok
+                FROM dw d JOIN chars{MERGE_ITERS} c ON c.word = d.word
+            )
+            SELECT f.doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY f.doc_id
+                       ORDER BY f.widx, f.tpos) - 1 AS BIGINT) AS pos,
+                   i.token_id, f.tok AS token
+            FROM flat f JOIN ids i ON i.tok = f.tok
+            ORDER BY f.doc_id, pos
+        """,
+    }

@@ -429,6 +429,65 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- #
+# weighted sampling (priority sampling)
+# --------------------------------------------------------------------- #
+
+# Priority sampling (Duffield, Lund & Thorup, "Priority sampling for
+# estimation of arbitrary subset sums", JACM 2007 — public paper): item i
+# with weight w_i draws u_i ~ U(0,1] and gets priority q_i = w_i / u_i; the
+# k highest-priority items form the sample, and the (k+1)-th priority is
+# the estimation threshold. Chosen over Efraimidis-Spirakis A-ES
+# (u^(1/w) keys) because its priority is a RATIO — exactly expressible in
+# the engine's integer doctrine with no logarithm: u_i's surrogate is the
+# per-doc polynomial hash mapped to (0, 1] as (h+1)/HASH_MOD, so
+# q_i = w_i * HASH_MOD DIV (h+1), bit-identical on both engines.
+WSAMPLE_K = 100
+_WSAMPLE_HASH_MOD = 1_000_000_007  # poly_hash modulus: h in [0, MOD)
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample of :data:`WSAMPLE_K` documents by
+    priority sampling, weight = ``n_chars``: ``(rank, doc_id, weight,
+    priority_x)`` — heavier documents are proportionally likelier to rank,
+    and the whole draw is a pure function of doc_id (re-runs, backfills and
+    speculative retries sample identically; the module's determinism
+    doctrine).
+
+    Scale shape: priority is MAP-ONLY; the top-k is Spark's
+    ``TakeOrderedAndProject`` (per-partition heaps of k, merged at one
+    collector — never a global sort, never a single-partition window over
+    the corpus). The rank window runs on the ALREADY-SELECTED k rows, so
+    its single-partition state is bounded by k. Overflow: w * MOD stays in
+    int64 up to w ~ 9.2e9 chars per document (a 9 GB single doc) —
+    documents beyond that should be chunked regardless."""
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars").isNotNull())
+    pri = docs.select(
+        "doc_id",
+        F.greatest(F.col("n_chars").cast("long"), F.lit(1).cast("long")).alias(
+            "weight"
+        ),
+        (_doc_hash() + 1).alias("__h1"),
+    ).select(
+        "doc_id",
+        "weight",
+        F.expr(f"CAST((weight * {_WSAMPLE_HASH_MOD}) DIV __h1 AS BIGINT)").alias(
+            "priority_x"
+        ),
+    )
+    top = pri.orderBy(F.col("priority_x").desc(), "doc_id").limit(WSAMPLE_K)
+    return (
+        top.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("priority_x").desc(), "doc_id"))
+            .cast("long"),
+        )
+        .select("rank", "doc_id", "weight", "priority_x")
+        .orderBy("rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "split_assign": split_assign,
@@ -618,5 +677,35 @@ def oracles() -> dict[str, str]:
                    CAST(MAX(c) AS BIGINT) AS top_2gram_count
             FROM per_gram GROUP BY doc_id, n_tokens, n_uniq_tokens
             ORDER BY doc_id
+        """,
+    }
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Round-7 staged tier: weighted_sample is new this round and enters
+    the driver gate window at round 8 (no round-7 slot exists — the window
+    is fully spent on the 10 promoted operators plus the rotation)."""
+    return {"weighted_sample": weighted_sample}
+
+
+def staged_oracles() -> dict[str, str]:
+    return {
+        "weighted_sample": f"""
+            WITH pri AS (
+                SELECT doc_id,
+                       CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
+                       CAST((CAST(GREATEST(n_chars, 1) AS BIGINT)
+                             * {_WSAMPLE_HASH_MOD})
+                            // (({_DUCK_DOC_HASH}) + 1) AS BIGINT) AS priority_x
+                FROM documents WHERE n_chars IS NOT NULL
+            ), r AS (
+                SELECT doc_id, weight, priority_x,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY priority_x DESC, doc_id) AS BIGINT) AS rank
+                FROM pri
+            )
+            SELECT rank, doc_id, weight, priority_x
+            FROM r WHERE rank <= {WSAMPLE_K}
+            ORDER BY rank
         """,
     }

@@ -119,19 +119,175 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- #
+# HyperLogLog distinct sketch (integer-surrogate registers)
+# --------------------------------------------------------------------- #
+#
+# Flajolet et al. 2007 ("HyperLogLog: the analysis of a near-optimal
+# cardinality estimation algorithm", public paper): m registers, register j
+# = max over elements hashing to bucket j of rho(w) (1 + leading-zero count
+# of the remaining hash bits); estimate = alpha_m * m^2 / sum_j 2^-M_j.
+# The fourth engine sketch (KMV distinct in operators/temporal.py, histogram
+# percentiles in operators/analytics.py, count-min above), and the one whose
+# per-key state is FIXED (m bytes-ish) rather than k values — the standard
+# choice when billions of group keys each need a cardinality.
+#
+# Exactness doctrine: the float harmonic mean is replaced by integer
+# arithmetic shared bit-for-bit with DuckDB — 2^-M_j is scaled to the
+# integer 2^(RHO_CAP - M_j), the leading-zero count is a generated
+# comparison ladder (identical SQL text on both engines), and alpha_64 =
+# 0.709 becomes the per-mille ALPHA_X = 709 with one final DIV 1000.
+# Headroom: m^2 * 2^RHO_CAP = 2^52; DIV by sum >= m = 2^6 leaves <= 2^46,
+# * 709 < 2^56 — never near int64.
+
+HLL_M = 64  # 2^6 buckets
+HLL_ALPHA_X = 709  # alpha_64 in per-mille
+HLL_RHO_CAP = 40  # register ceiling (w has 42 usable bits; cap bounds 2^x)
+_HLL_W_BITS = 42  # 48-bit hash48 minus 6 bucket bits
+# Small-range (linear counting) correction, applied below 2.5*m as in the
+# paper: est = m * ln(m / V) with V = zero registers. ln never executes in
+# either engine — V has only m possible values, so the correction is a
+# generated integer lookup table embedded literally in BOTH SQL texts.
+_HLL_LC_THRESHOLD = (5 * HLL_M) // 2
+
+
+def _lc_table() -> dict[int, int]:
+    import math
+
+    return {v: round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M + 1)}
+
+
+def _hll_est_sql(div: str) -> str:
+    """The full estimator over columns ``sum_nz``/``n_buckets`` as one SQL
+    expression, shared by both engines modulo the integer-division token
+    (Spark ``DIV``, DuckDB ``//``)."""
+    pow_cap = f"CAST({1 << HLL_RHO_CAP} AS BIGINT)"
+    raw = (
+        f"({HLL_ALPHA_X} * (({HLL_M * HLL_M} * {pow_cap})"
+        f" {div} (sum_nz + ({HLL_M} - n_buckets) * {pow_cap})) {div} 1000)"
+    )
+    lc = " ".join(
+        f"WHEN {v} THEN {est}" for v, est in _lc_table().items()
+    )
+    return (
+        f"CASE WHEN {raw} <= {_HLL_LC_THRESHOLD} AND n_buckets < {HLL_M} "
+        f"THEN (CASE ({HLL_M} - n_buckets) {lc} END) ELSE {raw} END"
+    )
+
+
+def _bitlen_ladder(expr: str) -> str:
+    """Integer bit-length of ``expr`` (0 for 0) as a comparison CASE ladder —
+    the same generated SQL text runs on Spark and DuckDB, so no engine's
+    log2/bit_length spelling (or float rounding) can diverge."""
+    branches = " ".join(
+        f"WHEN {expr} >= {1 << (b - 1)} THEN {b}"
+        for b in range(_HLL_W_BITS, 0, -1)
+    )
+    return f"CASE {branches} ELSE 0 END"
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate from a HyperLogLog sketch,
+    next to the exact count: ``(event_type, n_zero_registers, est_distinct,
+    exact_distinct)`` — the cms_heavy_hitters exact-twin pattern, so the
+    estimator is verifiable row by row (and comparable side by side with
+    the KMV estimate in events_kmv_distinct over the same keys).
+
+    Scale shape: the sketch build is ONE aggregation with at most
+    ``m * |keys|`` groups — register updates (max) combine map-side, and
+    per-key state is fixed at m registers no matter the stream size, which
+    is the whole point: at billions of keys the KMV's k-values-per-key
+    state multiplies, HLL's does not. The exact twin rides a second
+    aggregate over the same exchange and exists for verification; at a
+    scale where it is unaffordable the sketch alone answers."""
+    from ..sources.events import read_events
+    from .temporal import hash48
+
+    ev = read_events(spark, sf_dir).select("event_type", "user_id")
+    h = ev.select(
+        "event_type",
+        hash48(F.col("user_id")).alias("h"),
+    ).select(
+        "event_type",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.col("h").cast("long").alias("h"),
+    )
+    # rho = 1 + leading zeros of the 42-bit w = 43 - bitlen(w), capped
+    regs = (
+        h.select(
+            "event_type",
+            "bucket",
+            F.expr(
+                f"LEAST(43 - ({_bitlen_ladder('(h DIV 64)')}), {HLL_RHO_CAP})"
+            ).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    sketch = regs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_CAP} - m_j)"))
+        .cast("long")
+        .alias("sum_nz"),
+    )
+    est = sketch.select(
+        "event_type",
+        (F.lit(HLL_M) - F.col("n_buckets")).cast("long").alias("n_zero_registers"),
+        F.expr(f"CAST({_hll_est_sql('DIV')} AS BIGINT)").alias("est_distinct"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {"cms_heavy_hitters": cms_heavy_hitters}
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Empty since the round-7 promotion: cms_heavy_hitters moved into
-    :func:`queries` and the driver gate window."""
-    return {}
+    """Round-7 staged tier (cms_heavy_hitters was promoted into the window
+    at the round-7 rotation; hll_distinct is new this round and enters the
+    window at round 8)."""
+    return {"hll_distinct": hll_distinct}
 
 
 def staged_oracles() -> dict[str, str]:
-    """Empty since the round-7 promotion (see :func:`staged_queries`)."""
-    return {}
+    from .temporal import HASH_HEX_DIGITS
+
+    h48 = (
+        f"CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, "
+        f"{HASH_HEX_DIGITS})) AS BIGINT)"
+    )
+    return {
+        "hll_distinct": f"""
+            WITH h AS (
+                SELECT event_type, {h48} AS h FROM events
+            ), rho AS (
+                SELECT event_type, h % {HLL_M} AS bucket,
+                       LEAST(43 - ({_bitlen_ladder('(h // 64)')}), {HLL_RHO_CAP}) AS rho
+                FROM h
+            ), regs AS (
+                SELECT event_type, bucket, MAX(rho) AS m_j
+                FROM rho GROUP BY event_type, bucket
+            ), sk AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                       CAST(SUM((CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - m_j))) AS BIGINT) AS sum_nz
+                FROM regs GROUP BY event_type
+            ), exact AS (
+                SELECT event_type,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+                FROM events GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST({HLL_M} - n_buckets AS BIGINT) AS n_zero_registers,
+                   CAST({_hll_est_sql('//')} AS BIGINT) AS est_distinct,
+                   exact_distinct
+            FROM sk JOIN exact USING (event_type)
+            ORDER BY event_type
+        """,
+    }
 
 
 def _duck_bucket(d: int) -> str:

@@ -70,6 +70,11 @@ PROBE_OPS = [
     "span_scrub",
     "lpa_communities_t3",
     "bfs_hops_t3",
+    # round-7 staged additions: corpus encode under a broadcast model,
+    # fixed-register sketch build, map-only weighted top-k
+    "bpe_apply",
+    "hll_distinct",
+    "weighted_sample",
 ]
 
 

@@ -130,3 +130,41 @@ def test_char_split_is_version_independent(spark):
                 | (F.col("maxlen") != 1) | (F.col("maxpos") != F.col("n") - 1))
     )
     assert row.count() == 0, "char split emitted empties or skewed positions"
+
+
+def test_bpe_apply_reconstructs_and_agrees_with_merge_stats(spark):
+    """Encoding invariants: (a) concatenating a document's tokens in pos
+    order reproduces the concatenation of its whitespace words (the merge
+    never loses or duplicates a character); (b) per-doc token counts agree
+    with bpe_merges_t2's n_bpe_tokens (the two views of one trained model);
+    (c) token ids are a dense 1..V bijection."""
+    from datafusion_distributed_experiment_spark.operators.bpe import (
+        bpe_apply,
+        bpe_merges_t2,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    enc = bpe_apply(spark, sf)
+    enc_pd = enc.toPandas()
+    # (a) reconstruction
+    joined = (
+        enc_pd.sort_values(["doc_id", "pos"])
+        .groupby("doc_id")["token"]
+        .apply("".join)
+    )
+    docs = {
+        r["doc_id"]: "".join(r["text"].split())
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for doc_id, s in joined.items():
+        assert s == docs[doc_id], doc_id
+    # (b) agreement with the training-statistics view
+    counts = enc_pd.groupby("doc_id").size()
+    stats = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_merges_t2(spark, sf).collect()}
+    for doc_id, n in counts.items():
+        assert stats[doc_id] == n, doc_id
+    # (c) dense id space
+    ids = enc_pd[["token_id", "token"]].drop_duplicates()
+    assert ids["token_id"].nunique() == ids["token"].nunique()

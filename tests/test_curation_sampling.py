@@ -1,0 +1,58 @@
+"""weighted_sample (priority sampling) semantics beyond the oracle check:
+sample-size/rank contract, the integer priority surrogate replayed in pure
+Python, weight monotonicity at fixed hash, and partition-count determinism."""
+
+from __future__ import annotations
+
+from datafusion_distributed_experiment_spark.functions.text import MOD, MULT
+from datafusion_distributed_experiment_spark.operators.curation import (
+    WSAMPLE_K,
+    _WSAMPLE_HASH_MOD,
+    weighted_sample,
+)
+
+from .conftest import SF_DIR
+
+
+def _py_poly_hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * MULT + ord(ch)) % MOD
+    return h
+
+
+def test_sample_contract_and_priority_replay(spark, duck):
+    rows = weighted_sample(spark, SF_DIR).collect()
+    assert [r["rank"] for r in rows] == list(range(1, WSAMPLE_K + 1))
+    # priorities non-increasing with rank, ties broken by doc_id
+    for a, b in zip(rows, rows[1:]):
+        assert (a["priority_x"], -a["doc_id"]) >= (b["priority_x"], -b["doc_id"])
+    # the integer surrogate is a pure function of (weight, doc_id)
+    true_chars = dict(
+        duck.execute("SELECT doc_id, n_chars FROM documents").fetchall()
+    )
+    for r in rows:
+        w = max(true_chars[r["doc_id"]], 1)
+        assert r["weight"] == w
+        h1 = _py_poly_hash(str(r["doc_id"])) + 1
+        assert r["priority_x"] == (w * _WSAMPLE_HASH_MOD) // h1, r
+
+
+def test_heavier_weight_can_only_raise_priority():
+    """Priority q = w * MOD // (h+1) is monotone in w at fixed hash — the
+    property that makes the draw weight-proportional."""
+    for h1 in (1, 17, MOD):
+        qs = [(w * _WSAMPLE_HASH_MOD) // h1 for w in (1, 10, 1000, 10**6)]
+        assert qs == sorted(qs)
+
+
+def test_sample_is_partition_count_independent(spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        single = [tuple(r) for r in weighted_sample(spark, SF_DIR).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        distributed = [tuple(r) for r in weighted_sample(spark, SF_DIR).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert single == distributed

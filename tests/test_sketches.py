@@ -9,6 +9,7 @@ from datafusion_distributed_experiment_spark.operators.sketches import (
     CMS_D,
     CMS_W,
     cms_heavy_hitters,
+    hll_distinct,
 )
 
 from .conftest import SF_DIR
@@ -66,3 +67,77 @@ def test_sketch_state_is_bounded(spark):
     assert cells.count() == CMS_D
     # and the full (d, bucket) key space is the documented bound
     assert CMS_D * CMS_W == 2048
+
+
+# ------------------------------------------------------------------ #
+# HyperLogLog
+# ------------------------------------------------------------------ #
+
+
+def test_hll_bitlen_ladder_matches_python():
+    """The generated comparison ladder IS the cross-engine contract: check
+    it against int.bit_length over the edge values (0, powers of two, their
+    neighbors, the 42-bit max) on DuckDB — no JVM needed."""
+    import duckdb
+
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        _HLL_W_BITS,
+        _bitlen_ladder,
+    )
+
+    vals = sorted(
+        {0, 1, 2, 3, (1 << 42) - 1}
+        | {1 << b for b in range(1, 42)}
+        | {(1 << b) - 1 for b in range(2, 43)}
+        | {(1 << b) + 1 for b in range(1, 41)}
+    )
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT v, " + _bitlen_ladder("v") + " AS bl FROM (SELECT UNNEST(?) AS v)",
+        [vals],
+    ).fetchall()
+    for v, bl in got:
+        assert bl == int(v).bit_length(), (v, bl)
+    assert _HLL_W_BITS == 42
+
+
+def test_hll_linear_counting_kicks_in_below_threshold(spark):
+    """At sf0.001 the per-type distinct-user count is tiny, so the raw HLL
+    estimate sits below 2.5*m and the linear-counting branch must produce
+    an estimate close to exact (within the classic LC error band), never
+    the raw estimator's small-range bias."""
+    rows = hll_distinct(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_zero_registers"] > 0
+        # exact is tiny -> LC estimate within 35% (64-register LC at n~15)
+        assert abs(r["est_distinct"] - r["exact_distinct"]) <= max(
+            5, r["exact_distinct"] // 3
+        ), r
+
+
+def test_hll_registers_merge_to_global(spark):
+    """Mergeability: register MAX is associative/commutative, so 1 vs 8
+    shuffle partitions must produce the identical sketch — the property
+    that lets partial sketches combine map-side at 1000 executors."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        single = sorted(map(tuple, hll_distinct(spark, SF_DIR).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        merged = sorted(map(tuple, hll_distinct(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert single == merged
+
+
+def test_hll_state_is_bounded(spark):
+    """Per-key register table never exceeds HLL_M rows per key."""
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.operators.sketches import HLL_M
+
+    regs = hll_distinct(spark, SF_DIR)
+    # n_zero_registers in [0, m]; nonzero registers = m - zeros
+    for r in regs.collect():
+        assert 0 <= r["n_zero_registers"] <= HLL_M
