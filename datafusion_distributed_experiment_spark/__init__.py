@@ -25,9 +25,13 @@ are reproducible across engines.
 
 from .engine import Engine
 from .errors import (
+    DataFormatError,
     EngineError,
-    PlanningError,
     ExecutionError,
+    PlanningError,
+    ResourceError,
+    SchemaMismatchError,
+    StorageError,
     map_exception,
 )
 from .session import build_session, default_spark_conf
@@ -39,6 +43,10 @@ __all__ = [
     "EngineError",
     "PlanningError",
     "ExecutionError",
+    "StorageError",
+    "SchemaMismatchError",
+    "DataFormatError",
+    "ResourceError",
     "map_exception",
     "build_session",
     "default_spark_conf",

@@ -32,6 +32,92 @@ class ExecutionError(EngineError):
     transport, ``src/errors/mod.rs:17-45``)."""
 
 
+class StorageError(ExecutionError):
+    """Missing/unreadable files and paths — the reference's
+    ``DataFusionError::ObjectStore`` / ``IoError`` variants
+    (``src/errors/datafusion_error.rs:98-105``)."""
+
+
+class SchemaMismatchError(ExecutionError):
+    """Runtime schema conflicts (a parquet column whose physical type
+    cannot convert to the requested read schema, merge-schema conflicts) —
+    the reference's ``DataFusionError::SchemaError``
+    (``src/errors/datafusion_error.rs:126-128``)."""
+
+
+class DataFormatError(ExecutionError):
+    """Corrupt or undecodable Arrow/Parquet bytes — the reference's
+    ``DataFusionError::ArrowError`` / ``ParquetError`` variants
+    (``src/errors/datafusion_error.rs:88-97``)."""
+
+
+class ResourceError(ExecutionError):
+    """Memory/result-size exhaustion — the reference's
+    ``DataFusionError::ResourcesExhausted``
+    (``src/errors/datafusion_error.rs``, round-trip test cases at
+    ``:282-405``)."""
+
+
+# Ordered markers: FIRST match classifies (resource before storage — an OOM
+# while reading a file mentions both; schema before data-format — Spark's
+# "Parquet column cannot be converted" names parquet but is a schema
+# conflict, not corrupt bytes). Message-based because the JVM exception
+# class rarely survives the Py4J wrap intact; the markers are the stable
+# Spark error-class names plus the underlying Java exception names.
+_SUBTYPE_MARKERS: list[tuple[type[ExecutionError], tuple[str, ...]]] = [
+    (
+        ResourceError,
+        (
+            "OutOfMemoryError",
+            "Total size of serialized results",
+            "exceeds memory limit",
+            "RESOURCES_EXHAUSTED",
+            "Not enough memory",
+        ),
+    ),
+    (
+        StorageError,
+        (
+            "FileNotFoundException",
+            "NoSuchFileException",
+            "PATH_NOT_FOUND",
+            "Path does not exist",
+            "FILE_NOT_EXIST",
+            "AccessDeniedException",
+        ),
+    ),
+    (
+        SchemaMismatchError,
+        (
+            "PARQUET_COLUMN_DATA_TYPE_MISMATCH",
+            "Parquet column cannot be converted",
+            "Failed to merge incompatible data types",
+            "SCHEMA_MISMATCH",
+            "incompatible schema",
+        ),
+    ),
+    (
+        DataFormatError,
+        (
+            "not a Parquet file",
+            "CANNOT_READ_FILE_FOOTER",
+            "Could not read footer",
+            "ArrowInvalid",
+            "Error reading Arrow",
+            "malformed",
+            "corrupted",
+        ),
+    ),
+]
+
+
+def _execution_subtype(msg: str) -> type[ExecutionError]:
+    for cls, markers in _SUBTYPE_MARKERS:
+        if any(m in msg for m in markers):
+            return cls
+    return ExecutionError
+
+
 def _first_meaningful_line(text: str) -> str:
     for line in text.splitlines():
         line = line.strip()
@@ -58,11 +144,18 @@ def map_exception(exc: BaseException) -> EngineError:
 
     msg = str(exc)
     if isinstance(exc, (ParseException, AnalysisException)):
+        # Spark reports a missing input PATH as an analysis failure; the
+        # reference files the same condition under ObjectStore/IoError, not
+        # Plan (src/errors/datafusion_error.rs:98-105) — storage markers win
+        # over the planning default so the variant matches the cause.
+        sub = _execution_subtype(msg)
+        if sub is StorageError:
+            return StorageError(msg, original=exc)
         return PlanningError(msg, original=exc)
     if isinstance(exc, PySparkException):
-        return ExecutionError(msg, original=exc)
+        return _execution_subtype(msg)(msg, original=exc)
     # Py4J errors wrap the JVM stack; keep everything (callers may match on
     # the embedded original message, e.g. a failing UDF's text).
     if exc.__class__.__name__ == "Py4JJavaError":
-        return ExecutionError(msg, original=exc)
-    return ExecutionError(_first_meaningful_line(msg), original=exc)
+        return _execution_subtype(msg)(msg, original=exc)
+    return _execution_subtype(msg)(_first_meaningful_line(msg), original=exc)

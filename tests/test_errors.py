@@ -81,3 +81,82 @@ def test_custom_source_failure_message_survives_to_driver(spark):
     with pytest.raises(Exception) as exc:
         spark.read.format("boom_source").load().collect()
     assert "remote source failed: 67890-marker" in str(exc.value)
+
+
+# ------------------------------------------------------------------ #
+# Execution-subtype taxonomy (reference src/errors/datafusion_error.rs
+# round-trips 19 variants, test at :282-405; the Spark analog classifies
+# the wrapped JVM/Arrow failure by its stable error-class markers while
+# preserving the exact message)
+# ------------------------------------------------------------------ #
+
+
+@pytest.mark.parametrize(
+    "marker_msg,expected",
+    [
+        ("java.io.FileNotFoundException: /no/such/file", "StorageError"),
+        ("[PATH_NOT_FOUND] Path does not exist: file:/x", "StorageError"),
+        ("java.nio.file.NoSuchFileException: part-0000", "StorageError"),
+        (
+            "[PARQUET_COLUMN_DATA_TYPE_MISMATCH] column x: INT64 vs DOUBLE",
+            "SchemaMismatchError",
+        ),
+        ("Parquet column cannot be converted in file y", "SchemaMismatchError"),
+        ("Failed to merge incompatible data types bigint and string", "SchemaMismatchError"),
+        ("RuntimeException: file is not a Parquet file (length too small)", "DataFormatError"),
+        ("[CANNOT_READ_FILE_FOOTER] Could not read footer for file", "DataFormatError"),
+        ("pyarrow.lib.ArrowInvalid: Schema at index 0 was malformed", "DataFormatError"),
+        ("java.lang.OutOfMemoryError: Java heap space", "ResourceError"),
+        (
+            "Total size of serialized results of 3 tasks is bigger than spark.driver.maxResultSize",
+            "ResourceError",
+        ),
+        ("plain runtime failure with no recognizable class", "ExecutionError"),
+    ],
+)
+def test_execution_subtype_roundtrip(marker_msg, expected):
+    """Every variant case preserves the EXACT original message (the
+    reference's per-variant assertion) and lands in the documented
+    subtype. An OOM-while-reading message containing both a resource and a
+    storage marker must classify as the resource variant (marker order)."""
+    import datafusion_distributed_experiment_spark as pkg
+
+    err = map_exception(RuntimeError(marker_msg))
+    assert err.__class__.__name__ == expected
+    assert marker_msg in str(err)
+    # subtypes ARE ExecutionError: existing handlers keep working
+    assert isinstance(err, ExecutionError)
+    assert isinstance(err, getattr(pkg, expected))
+
+
+def test_subtype_marker_order_resource_beats_storage():
+    msg = "java.lang.OutOfMemoryError while reading java.io.FileNotFoundException: x"
+    from datafusion_distributed_experiment_spark import ResourceError
+
+    assert isinstance(map_exception(RuntimeError(msg)), ResourceError)
+
+
+def test_missing_parquet_path_is_storage_error(spark, tmp_path):
+    """Live end-to-end: a read of a nonexistent path must surface as the
+    StorageError variant with the path in the message."""
+    from datafusion_distributed_experiment_spark import StorageError
+
+    with pytest.raises(Exception) as exc:
+        spark.read.parquet(str(tmp_path / "never_written.parquet")).collect()
+    err = map_exception(exc.value)
+    assert isinstance(err, StorageError), err
+    assert "never_written" in str(err)
+
+
+def test_corrupt_parquet_is_data_format_error(spark, tmp_path):
+    """Live end-to-end: junk bytes under a .parquet name classify as the
+    DataFormatError variant (the reference's ParquetError case)."""
+    from datafusion_distributed_experiment_spark import DataFormatError
+
+    bad_dir = tmp_path / "corrupt.parquet"
+    bad_dir.mkdir()
+    (bad_dir / "part-00000.parquet").write_bytes(b"these are not parquet bytes")
+    with pytest.raises(Exception) as exc:
+        spark.read.parquet(str(bad_dir)).collect()
+    err = map_exception(exc.value)
+    assert isinstance(err, DataFormatError), str(err)[:300]
