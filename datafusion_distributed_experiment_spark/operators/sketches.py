@@ -135,44 +135,54 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exactness doctrine: the float harmonic mean is replaced by integer
 # arithmetic shared bit-for-bit with DuckDB — 2^-M_j is scaled to the
 # integer 2^(RHO_CAP - M_j), the leading-zero count is a generated
-# comparison ladder (identical SQL text on both engines), and alpha_64 =
-# 0.709 becomes the per-mille ALPHA_X = 709 with one final DIV 1000.
-# Headroom: m^2 * 2^RHO_CAP = 2^52; DIV by sum >= m = 2^6 leaves <= 2^46,
-# * 709 < 2^56 — never near int64.
+# comparison ladder (identical SQL text on both engines), and alpha_1024 =
+# 0.7205 becomes the per-mille ALPHA_X = 721 with one final DIV 1000.
+# Headroom: m^2 * 2^RHO_CAP = 2^59; DIV by sum >= m = 2^10 leaves <= 2^49,
+# * 721 < 2^59 — never near int64.
+#
+# m = 1024 was chosen empirically against the exact twin: m=64 raw-biased
+# +38% at 1.5k distincts (its raw mid-range); m=1024 keeps the corpus's
+# cardinalities inside the linear-counting regime (errors 0% / +2% / +4.7%
+# at sf0.001/0.01/0.1) and the asymptotic stderr at 3.2%.
 
-HLL_M = 64  # 2^6 buckets
-HLL_ALPHA_X = 709  # alpha_64 in per-mille
-HLL_RHO_CAP = 40  # register ceiling (w has 42 usable bits; cap bounds 2^x)
-_HLL_W_BITS = 42  # 48-bit hash48 minus 6 bucket bits
+HLL_M = 1024  # 2^10 buckets
+HLL_ALPHA_X = 721  # alpha_1024 in per-mille (0.7213/(1 + 1.079/m))
+HLL_RHO_CAP = 39  # register ceiling = max rho (w has 38 usable bits)
+_HLL_W_BITS = 38  # 48-bit hash48 minus 10 bucket bits
 # Small-range (linear counting) correction, applied below 2.5*m as in the
 # paper: est = m * ln(m / V) with V = zero registers. ln never executes in
 # either engine — V has only m possible values, so the correction is a
-# generated integer lookup table embedded literally in BOTH SQL texts.
+# generated integer lookup TABLE, indexed as a literal array in both SQL
+# texts (1-based element_at on Spark, 1-based list subscript on DuckDB).
 _HLL_LC_THRESHOLD = (5 * HLL_M) // 2
 
 
-def _lc_table() -> dict[int, int]:
+def _lc_table() -> list[int]:
     import math
 
-    return {v: round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M + 1)}
+    return [round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M + 1)]
 
 
-def _hll_est_sql(div: str) -> str:
+def _hll_est_sql(div: str, index: str) -> str:
     """The full estimator over columns ``sum_nz``/``n_buckets`` as one SQL
     expression, shared by both engines modulo the integer-division token
-    (Spark ``DIV``, DuckDB ``//``)."""
+    (Spark ``DIV``, DuckDB ``//``) and the 1-based array-literal indexing
+    spelling (``index`` formats the literal list + index expression)."""
     pow_cap = f"CAST({1 << HLL_RHO_CAP} AS BIGINT)"
     raw = (
         f"({HLL_ALPHA_X} * (({HLL_M * HLL_M} * {pow_cap})"
         f" {div} (sum_nz + ({HLL_M} - n_buckets) * {pow_cap})) {div} 1000)"
     )
-    lc = " ".join(
-        f"WHEN {v} THEN {est}" for v, est in _lc_table().items()
-    )
+    lits = ",".join(str(x) for x in _lc_table())
+    lc = index.format(lits=lits, idx=f"CAST({HLL_M} - n_buckets AS INT)")
     return (
         f"CASE WHEN {raw} <= {_HLL_LC_THRESHOLD} AND n_buckets < {HLL_M} "
-        f"THEN (CASE ({HLL_M} - n_buckets) {lc} END) ELSE {raw} END"
+        f"THEN {lc} ELSE {raw} END"
     )
+
+
+_SPARK_INDEX = "element_at(array({lits}), {idx})"
+_DUCK_INDEX = "([{lits}])[{idx}]"
 
 
 def _bitlen_ladder(expr: str) -> str:
@@ -212,13 +222,14 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h") % HLL_M).alias("bucket"),
         F.col("h").cast("long").alias("h"),
     )
-    # rho = 1 + leading zeros of the 42-bit w = 43 - bitlen(w), capped
+    # rho = 1 + leading zeros of the 38-bit w = 39 - bitlen(w); w = 0 maps
+    # to RHO_CAP = 39 exactly, so no LEAST clamp is needed
     regs = (
         h.select(
             "event_type",
             "bucket",
             F.expr(
-                f"LEAST(43 - ({_bitlen_ladder('(h DIV 64)')}), {HLL_RHO_CAP})"
+                f"{_HLL_W_BITS + 1} - ({_bitlen_ladder(f'(h DIV {HLL_M})')})"
             ).alias("rho"),
         )
         .groupBy("event_type", "bucket")
@@ -233,7 +244,9 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sketch.select(
         "event_type",
         (F.lit(HLL_M) - F.col("n_buckets")).cast("long").alias("n_zero_registers"),
-        F.expr(f"CAST({_hll_est_sql('DIV')} AS BIGINT)").alias("est_distinct"),
+        F.expr(f"CAST({_hll_est_sql('DIV', _SPARK_INDEX)} AS BIGINT)").alias(
+            "est_distinct"
+        ),
     )
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("exact_distinct")
@@ -265,7 +278,7 @@ def staged_oracles() -> dict[str, str]:
                 SELECT event_type, {h48} AS h FROM events
             ), rho AS (
                 SELECT event_type, h % {HLL_M} AS bucket,
-                       LEAST(43 - ({_bitlen_ladder('(h // 64)')}), {HLL_RHO_CAP}) AS rho
+                       {_HLL_W_BITS + 1} - ({_bitlen_ladder(f'(h // {HLL_M})')}) AS rho
                 FROM h
             ), regs AS (
                 SELECT event_type, bucket, MAX(rho) AS m_j
@@ -282,7 +295,7 @@ def staged_oracles() -> dict[str, str]:
             )
             SELECT event_type,
                    CAST({HLL_M} - n_buckets AS BIGINT) AS n_zero_registers,
-                   CAST({_hll_est_sql('//')} AS BIGINT) AS est_distinct,
+                   CAST({_hll_est_sql('//', _DUCK_INDEX)} AS BIGINT) AS est_distinct,
                    exact_distinct
             FROM sk JOIN exact USING (event_type)
             ORDER BY event_type

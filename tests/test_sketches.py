@@ -77,7 +77,7 @@ def test_sketch_state_is_bounded(spark):
 def test_hll_bitlen_ladder_matches_python():
     """The generated comparison ladder IS the cross-engine contract: check
     it against int.bit_length over the edge values (0, powers of two, their
-    neighbors, the 42-bit max) on DuckDB — no JVM needed."""
+    neighbors, the full-width max) on DuckDB — no JVM needed."""
     import duckdb
 
     from datafusion_distributed_experiment_spark.operators.sketches import (
@@ -85,11 +85,12 @@ def test_hll_bitlen_ladder_matches_python():
         _bitlen_ladder,
     )
 
+    W = _HLL_W_BITS
     vals = sorted(
-        {0, 1, 2, 3, (1 << 42) - 1}
-        | {1 << b for b in range(1, 42)}
-        | {(1 << b) - 1 for b in range(2, 43)}
-        | {(1 << b) + 1 for b in range(1, 41)}
+        {0, 1, 2, 3, (1 << W) - 1}
+        | {1 << b for b in range(1, W)}
+        | {(1 << b) - 1 for b in range(2, W + 1)}
+        | {(1 << b) + 1 for b in range(1, W - 1)}
     )
     con = duckdb.connect()
     got = con.execute(
@@ -98,7 +99,6 @@ def test_hll_bitlen_ladder_matches_python():
     ).fetchall()
     for v, bl in got:
         assert bl == int(v).bit_length(), (v, bl)
-    assert _HLL_W_BITS == 42
 
 
 def test_hll_linear_counting_kicks_in_below_threshold(spark):
@@ -110,7 +110,7 @@ def test_hll_linear_counting_kicks_in_below_threshold(spark):
     assert rows
     for r in rows:
         assert r["n_zero_registers"] > 0
-        # exact is tiny -> LC estimate within 35% (64-register LC at n~15)
+        # exact is tiny -> LC estimate tight (1024-register LC at n~15 is near-exact)
         assert abs(r["est_distinct"] - r["exact_distinct"]) <= max(
             5, r["exact_distinct"] // 3
         ), r
