@@ -12,13 +12,15 @@ plus the training-data pipeline operators. SQL-corpus queries share one ANSI
 text between Spark and the DuckDB oracle; DataFrame-native operators carry a
 semantically-equivalent hand-written oracle.
 
-Beyond the 105 declared queries, ``operators.staged_queries()`` /
-``staged_oracles()`` hold the round-6 operators that could not take a
-50-entry gate-window slot this round (the window is fully spent on the
-rotation refreshing the r04-verified half): same contract, cross-engine
-verified by ``tests/test_staged_oracle.py`` on every pytest run, benched
-and scale-probed alongside the declared surface, promoted into the window
-at the round-7 rotation.
+Beyond the 115 declared queries (the 10 round-6 staged operators were
+promoted at the round-7 rotation), ``operators.staged_queries()`` /
+``staged_oracles()`` hold the three round-7 operators (``bpe_apply``,
+``hll_distinct``, ``weighted_sample``) that could not take a 50-entry
+gate-window slot this round (the window is fully spent on the promotion
+plus the rotation): same contract, cross-engine verified by
+``tests/test_staged_oracle.py`` on every pytest run, benched and
+scale-probed alongside the declared surface, promoted into the window at
+the round-8 rotation.
 """
 
 from __future__ import annotations
@@ -36,9 +38,9 @@ from datafusion_distributed_experiment_spark import Engine
 from datafusion_distributed_experiment_spark import queries as corpus
 
 _SQL_QUERIES = [
-    # events_window_funcs earned its driver row in CORRECTNESS_r05; round 6
-    # rotates it to the tail so the 33 r04-verified SQL queries re-enter the
-    # window (see query_tiers)
+    # events_window_funcs' last driver row is CORRECTNESS_r05; it is one of
+    # the round-7 stale-budget sacrifices (see query_tiers) and stays in
+    # the sql_tail tier behind the window
     "adhoc/events_window_funcs",
     *(f"tpch/q{i}" for i in range(1, 23)),
     "adhoc/events_agg_count",
