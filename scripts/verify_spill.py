@@ -40,6 +40,10 @@ SPILL_QUERIES = (
     # min-frames on one doc window — both route through WindowExec buffers
     "ngram_span_dedup",
     "winnow_fingerprints",
+    # round-7: the per-doc position window holds one document's post-merge
+    # tokens (~240 at this corpus's doc length) — above the 128-row forced
+    # threshold, so the encode path must spill and still hash-match
+    "bpe_apply",
 )
 FORCE_SPILL_ROWS = "128"
 
