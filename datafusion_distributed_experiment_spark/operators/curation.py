@@ -439,11 +439,33 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k highest-priority items form the sample, and the (k+1)-th priority is
 # the estimation threshold. Chosen over Efraimidis-Spirakis A-ES
 # (u^(1/w) keys) because its priority is a RATIO — exactly expressible in
-# the engine's integer doctrine with no logarithm: u_i's surrogate is the
-# per-doc polynomial hash mapped to (0, 1] as (h+1)/HASH_MOD, so
-# q_i = w_i * HASH_MOD DIV (h+1), bit-identical on both engines.
+# the engine's integer doctrine with no logarithm.
+#
+# u's surrogate MUST be magnitude-uniform: the module's poly_hash is fine
+# for BUCKETING (its residues equidistribute) but its magnitude encodes the
+# id string's LENGTH (h("5")~53, h("1999")~1.5e6), which would bias the
+# draw toward short doc_ids instead of weight — caught by the
+# weight-proportionality property test. So u comes from a 32-bit md5 slice
+# (the KMV sketch's hash family, cross-engine exact):
+# q_i = w_i * 2^32 DIV (h32_i + 1), bit-identical on both engines; int64
+# headroom holds to w ~ 2^31 chars per document.
 WSAMPLE_K = 100
-_WSAMPLE_HASH_MOD = 1_000_000_007  # poly_hash modulus: h in [0, MOD)
+_WSAMPLE_HASH_HEX = 8  # 32-bit md5 prefix
+_WSAMPLE_HASH_MOD = 1 << (4 * _WSAMPLE_HASH_HEX)
+
+
+def _wsample_hash32() -> F.Column:
+    """Magnitude-uniform 32-bit doc hash (DuckDB twin:
+    ``('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT``)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")),
+            1,
+            _WSAMPLE_HASH_HEX,
+        ),
+        16,
+        10,
+    ).cast("long")
 
 
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,8 +480,8 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``TakeOrderedAndProject`` (per-partition heaps of k, merged at one
     collector — never a global sort, never a single-partition window over
     the corpus). The rank window runs on the ALREADY-SELECTED k rows, so
-    its single-partition state is bounded by k. Overflow: w * MOD stays in
-    int64 up to w ~ 9.2e9 chars per document (a 9 GB single doc) —
+    its single-partition state is bounded by k. Overflow: w * 2^32 stays
+    in int64 up to w ~ 2^31 chars per document (a 2 GB single doc) —
     documents beyond that should be chunked regardless."""
     docs = _docs(spark, sf_dir).filter(F.col("n_chars").isNotNull())
     pri = docs.select(
@@ -467,7 +489,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("n_chars").cast("long"), F.lit(1).cast("long")).alias(
             "weight"
         ),
-        (_doc_hash() + 1).alias("__h1"),
+        (_wsample_hash32() + 1).alias("__h1"),
     ).select(
         "doc_id",
         "weight",
@@ -696,7 +718,9 @@ def staged_oracles() -> dict[str, str]:
                        CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
                        CAST((CAST(GREATEST(n_chars, 1) AS BIGINT)
                              * {_WSAMPLE_HASH_MOD})
-                            // (({_DUCK_DOC_HASH}) + 1) AS BIGINT) AS priority_x
+                            // (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                      1, {_WSAMPLE_HASH_HEX})) AS BIGINT) + 1)
+                            AS BIGINT) AS priority_x
                 FROM documents WHERE n_chars IS NOT NULL
             ), r AS (
                 SELECT doc_id, weight, priority_x,

@@ -4,9 +4,9 @@ Python, weight monotonicity at fixed hash, and partition-count determinism."""
 
 from __future__ import annotations
 
-from datafusion_distributed_experiment_spark.functions.text import MOD, MULT
 from datafusion_distributed_experiment_spark.operators.curation import (
     WSAMPLE_K,
+    _WSAMPLE_HASH_HEX,
     _WSAMPLE_HASH_MOD,
     weighted_sample,
 )
@@ -14,11 +14,10 @@ from datafusion_distributed_experiment_spark.operators.curation import (
 from .conftest import SF_DIR
 
 
-def _py_poly_hash(s: str) -> int:
-    h = 0
-    for ch in s:
-        h = (h * MULT + ord(ch)) % MOD
-    return h
+def _py_hash32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:_WSAMPLE_HASH_HEX], 16)
 
 
 def test_sample_contract_and_priority_replay(spark, duck):
@@ -34,14 +33,14 @@ def test_sample_contract_and_priority_replay(spark, duck):
     for r in rows:
         w = max(true_chars[r["doc_id"]], 1)
         assert r["weight"] == w
-        h1 = _py_poly_hash(str(r["doc_id"])) + 1
+        h1 = _py_hash32(str(r["doc_id"])) + 1
         assert r["priority_x"] == (w * _WSAMPLE_HASH_MOD) // h1, r
 
 
 def test_heavier_weight_can_only_raise_priority():
     """Priority q = w * MOD // (h+1) is monotone in w at fixed hash — the
     property that makes the draw weight-proportional."""
-    for h1 in (1, 17, MOD):
+    for h1 in (1, 17, _WSAMPLE_HASH_MOD):
         qs = [(w * _WSAMPLE_HASH_MOD) // h1 for w in (1, 10, 1000, 10**6)]
         assert qs == sorted(qs)
 
