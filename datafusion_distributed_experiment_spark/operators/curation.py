@@ -69,6 +69,31 @@ def _doc_hash() -> F.Column:
 
 _DUCK_DOC_HASH = DUCK_POLY_HASH.format(x="CAST(doc_id AS VARCHAR)")
 
+# Magnitude-uniform 32-bit doc hash for MAGNITUDE-sensitive decisions
+# (sample ordering, permutation positions, wide-modulus Bernoulli draws).
+# poly_hash is only safe for SMALL-modulus residues: its magnitude encodes
+# the id string's length (h("5")~53 vs h("1999")~1.5e6), so ordering or
+# wide-range thresholding on it degenerates to doc_id order — caught by the
+# weighted_sample weight-proportionality property test.
+_HASH32_HEX = 8
+_HASH32_MOD = 1 << (4 * _HASH32_HEX)
+_DUCK_DOC_HASH32 = (
+    f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, {_HASH32_HEX})) AS BIGINT)"
+)
+
+
+def _doc_hash32() -> F.Column:
+    """Magnitude-uniform 32-bit md5-slice doc hash (`_DUCK_DOC_HASH32` is
+    the DuckDB twin) — use whenever the hash's ORDER or wide-range value
+    matters, not just a small-modulus residue."""
+    return F.conv(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, _HASH32_HEX
+        ),
+        16,
+        10,
+    ).cast("long")
+
 
 # --------------------------------------------------------------------- #
 # split assignment
@@ -114,7 +139,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang", "source").orderBy("h", "doc_id")
     return (
         _docs(spark, sf_dir)
-        .select("doc_id", "lang", "source", _doc_hash().alias("h"))
+        .select("doc_id", "lang", "source", _doc_hash32().alias("h"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= SAMPLE_PER_STRATUM)
         .select("lang", "source", "doc_id", F.col("rn").cast("long").alias("rn"))
@@ -351,7 +376,7 @@ def domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffled bytes for no information."""
     weights = domain_mix(spark, sf_dir).select("source", "weight_ppm")
     docs = _docs(spark, sf_dir).select(
-        "doc_id", "source", (_doc_hash() % 1_000_000).alias("hh")
+        "doc_id", "source", (_doc_hash32() % 1_000_000).alias("hh")
     )
     n_copies = F.expr("weight_ppm DIV 1000000") + (
         F.col("hh") < F.col("weight_ppm") % 1_000_000
@@ -383,7 +408,7 @@ def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     return (
         _docs(spark, sf_dir)
-        .select("doc_id", _doc_hash().alias("h"))
+        .select("doc_id", _doc_hash32().alias("h"))
         .withColumn("shard", (F.col("h") % N_SHARDS).cast("long"))
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("shard", "pos", "doc_id")
@@ -450,22 +475,8 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_i = w_i * 2^32 DIV (h32_i + 1), bit-identical on both engines; int64
 # headroom holds to w ~ 2^31 chars per document.
 WSAMPLE_K = 100
-_WSAMPLE_HASH_HEX = 8  # 32-bit md5 prefix
-_WSAMPLE_HASH_MOD = 1 << (4 * _WSAMPLE_HASH_HEX)
-
-
-def _wsample_hash32() -> F.Column:
-    """Magnitude-uniform 32-bit doc hash (DuckDB twin:
-    ``('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT``)."""
-    return F.conv(
-        F.substring(
-            F.md5(F.col("doc_id").cast("string").cast("binary")),
-            1,
-            _WSAMPLE_HASH_HEX,
-        ),
-        16,
-        10,
-    ).cast("long")
+_WSAMPLE_HASH_HEX = _HASH32_HEX
+_WSAMPLE_HASH_MOD = _HASH32_MOD
 
 
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,7 +500,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("n_chars").cast("long"), F.lit(1).cast("long")).alias(
             "weight"
         ),
-        (_wsample_hash32() + 1).alias("__h1"),
+        (_doc_hash32() + 1).alias("__h1"),
     ).select(
         "doc_id",
         "weight",
@@ -557,7 +568,7 @@ def oracles() -> dict[str, str]:
                 SELECT lang, source, doc_id,
                        ROW_NUMBER() OVER (
                            PARTITION BY lang, source
-                           ORDER BY {_DUCK_DOC_HASH}, doc_id
+                           ORDER BY {_DUCK_DOC_HASH32}, doc_id
                        ) AS rn
                 FROM documents
             )
@@ -659,7 +670,7 @@ def oracles() -> dict[str, str]:
                                   / CAST(FLOOR(1e6 * src_tokens / total_tokens) AS BIGINT)) AS BIGINT) AS weight_ppm
                 FROM per_src CROSS JOIN totals
             ), d AS (
-                SELECT doc_id, source, ({_DUCK_DOC_HASH}) % 1000000 AS hh FROM documents
+                SELECT doc_id, source, ({_DUCK_DOC_HASH32}) % 1000000 AS hh FROM documents
             )
             SELECT d.doc_id, d.source,
                    CAST(w.weight_ppm // 1000000
@@ -672,7 +683,7 @@ def oracles() -> dict[str, str]:
         """,
         "shuffle_shards": f"""
             WITH h AS (
-                SELECT doc_id, {_DUCK_DOC_HASH} AS h FROM documents
+                SELECT doc_id, {_DUCK_DOC_HASH32} AS h FROM documents
             )
             SELECT CAST(h % {N_SHARDS} AS BIGINT) AS shard,
                    CAST(ROW_NUMBER() OVER (
@@ -718,8 +729,7 @@ def staged_oracles() -> dict[str, str]:
                        CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
                        CAST((CAST(GREATEST(n_chars, 1) AS BIGINT)
                              * {_WSAMPLE_HASH_MOD})
-                            // (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                                      1, {_WSAMPLE_HASH_HEX})) AS BIGINT) + 1)
+                            // (({_DUCK_DOC_HASH32}) + 1)
                             AS BIGINT) AS priority_x
                 FROM documents WHERE n_chars IS NOT NULL
             ), r AS (
