@@ -98,6 +98,12 @@ XSTEP_OPS = [
     "bm25_topk",
     "dsir_weights",
     "bpe_merges_t2",
+    # round-7: corpus encode — output (and its collect) grows with corpus
+    # tokens; vocabulary grows 10x under the rotated-copy fixture, so both
+    # broadcast model sides grow too
+    "bpe_apply",
+    # round-7: weighted top-k — output constant at k, cost one scan
+    "weighted_sample",
 ]
 XSTEP_FACTOR = 10
 XSTEP_DIR = "/tmp/scaling_docs_x10"
