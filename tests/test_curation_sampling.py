@@ -55,3 +55,52 @@ def test_sample_is_partition_count_independent(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert single == distributed
+
+
+def test_shard_shuffle_actually_permutes(spark):
+    """Regression pin for the magnitude-uniform hash switch: within a
+    shard, documents ordered by pos must NOT be in doc_id order (the old
+    poly_hash magnitude was monotone in same-length doc_ids, so the
+    'shuffle' degenerated to doc_id order — defeating the point of
+    shuffling a training corpus)."""
+    from datafusion_distributed_experiment_spark.operators.curation import (
+        shuffle_shards,
+    )
+
+    rows = shuffle_shards(spark, SF_DIR).collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["doc_id"])  # pos order
+    scrambled = sum(
+        1 for docs in by_shard.values() if docs != sorted(docs) and len(docs) > 2
+    )
+    assert scrambled == sum(1 for d in by_shard.values() if len(d) > 2), by_shard
+
+
+def test_stratified_sample_is_not_first_k_by_doc_id(spark):
+    """Same regression pin for the per-stratum sample: the selected docs
+    must not simply be each stratum's k smallest doc_ids."""
+    from datafusion_distributed_experiment_spark.operators.curation import (
+        SAMPLE_PER_STRATUM,
+        stratified_sample,
+    )
+
+    sample = stratified_sample(spark, SF_DIR).collect()
+    strata: dict[tuple, list[int]] = {}
+    for r in sample:
+        strata.setdefault((r["lang"], r["source"]), []).append(r["doc_id"])
+    full = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang", "source")
+        .collect()
+    )
+    pool: dict[tuple, list[int]] = {}
+    for r in full:
+        pool.setdefault((r["lang"], r["source"]), []).append(r["doc_id"])
+    degenerate = sum(
+        1
+        for k, docs in strata.items()
+        if len(pool[k]) > len(docs)
+        and sorted(docs) == sorted(pool[k])[: len(docs)]
+    )
+    assert degenerate == 0, degenerate
