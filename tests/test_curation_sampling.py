@@ -104,3 +104,46 @@ def test_stratified_sample_is_not_first_k_by_doc_id(spark):
         and sorted(docs) == sorted(pool[k])[: len(docs)]
     )
     assert degenerate == 0, degenerate
+
+
+def test_priority_sampling_subset_sum_estimator(duck):
+    """The Duffield-Lund-Thorup guarantee the scheme exists for: with tau =
+    the (k+1)-th priority, the estimator sum over the sample of
+    max(w_i, tau) is UNBIASED for the total corpus weight. q = w*MOD//h1 is
+    w/u in weight units already (u = h1/MOD), so tau needs no rescale.
+    Unbiasedness is a statement over the u-randomness, so it is tested over
+    50 independently-salted draws in pure Python (one draw's relative sd at
+    k=100 is ~8-9%; the shipped draw just gets a 4-sd sanity bound)."""
+    import statistics
+
+    from datafusion_distributed_experiment_spark.operators.curation import (
+        WSAMPLE_K,
+        _WSAMPLE_HASH_MOD,
+    )
+
+    rows = duck.execute(
+        "SELECT doc_id, GREATEST(n_chars, 1) FROM documents WHERE n_chars IS NOT NULL"
+    ).fetchall()
+    total = sum(w for _, w in rows)
+
+    def draw(salt):
+        pri = sorted(
+            ((w * _WSAMPLE_HASH_MOD) // (_py_hash32(f"{salt}:{d}") + 1), w)
+            for d, w in rows
+        )[::-1]
+        tau = pri[WSAMPLE_K][0]
+        return sum(max(w, tau) for _, w in pri[:WSAMPLE_K])
+
+    ests = [draw(s) for s in range(50)]
+    mean_err = abs(statistics.mean(ests) - total) / total
+    assert mean_err < 0.03, (statistics.mean(ests), total)
+    sd = statistics.stdev(ests) / total
+    assert sd < 0.20, sd
+    # the SHIPPED draw (unsalted hash, the operator's own order) stays
+    # inside a 4-sd band of the unbiased mean
+    pri0 = sorted(
+        ((w * _WSAMPLE_HASH_MOD) // (_py_hash32(str(d)) + 1), w) for d, w in rows
+    )[::-1]
+    tau0 = pri0[WSAMPLE_K][0]
+    est0 = sum(max(w, tau0) for _, w in pri0[:WSAMPLE_K])
+    assert abs(est0 - total) / total < 4 * sd, (est0, total, sd)

@@ -84,15 +84,22 @@ _SAMPLE = [
         "lpa_communities_t3",
         "bfs_hops_t3",
         "stream_topk",
+        # round-7 staged: the encode's trained-model argmaxes and per-doc
+        # position window must be partition-count blind
+        "bpe_apply",
     ],
 )
 def test_staged_ops_are_partition_count_independent(name, spark):
     """Same cross-topology claim for the operators promoted at round 7
-    (checkpointed oriented edges, broadcast-restricted postings,
-    feature-count shuffles, 1-row argmax from shuffled pair counts)."""
-    from datafusion_distributed_experiment_spark.operators import pipeline_queries
+    plus the round-7 staged tier (checkpointed oriented edges,
+    broadcast-restricted postings, feature-count shuffles, 1-row argmax
+    from shuffled pair counts)."""
+    from datafusion_distributed_experiment_spark.operators import (
+        pipeline_queries,
+        staged_queries,
+    )
 
-    fn = pipeline_queries()[name]
+    fn = {**pipeline_queries(), **staged_queries()}[name]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "1")
