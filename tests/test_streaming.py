@@ -580,3 +580,68 @@ def test_running_totals_processor_logic_without_state_server():
         p.handleInputRows((7,), iter([pd.DataFrame({"value_cents": []})]), None)
     )[0]
     assert out3.iloc[0].to_dict() == {"user_id": 7, "n_events": 3, "total_cents": 350}
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=_sf_tag)
+def test_stream_topk_converges_across_adversarial_batches(spark, tmp_path, duck, sf_dir):
+    """Per-day top-k over interleaved out-of-order micro-batch stripes must
+    converge to the batch oracle: a day's counter accumulates across
+    batches (state = one counter per (window, type)), and the read-time
+    rank sees only FINAL counts. A rank computed per-batch instead of on
+    the materialized aggregate would mis-rank any day whose counts span
+    stripes — the failure mode this pins out."""
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.streaming.events import (
+        STREAM_TOPK_N,
+        read_events_stream,
+        run_to_completion,
+        windowed_counts,
+    )
+
+    table = ds.dataset(f"{sf_dir}/events.parquet").to_table()
+    d = tmp_path / "topk_striped"
+    d.mkdir()
+    for i in range(3):
+        idx = [j for j in range(table.num_rows) if j % 3 == i]
+        pq.write_table(table.take(idx), d / f"stripe-{i}.parquet")
+
+    agg = run_to_completion(
+        windowed_counts(
+            read_events_stream(spark, str(d), max_files_per_trigger=1),
+            watermark="40 days",
+        ),
+        f"t_stream_topk_{_sf_tag(sf_dir)}",
+        output_mode="complete",
+    )
+    w = Window.partitionBy("day").orderBy(F.col("n_events").desc(), F.col("event_type"))
+    got = (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= STREAM_TOPK_N)
+        .select("day", "rank", "event_type", "n_events")
+        .orderBy("day", "rank")
+        .toPandas()
+    )
+    want = duck.execute(
+        f"""
+        WITH agg AS (
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM '{sf_dir}/events.parquet' GROUP BY 1, 2
+        ), r AS (
+            SELECT day, event_type, n_events,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY day
+                       ORDER BY n_events DESC, event_type) AS BIGINT) AS rank
+            FROM agg
+        )
+        SELECT day, rank, event_type, n_events FROM r
+        WHERE rank <= {STREAM_TOPK_N}
+        ORDER BY day, rank
+        """
+    ).df()
+    assert_frames_match(got, want, "stream_topk_vs_batch")
