@@ -39,7 +39,8 @@ python scripts/verify_correctness.py /root/testdata/sf0.1 \
   events_asof events_range_join events_kmv_distinct sessionize user_sessions \
   stream_click_attr stream_dedup stream_enrich stream_sliding \
   minhash_dedup_pairs dedup_incremental dedup_clusters \
-  minhash_pairs_skew kmeans_lloyd_t3 ngram_span_dedup >> "$ART" 2>&1
+  minhash_pairs_skew kmeans_lloyd_t3 ngram_span_dedup \
+  stream_topk hll_distinct weighted_sample >> "$ART" 2>&1
 SF01_RC=$?
 
 # Spill-pressure pass: sort/window/as-of queries under 128-row force-spill
