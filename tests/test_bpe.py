@@ -168,3 +168,73 @@ def test_bpe_apply_reconstructs_and_agrees_with_merge_stats(spark):
     # (c) dense id space
     ids = enc_pd[["token_id", "token"]].drop_duplicates()
     assert ids["token_id"].nunique() == ids["token"].nunique()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=5), min_size=1, max_size=4
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_bpe_apply_matches_python_replica(spark, tmp_path_factory, docs):
+    """Full-encode differential: train MERGE_ITERS rounds and encode every
+    document, comparing bpe_apply's (doc_id, pos, token_id, token) stream
+    against a direct Python replay of the BPE algorithm (greedy
+    left-to-right merge, frequency-then-token id assignment)."""
+    from collections import Counter
+
+    from datafusion_distributed_experiment_spark.operators.bpe import (
+        MERGE_ITERS,
+        bpe_apply,
+    )
+
+    # the merge round degenerates on a vocabulary with no adjacent pair
+    assume(any(len(w) >= 2 for doc in docs for w in doc))
+
+    sf = tmp_path_factory.mktemp("bpe_corpus")
+    spark.createDataFrame(
+        [(i, " ".join(doc)) for i, doc in enumerate(docs)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    # ---- pure-Python replay ----
+    freq = Counter(w for doc in docs for w in doc)
+    seqs = {w: list(w) for w in freq}
+    for _ in range(MERGE_ITERS):
+        pairs = Counter()
+        for w, f in freq.items():
+            for a, b in zip(seqs[w], seqs[w][1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        x, y = min(pairs, key=lambda p: (-pairs[p], p))
+        seqs = {w: _py_merge(toks, x, y) for w, toks in seqs.items()}
+    tot = Counter()
+    for w, f in freq.items():
+        for t in seqs[w]:
+            tot[t] += f
+    ids = {
+        t: i + 1
+        for i, t in enumerate(sorted(tot, key=lambda t: (-tot[t], t)))
+    }
+    want = []
+    for i, doc in enumerate(docs):
+        pos = 0
+        for w in doc:
+            for t in seqs[w]:
+                want.append((i, pos, ids[t], t))
+                pos += 1
+
+    got = [
+        (r["doc_id"], r["pos"], r["token_id"], r["token"])
+        for r in bpe_apply(spark, str(sf)).collect()
+    ]
+    assert sorted(got) == sorted(want)
