@@ -5,6 +5,9 @@ partition-local sketches == the global sketch).
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from datafusion_distributed_experiment_spark.operators.sketches import (
     CMS_D,
     CMS_W,
@@ -231,3 +234,57 @@ def test_weighted_sample_prefers_heavy_documents():
     heavy = sum(1 for _, _, w in pri if w == 100)
     # expected ~= all 200 heavy (inclusion odds 100:1); allow wide slack
     assert heavy >= 180, heavy
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=400)
+)
+@settings(max_examples=25, deadline=None)
+def test_hll_oracle_sql_matches_python_replica(ids):
+    """Algorithm-level proof for the generated estimator SQL (the
+    cross-engine test proves Spark == DuckDB; this proves the shared SQL
+    equals HyperLogLog itself): a pure-Python replay of hash48 -> bucket ->
+    rho -> registers -> integer alpha estimate -> linear-counting branch
+    must reproduce the DuckDB oracle row on arbitrary id multisets. No JVM
+    needed — the oracle SQL runs on a constructed events table."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        _HLL_LC_THRESHOLD,
+        _HLL_W_BITS,
+        HLL_ALPHA_X,
+        HLL_M,
+        HLL_RHO_CAP,
+        staged_oracles,
+    )
+
+    # ---- python replica ----
+    regs: dict[int, int] = {}
+    for u in ids:
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:12], 16)
+        w = h // HLL_M
+        rho = _HLL_W_BITS + 1 - w.bit_length()
+        b = h % HLL_M
+        regs[b] = max(regs.get(b, 0), rho)
+    sum_nz = sum(1 << (HLL_RHO_CAP - m) for m in regs.values())
+    nb = len(regs)
+    raw = (
+        HLL_ALPHA_X
+        * ((HLL_M * HLL_M * (1 << HLL_RHO_CAP)) // (sum_nz + (HLL_M - nb) * (1 << HLL_RHO_CAP)))
+        // 1000
+    )
+    zeros = HLL_M - nb
+    if raw <= _HLL_LC_THRESHOLD and zeros > 0:
+        want_est = round(HLL_M * math.log(HLL_M / zeros))
+    else:
+        want_est = raw
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events AS SELECT 'x' AS event_type, UNNEST(?) AS user_id", [ids])
+    row = con.execute(staged_oracles()["hll_distinct"]).fetchall()[0]
+    assert row[1] == zeros
+    assert row[2] == want_est, (row[2], want_est, zeros, raw)
+    assert row[3] == len(set(ids))
