@@ -339,6 +339,27 @@ def _lloyd_oracle(iters: int) -> str:
         """
 
 
+def check_weight_headroom(total_bigrams: int, max_doc_bigrams: int) -> None:
+    """Raise PlanningError when dsir's integer weight arithmetic could
+    exceed int64: the numerator ``1e6 * (cnt + 1)`` (cnt bounded by the
+    corpus bigram total) and the per-doc ``sum(w)`` (bounded by the doc's
+    bigram count times the 1e12 weight ceiling). Pure so both trip
+    conditions are unit-testable without a pathological corpus."""
+    i64 = 2**63 - 1
+    if (
+        total_bigrams + DSIR_NBUCK > i64 // 1_000_000
+        or max_doc_bigrams > i64 // 1_000_000_000_000
+    ):
+        from ..errors import PlanningError
+
+        raise PlanningError(
+            f"dsir integer weight arithmetic would exceed int64 headroom at "
+            f"total_bigrams={total_bigrams}, max_doc_bigrams={max_doc_bigrams}"
+            " (bounds: total < ~9.2e12, per-doc < ~9.2e6); shard the corpus "
+            "or chunk oversized documents before weighting"
+        )
+
+
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weight per document: how much more likely the
     document's hashed-bigram features are under the target domain (the
@@ -383,6 +404,20 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt_r").cast("long").alias("tr"),
         F.sum("cnt_t").cast("long").alias("tt"),
     )
+    # Guard the documented int64 headroom instead of trusting it (the
+    # pagerank_frame / bm25 pattern): the weight numerator is
+    # 1e6 * (cnt + 1) with cnt <= tr, and the per-doc score is
+    # sum(w) <= n_bigrams_doc * 1e12. One KB-scale aggregate over the
+    # checkpointed bigram stream + the 1-row totals.
+    head = (
+        big.groupBy("doc_id")
+        .agg(F.count("*").alias("nb"))
+        .agg(F.max("nb").alias("max_nb"))
+        .crossJoin(F.broadcast(tot))
+        .collect()[0]
+    )
+    if head["max_nb"] is not None:
+        check_weight_headroom(head["tr"], head["max_nb"])
     wts = counts.crossJoin(F.broadcast(tot)).select(
         "f",
         F.expr(

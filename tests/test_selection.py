@@ -125,3 +125,20 @@ def test_fixture_embedding_dim_matches_oracle_expansion():
             f"sf{sf} embedding dim {dims} != oracle expansion {selection.DIM}"
         )
         assert str(schema.field("embedding").type).startswith("list"), schema
+
+
+def test_dsir_weight_headroom_guard():
+    """Both documented trip conditions of the int64 guard, plus the pass
+    path at realistic 100 TB-ish scales (the bm25/pagerank guard pattern)."""
+    import pytest
+
+    from datafusion_distributed_experiment_spark.errors import PlanningError
+    from datafusion_distributed_experiment_spark.operators.selection import (
+        check_weight_headroom,
+    )
+
+    check_weight_headroom(10**12, 5_000_000)  # 1T bigrams, 5M-bigram doc: fine
+    with pytest.raises(PlanningError, match="int64 headroom"):
+        check_weight_headroom(2**63 // 1_000_000, 10)  # numerator bound
+    with pytest.raises(PlanningError, match="int64 headroom"):
+        check_weight_headroom(10**9, 2**63 // 10**12 + 1)  # per-doc sum bound
