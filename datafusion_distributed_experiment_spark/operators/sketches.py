@@ -45,6 +45,23 @@ def _events_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_events(spark, sf_dir).select("user_id")
 
 
+def check_heavy_flag_headroom(n_events: int, n_users: int) -> None:
+    """Raise PlanningError when the cross-multiplied heavy test
+    ``est * n_users * HH_DEN > n_events * HH_NUM`` could exceed int64
+    (est is bounded by n_events, so the left side is bounded by
+    n_events * n_users * HH_DEN). Pure so the trip condition is
+    unit-testable without a pathological stream."""
+    i64 = 2**63 - 1
+    if n_users > 0 and n_events > i64 // (n_users * HH_DEN):
+        from ..errors import PlanningError
+
+        raise PlanningError(
+            f"cms heavy-hitter flag would exceed int64 headroom at "
+            f"n_events={n_events}, n_users={n_users}; pre-aggregate the "
+            "stream per shard or rescale the heavy threshold to a DIV form"
+        )
+
+
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user count-min estimate vs exact count over the events stream:
     ``(user_id, est_cnt, true_cnt, is_heavy)``.
@@ -104,6 +121,12 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "true_cnt")
         .agg(F.min("cnt").alias("est_cnt"))
     )
+    # Guard the cross-multiplied heavy test's int64 headroom (the
+    # pagerank/bm25/dsir pattern): est_cnt <= n_events, so the left side is
+    # bounded by n_events * n_users * HH_DEN. The 1-row totals are computed
+    # anyway; the check is one scalar collect.
+    trow = total.collect()[0]
+    check_heavy_flag_headroom(trow["n_events"], trow["n_users"])
     return (
         est.crossJoin(F.broadcast(total))
         .select(

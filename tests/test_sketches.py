@@ -288,3 +288,18 @@ def test_hll_oracle_sql_matches_python_replica(ids):
     assert row[1] == zeros
     assert row[2] == want_est, (row[2], want_est, zeros, raw)
     assert row[3] == len(set(ids))
+
+
+def test_cms_heavy_flag_headroom_guard():
+    """Trip + pass paths of the cross-multiplication guard (the
+    pagerank/bm25/dsir pattern)."""
+    import pytest
+
+    from datafusion_distributed_experiment_spark.errors import PlanningError
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        check_heavy_flag_headroom,
+    )
+
+    check_heavy_flag_headroom(10**12, 10**6)  # 1T events, 1M users: fine
+    with pytest.raises(PlanningError, match="int64 headroom"):
+        check_heavy_flag_headroom(10**12, 10**9)
