@@ -150,6 +150,23 @@ def pagerank_frame(
     return ranks.select("v", F.col("r").alias("rank_ppb"))
 
 
+def check_threshold_headroom(n_pairs: int, max_w: int) -> None:
+    """Raise PlanningError when the division-free mean-weight test
+    ``100 * n_pairs * w > TRIANGLE_W_PCT * total_w`` could exceed int64 on
+    its left side (w is bounded by max_w). Pure so the trip condition is
+    unit-testable without a pathological graph (the
+    pagerank/bm25/dsir/cms guard pattern)."""
+    i64 = 2**63 - 1
+    if n_pairs > 0 and max_w > i64 // (100 * n_pairs):
+        from ..errors import PlanningError
+
+        raise PlanningError(
+            f"trade-graph weight threshold would exceed int64 headroom at "
+            f"n_pairs={n_pairs}, max_w={max_w}; rescale edge weights (e.g. "
+            "divide by a constant) before pruning"
+        )
+
+
 def _kept_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected (u, v) edges above :data:`TRIANGLE_W_PCT`% of the mean
     weight — the collapsed, noise-pruned trade graph shared by the
@@ -166,6 +183,11 @@ def _kept_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # collapsed graph; reused by stats + threshold
     )
     stats = und.agg(F.count("*").alias("n_pairs"), F.sum("w").alias("total_w"))
+    # one extra MAX over the checkpointed |pairs|-row graph guards the
+    # cross-multiplication below (KB-scale model state, not a data collect)
+    head = und.agg(F.count("*").alias("n"), F.max("w").alias("mw")).collect()[0]
+    if head["mw"] is not None:
+        check_threshold_headroom(head["n"], head["mw"])
     return (
         und.crossJoin(F.broadcast(stats))
         .filter(

@@ -145,3 +145,17 @@ def test_bfs_sources_are_zero_and_neighbors_one(spark):
     for n in neighbors_of_sources - sources:
         assert hops[n] == 1, (n, hops[n])
     assert all(h in (0, 1, 2, 3, graph.BFS_INF) for h in hops.values())
+
+
+def test_threshold_headroom_guard():
+    """Trip + pass paths of the kept-edge cross-multiplication guard."""
+    import pytest
+
+    from datafusion_distributed_experiment_spark.errors import PlanningError
+    from datafusion_distributed_experiment_spark.operators.graph import (
+        check_threshold_headroom,
+    )
+
+    check_threshold_headroom(10**10, 10**6)  # 10B pairs, 1M max weight: fine
+    with pytest.raises(PlanningError, match="int64 headroom"):
+        check_threshold_headroom(10**10, 2**63 // (100 * 10**10) + 1)
