@@ -12,15 +12,14 @@ plus the training-data pipeline operators. SQL-corpus queries share one ANSI
 text between Spark and the DuckDB oracle; DataFrame-native operators carry a
 semantically-equivalent hand-written oracle.
 
-Beyond the 115 declared queries (the 10 round-6 staged operators were
-promoted at the round-7 rotation), ``operators.staged_queries()`` /
-``staged_oracles()`` hold the three round-7 operators (``bpe_apply``,
-``hll_distinct``, ``weighted_sample``) that could not take a 50-entry
-gate-window slot this round (the window is fully spent on the promotion
-plus the rotation): same contract, cross-engine verified by
-``tests/test_staged_oracle.py`` on every pytest run, benched and
-scale-probed alongside the declared surface, promoted into the window at
-the round-8 rotation.
+All 118 queries are declared as of round 8 (the three round-7 staged
+operators — ``bpe_apply``, ``hll_distinct``, ``weighted_sample`` — were
+promoted at the round-8 rotation, emptying the staged tier). The staged
+machinery (``operators.staged_queries()`` / ``staged_oracles()`` +
+``tests/test_staged_oracle.py`` + ``scripts/verify_staged.py``) stays in
+place for future operators; round 8 deliberately adds none (the
+118-query surface already cycles the 50-slot gate window every 3 rounds —
+see ``query_tiers``).
 """
 
 from __future__ import annotations
@@ -125,40 +124,53 @@ def preload_mem(spark: SparkSession, sf_dir: str, partitions: int | None = None)
 
 def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], DataFrame]]]]:
     """Queries grouped by tier, gate-ordered: the driver oracle-checks the
-    FIRST 50 entries, so the window rotates round-over-round — no query's
-    driver-verified row may go more than ~two rounds stale.
+    FIRST 50 entries, so the window rotates round-over-round.
 
-    ROUND 7 — the promotion round. The 10 round-6 staged operators
-    (triangle_count, lpa_communities_t3, bfs_hops_t3, bm25_topk,
-    dsir_weights, bpe_merges_t2, winnow_fingerprints, span_scrub,
-    cms_heavy_hitters, stream_topk) have never been driver-checked and
-    LEAD the window; next come the 5 queries whose last green row is
-    CORRECTNESS_r04 (dedup_exact, minhash_signatures, token_count,
-    quality_score, corpus_pipeline — already two rounds stale, must not
-    reach three); the remaining 35 slots go to the r05-verified half.
+    STALE BUDGET (restated for the 118-query surface): 118 queries over a
+    50-slot window means the full surface cycles every ceil(118/50) = 3
+    rounds — the old "no query goes more than two rounds stale" wording is
+    arithmetically impossible in steady state (118/50 = 2.36). The real
+    guarantee, pinned by tests/test_corpus_oracle.py: (a) never-verified
+    count = 0 — every declared query holds a green row in SOME committed
+    CORRECTNESS_r*.json before it may sit outside the window; (b) every
+    query outside the window was green within the TWO most recent committed
+    artifacts, i.e. at most ~2 completed rounds stale at commit time; (c)
+    the queries left to age furthest are chosen deepest-evidence-first.
 
-    STALE BUDGET (115 queries / 50 slots means ~15 per cycle go two
-    rounds stale; these are the sacrificed r05-verified queries, chosen
-    deepest-evidence-first so the skipped check costs the least):
-    the nine 4x-green (ann_ivf, ann_lsh, embedding_dedup, embedding_topk,
-    media_features, minhash_dedup_pairs, ngram_jaccard_pairs,
-    simhash_dedup_pairs, simhash_signatures), the 3x-green dedup_clusters
-    and dedup_incremental, the 2x-green media_frames and media_meta_stats,
-    plus events_window_funcs (constructs re-proven by the r06-green SQL
-    window queries) and split_assign (trivial map-only hash bucketing whose
-    xxhash machinery is shared with in-window stratified_sample and
-    shuffle_shards). They re-enter the round-8 window.
+    ROUND 8 — the window (50):
+    * slots 1-3: the promoted round-7 staged operators (bpe_apply,
+      hll_distinct, weighted_sample — never driver-checked, lead).
+    * slots 4-18: the 15 queries whose last green row is CORRECTNESS_r05
+      (the round-7 sacrifice cohort — two rounds stale, must not reach
+      three): ann_ivf, ann_lsh, embedding_dedup, embedding_topk,
+      media_features, media_frames, media_meta_stats, minhash_dedup_pairs,
+      ngram_jaccard_pairs, simhash_dedup_pairs, simhash_signatures,
+      dedup_clusters, dedup_incremental, split_assign, events_window_funcs.
+    * slots 19-50: 32 of the 50 r06-green queries, shallowest evidence
+      first: the five single-green (chunk_overlap, ngram_span_dedup,
+      minhash_pairs_skew, kmeans_lloyd_t3, semantic_dedup), the ten
+      twice-green (events_asof, events_kmv_distinct, events_range_join,
+      sessionize, user_sessions, stream_click_attr, stream_dedup,
+      stream_enrich, stream_sliding, events_cube), then 17 of the 4x/5x-
+      green SQL corpus — all 10 remaining ad-hoc queries plus the 8
+      TPC-H queries with the most distinctive constructs (q15's
+      multi-statement script, q1_decimal's decimal promotion, q2's nested
+      correlated subquery, q13's outer-join count, q17/q20's correlated
+      scalar subqueries, q21/q22's EXISTS/NOT-EXISTS + NOT-IN).
 
-    Everything outside the window holds a green row in a committed
-    CORRECTNESS_r*.json (invariant pinned by tests/test_corpus_oracle.py).
+    SACRIFICED this round (18, deepest-evidence-first; they re-enter at
+    round 9): the three 5x-green text ops (fingerprint, lang_id,
+    text_stats) and the fifteen 4x-green plain-shape TPC-H queries (q1,
+    q3-q12, q14, q16, q18, q19) — single-text SQL shared verbatim with the
+    oracle, whose join/agg constructs all recur in the in-window eight.
+    The 50 r07-green queries sit behind the window as the freshest cohort.
+
     The bench re-orders tiers for measurement isolation ("streaming"-named
     tiers run last); see ``operators.pipeline_tiers``."""
     sql: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _SQL_QUERIES:
         sql[name.split("/", 1)[1]] = _run_corpus(name)
     sql["q15"] = _run_q15_script()  # exercise the multi-statement machinery
-    # r05-green; within the round-7 stale budget (see docstring)
-    sql_tail = {"events_window_funcs": sql.pop("events_window_funcs")}
 
     from datafusion_distributed_experiment_spark.operators import pipeline_tiers
 
@@ -169,26 +181,17 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     def _pop(tier: str, *names: str) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return {n: by_name[tier].pop(n) for n in names}
 
-    # --- window slots 1-10: the promoted round-6 staged operators ------
+    def _pop_sql(*names: str) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+        return {n: sql.pop(n) for n in names}
+
+    # --- window slots 1-3: the promoted round-7 staged operators -------
     promoted = {
-        **_pop("graph", "triangle_count", "lpa_communities_t3", "bfs_hops_t3"),
-        **_pop("retrieval", "bm25_topk"),
-        **_pop("selection", "dsir_weights"),
-        **_pop("bpe", "bpe_merges_t2"),
-        **_pop("dedup", "winnow_fingerprints", "span_scrub"),
-        **_pop("sketches", "cms_heavy_hitters"),
+        **_pop("bpe", "bpe_apply"),
+        **_pop("sketches", "hll_distinct"),
+        **_pop("curation", "weighted_sample"),
     }
-    # stream_topk keeps a "streaming"-named tier so the bench still
-    # measures it last (RocksDB maintenance-thread isolation)
-    streaming_promoted = _pop("streaming", "stream_topk")
-    # --- slots 11-15: last green r04, two rounds stale, must re-verify --
-    stale_r04 = {
-        **_pop("dedup", "dedup_exact", "minhash_signatures"),
-        **_pop("text", "token_count", "quality_score"),
-        **_pop("pipeline", "corpus_pipeline"),
-    }
-    # --- the 14 sacrificed operator queries (see docstring) ------------
-    deep_tail = {
+    # --- slots 4-18: last green r05, two rounds stale, must re-verify --
+    stale_r05 = {
         **_pop("similarity", "ann_ivf", "ann_lsh", "embedding_dedup", "embedding_topk"),
         **_pop("multimodal", "media_features", "media_frames", "media_meta_stats"),
         **_pop(
@@ -201,15 +204,48 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
             "dedup_incremental",
         ),
         **_pop("curation", "split_assign"),
+        **_pop_sql("events_window_funcs"),
     }
-    # --- r06-verified (freshest evidence): behind the window -----------
-    fresh_r06 = {
+    # --- slots 19-23: r06-green with a single green row -----------------
+    shallow_r06 = {
+        **_pop("dedup", "chunk_overlap", "ngram_span_dedup", "minhash_pairs_skew"),
         **_pop("selection", "kmeans_lloyd_t3"),
-        **_pop("dedup", "minhash_pairs_skew", "chunk_overlap", "ngram_span_dedup"),
         **_pop("similarity", "semantic_dedup"),
     }
-    # slots 16-50: the r05-verified half rotating back in (35 queries)
-    window_tiers = (
+    # --- slots 24-28: r06-green, twice green (batch) ---------------------
+    mid_r06 = {
+        **_pop("temporal", "events_asof", "events_kmv_distinct", "events_range_join"),
+        **_pop("stateful", "sessionize", "user_sessions"),
+    }
+    # --- slots 29-32: r06-green streaming; "streaming"-named tier so the
+    # bench still measures them last (RocksDB maintenance-thread isolation)
+    streaming_window = _pop(
+        "streaming", "stream_click_attr", "stream_dedup", "stream_enrich", "stream_sliding"
+    )
+    # --- slots 33-50: the in-window SQL cohort (see docstring) ----------
+    sql_window = _pop_sql(
+        "events_cube",
+        "events_agg_count",
+        "events_cte_join",
+        "events_daily",
+        "events_latest",
+        "events_median",
+        "events_rolling",
+        "events_rollup",
+        "events_setops",
+        "events_topk",
+        "q15",
+        "q1_decimal",
+        "q2",
+        "q13",
+        "q17",
+        "q20",
+        "q21",
+        "q22",
+    )
+    # `sql` now holds the 15 sacrificed plain-shape TPC-H queries
+    window_tiers = ()
+    tail_tiers = (
         "selection",
         "dedup",
         "similarity",
@@ -220,20 +256,27 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
         "profile",
         "analytics",
         "graph",
+        "retrieval",
+        "bpe",
+        "sketches",
         "custom",
+        "pipeline",
+        "temporal",
+        "streaming",
+        "stateful",
+        "text",
     )
-    tail_tiers = ("temporal", "streaming", "stateful", "text")
     out = [
         ("promoted", promoted),
-        ("streaming-promoted", streaming_promoted),
-        ("stale-r04", stale_r04),
-        *[(n, by_name[n]) for n in window_tiers],
+        ("stale-r05", stale_r05),
+        ("shallow-r06", shallow_r06),
+        ("mid-r06", mid_r06),
+        ("streaming-window", streaming_window),
+        ("sql-window", sql_window),
         # ---- window boundary: exactly 50 entries above this line ----
         ("sql", sql),
-        ("sql_tail", sql_tail),
+        *[(n, by_name[n]) for n in window_tiers],
         *[(n, by_name[n]) for n in tail_tiers],
-        ("fresh-r06", fresh_r06),
-        ("deep-tail", deep_tail),
     ]
     return [(n, qs) for n, qs in out if qs]
 

@@ -91,15 +91,18 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def staged_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], DataFrame]]]]:
-    """Operators built and oracle-verified this round but NOT yet in the
-    50-entry driver gate window (round 7's window is fully spent on the 10
-    promoted round-6 operators plus the rotation — see
-    ``__spark_entry__.query_tiers``). Each staged operator carries the same
-    contract as a declared query — (spark, sf_dir) callable + DuckDB oracle
-    twin — and ``tests/test_staged_oracle.py`` runs the full cross-engine
-    hash comparison over them in every pytest run. At the round-8 rotation
-    they move into ``pipeline_tiers()``/the window's fresh tier and earn
-    driver-verified CORRECTNESS rows."""
+    """Operators built and oracle-verified but NOT yet in the 50-entry
+    driver gate window. Each staged operator carries the same contract as a
+    declared query — (spark, sf_dir) callable + DuckDB oracle twin — and
+    ``tests/test_staged_oracle.py`` runs the full cross-engine hash
+    comparison over them in every pytest run; at the next rotation they
+    move into ``pipeline_tiers()`` and earn driver CORRECTNESS rows.
+
+    EMPTY as of round 8: the three round-7 staged operators (bpe_apply,
+    hll_distinct, weighted_sample) were promoted at the round-8 rotation
+    and no new operators were staged (the 118-query surface already cycles
+    the gate window every 3 rounds; growth is deliberately frozen). The
+    machinery stays for future operators."""
     from ..streaming import events as streaming_events
     from . import bpe, curation, dedup, graph, retrieval, selection, sketches
 

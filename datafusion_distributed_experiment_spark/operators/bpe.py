@@ -242,7 +242,7 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {"bpe_merges_t2": bpe_merges_t2}
+    return {"bpe_merges_t2": bpe_merges_t2, "bpe_apply": bpe_apply}
 
 
 _POLY_TOK = DUCK_POLY_HASH.format(x="tok")
@@ -309,6 +309,7 @@ def _duck_chain() -> str:
 
 def oracles() -> dict[str, str]:
     return {
+        **_bpe_apply_oracle(),
         "bpe_merges_t2": f"""
             WITH {_duck_chain()}, per_word AS (
                 SELECT word, freq, CAST(COUNT(*) AS BIGINT) AS n_toks,
@@ -334,13 +335,17 @@ def oracles() -> dict[str, str]:
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Round-7 staged tier (bpe_merges_t2 was promoted into the window at
-    the round-7 rotation; bpe_apply is new this round and enters the window
-    at round 8)."""
-    return {"bpe_apply": bpe_apply}
+    """Empty since the round-8 promotion: bpe_apply moved into
+    :func:`queries` and the driver gate window."""
+    return {}
 
 
 def staged_oracles() -> dict[str, str]:
+    """Empty since the round-8 promotion (see :func:`staged_queries`)."""
+    return {}
+
+
+def _bpe_apply_oracle() -> dict[str, str]:
     toks = DUCK_TOKENS.format(x="text")
     return {
         "bpe_apply": f"""

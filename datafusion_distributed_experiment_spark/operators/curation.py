@@ -534,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_resample": domain_resample,
         "shuffle_shards": shuffle_shards,
         "repetition_stats": repetition_stats,
+        "weighted_sample": weighted_sample,
     }
 
 
@@ -553,6 +554,7 @@ def _duck_shingles(toks: str, k: int) -> str:
 
 def oracles() -> dict[str, str]:
     return {
+        **_weighted_sample_oracle(),
         "split_assign": f"""
             WITH b AS (
                 SELECT doc_id, ({_DUCK_DOC_HASH}) % 100 AS bucket FROM documents
@@ -715,13 +717,17 @@ def oracles() -> dict[str, str]:
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Round-7 staged tier: weighted_sample is new this round and enters
-    the driver gate window at round 8 (no round-7 slot exists — the window
-    is fully spent on the 10 promoted operators plus the rotation)."""
-    return {"weighted_sample": weighted_sample}
+    """Empty since the round-8 promotion: weighted_sample moved into
+    :func:`queries` and the driver gate window."""
+    return {}
 
 
 def staged_oracles() -> dict[str, str]:
+    """Empty since the round-8 promotion (see :func:`staged_queries`)."""
+    return {}
+
+
+def _weighted_sample_oracle() -> dict[str, str]:
     return {
         "weighted_sample": f"""
             WITH pri AS (

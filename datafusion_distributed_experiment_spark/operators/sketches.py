@@ -278,17 +278,21 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {"cms_heavy_hitters": cms_heavy_hitters}
+    return {"cms_heavy_hitters": cms_heavy_hitters, "hll_distinct": hll_distinct}
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Round-7 staged tier (cms_heavy_hitters was promoted into the window
-    at the round-7 rotation; hll_distinct is new this round and enters the
-    window at round 8)."""
-    return {"hll_distinct": hll_distinct}
+    """Empty since the round-8 promotion: hll_distinct moved into
+    :func:`queries` and the driver gate window."""
+    return {}
 
 
 def staged_oracles() -> dict[str, str]:
+    """Empty since the round-8 promotion (see :func:`staged_queries`)."""
+    return {}
+
+
+def _hll_oracle() -> dict[str, str]:
     from .temporal import HASH_HEX_DIGITS
 
     h48 = (
@@ -331,6 +335,7 @@ def _duck_bucket(d: int) -> str:
 
 
 def oracles() -> dict[str, str]:
+    out = _hll_oracle()
     cell_rows = " UNION ALL ".join(
         f"SELECT {d} AS d, {_duck_bucket(d)} AS bucket FROM events"
         for d in range(CMS_D)
@@ -340,6 +345,7 @@ def oracles() -> dict[str, str]:
         for d in range(CMS_D)
     )
     return {
+        **out,
         "cms_heavy_hitters": f"""
             WITH cells AS (
                 SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
