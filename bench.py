@@ -132,9 +132,30 @@ def main() -> int:
         clear_cache=not mem_mode,
         warm_epoch=os.environ.get("SPARK_GRAFT_BENCH_WARM_EPOCH", "1") != "0",
     )
+    # A partial run (SPARK_GRAFT_BENCH_ONLY) is written to its OWN file:
+    # overwriting results.json in place would clobber the full-run baseline
+    # in the working tree, refusing all subsequent regression comparisons
+    # until a full rerun (recoverable only via git). The comparison still
+    # reads the full-run results.json as the previous side — a partial
+    # CURRENT vs full PREVIOUS is exactly the re-measure use case; only a
+    # partial PREVIOUS is refused (see compare_runs).
+    here = os.path.dirname(os.path.abspath(__file__))
     if only:
         results["context"]["partial"] = sorted(wanted)
-    write_results(results, os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json"))
+        full_baseline = os.path.join(here, "results.json")
+        if os.path.exists(full_baseline):
+            from datafusion_distributed_experiment_spark.bench import compare_runs
+
+            try:
+                with open(full_baseline) as f:
+                    for line in compare_runs(results, json.load(f)):
+                        print(line)
+            except Exception:  # noqa: BLE001 - stale/corrupt previous file
+                pass
+        with open(os.path.join(here, "results.partial.json"), "w") as f:
+            json.dump(results, f, indent=2)
+    else:
+        write_results(results, os.path.join(here, "results.json"))
 
     per_query = {}
     spread = {}

@@ -479,6 +479,25 @@ _WSAMPLE_HASH_HEX = _HASH32_HEX
 _WSAMPLE_HASH_MOD = _HASH32_MOD
 
 
+def check_priority_headroom(max_weight: int) -> None:
+    """Raise PlanningError when the priority cross-multiplication
+    ``weight * 2^32`` could exceed int64: Spark's non-ANSI long multiply
+    WRAPS SILENTLY while the DuckDB oracle raises on BIGINT overflow, so
+    past the bound the engines diverge instead of failing loudly (the
+    pagerank/bm25/dsir/cms guard pattern). Pure so the trip condition is
+    unit-testable without a 2-GB document."""
+    i64 = 2**63 - 1
+    if max_weight > i64 // _WSAMPLE_HASH_MOD:
+        from ..errors import PlanningError
+
+        raise PlanningError(
+            f"weighted_sample priority would exceed int64 headroom at "
+            f"max_weight={max_weight} (bound {i64 // _WSAMPLE_HASH_MOD}); "
+            "chunk documents above ~2^31 chars or rescale the weight "
+            "before sampling"
+        )
+
+
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sample of :data:`WSAMPLE_K` documents by
     priority sampling, weight = ``n_chars``: ``(rank, doc_id, weight,
@@ -495,6 +514,13 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     in int64 up to w ~ 2^31 chars per document (a 2 GB single doc) —
     documents beyond that should be chunked regardless."""
     docs = _docs(spark, sf_dir).filter(F.col("n_chars").isNotNull())
+    # overflow guard (the module-family pattern): one MAX aggregate over the
+    # pruned n_chars column — scalar-sized collect, trips loudly where
+    # Spark's non-ANSI multiply would otherwise wrap silently
+    head = docs.agg(
+        F.max(F.greatest(F.col("n_chars").cast("long"), F.lit(1).cast("long"))).alias("mw")
+    ).first()
+    check_priority_headroom(int(head["mw"] or 0))
     pri = docs.select(
         "doc_id",
         F.greatest(F.col("n_chars").cast("long"), F.lit(1).cast("long")).alias(

@@ -1021,21 +1021,47 @@ def connected_components_star(pairs: DataFrame, max_iters: int = 32) -> DataFram
         spark.catalog.dropGlobalTempView(view)
 
 
-# Both clustering queries consume the IDENTICAL mined pair graph; in any
-# process that runs them back-to-back (the bench's 115-query sweep, the
-# driver's correctness pass) rebuilding it is pure waste — the LSH mine was
-# the two slowest suite entries' dominant cost. Memoized per (application,
-# sf_dir): localCheckpoint blocks live outside the catalog cache, so the
-# bench's between-query clearCache() cannot invalidate them, and they die
-# with the SparkContext (the applicationId key can never go stale). State
-# is the near-dup PAIR set — graph-sized, not corpus-sized.
+# Both clustering queries consume the IDENTICAL mined pair graph; in a
+# correctness pass that runs them back-to-back (the driver's oracle sweep,
+# gate.sh) rebuilding it is pure waste — the LSH mine is each query's
+# dominant cost. Memoized per (application, sf_dir): localCheckpoint blocks
+# live outside the catalog cache and die with the SparkContext (the
+# applicationId key can never go stale). State is the near-dup PAIR set —
+# graph-sized, not corpus-sized; only one sf_dir's graph is retained per
+# application (switching dirs evicts, so long-lived sessions cannot
+# accumulate). Keys assume the parquet under sf_dir is immutable for the
+# application's lifetime (true for the read-only testdata dirs); a path
+# whose contents are rewritten in-process must call
+# :func:`clear_pair_graph_memo` first.
+#
+# TIMED RUNS MUST NOT REUSE THE MEMO: a measured dedup_clusters iteration
+# that skips its documented dominant cost (the LSH mine) measures a
+# different job. The bench's between-query eviction and the scaling probe
+# call :func:`clear_pair_graph_memo` so every measured iteration rebuilds
+# the graph (round-8 advisory fix).
 _PAIR_GRAPH_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_pair_graph_memo() -> None:
+    """Drop all memoized pair graphs and release their checkpoint blocks.
+    Called by the bench harness between measured queries and by the scaling
+    probe between measured runs; also the escape hatch when an sf_dir's
+    parquet is rewritten within one application."""
+    while _PAIR_GRAPH_MEMO:
+        _, df = _PAIR_GRAPH_MEMO.popitem()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 - block cleanup is best-effort
+            pass
 
 
 def _shared_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     pairs = _PAIR_GRAPH_MEMO.get(key)
     if pairs is None:
+        # one retained graph per application: evict (and unpersist) any
+        # other sf_dir's entry so executor storage is bounded
+        clear_pair_graph_memo()
         pairs = (
             minhash_dedup_pairs(spark, sf_dir)
             .select("doc_a", "doc_b")

@@ -227,3 +227,48 @@ def test_compare_runs_refuses_partial_baseline():
     # a full previous run still compares normally
     del prev["context"]["partial"]
     assert any("q9" in l for l in compare_runs(cur, prev))
+
+
+def test_measured_iterations_evict_cross_query_memos():
+    """Round-8 advisory fix: the minhash pair-graph memo (localCheckpoint
+    blocks OUTSIDE the catalog cache, deliberately shared by the driver's
+    correctness pass) must NOT survive the bench's between-query eviction —
+    a measured dedup_clusters iteration that reuses it skips the LSH mine,
+    its documented dominant cost, and times a different job."""
+    from datafusion_distributed_experiment_spark.operators import dedup
+
+    class _Catalog:
+        def clearCache(self):
+            pass
+
+    class _CatalogSpark(_FakeSpark):
+        catalog = _Catalog()
+
+    class _FakeCheckpoint:
+        unpersisted = 0
+
+        def unpersist(self):
+            _FakeCheckpoint.unpersisted += 1
+
+    evictions: list[int] = []
+
+    def probe(spark, sf_dir):
+        # memo state seen AT QUERY START: a prior query's entry must be gone
+        evictions.append(len(dedup._PAIR_GRAPH_MEMO))
+        dedup._PAIR_GRAPH_MEMO[("app", sf_dir)] = _FakeCheckpoint()
+        return _FakeDF(1)
+
+    dedup._PAIR_GRAPH_MEMO.clear()
+    try:
+        run_benchmark(
+            _CatalogSpark(), None, "sf", iterations=2, warmup=False,
+            tiers=[("sql", {"p": probe})], clear_cache=True, warm_epoch=True,
+        )
+        # epoch + 2 interleaved + FLOOR_EXTRA floor runs, every one of them
+        # starting with an EMPTY memo (the previous run's entry evicted)
+        assert evictions == [0] * (3 + FLOOR_EXTRA), evictions
+        assert not dedup._PAIR_GRAPH_MEMO
+        # eviction released the checkpoint blocks, not just the dict entry
+        assert _FakeCheckpoint.unpersisted == 3 + FLOOR_EXTRA
+    finally:
+        dedup._PAIR_GRAPH_MEMO.clear()

@@ -147,3 +147,23 @@ def test_priority_sampling_subset_sum_estimator(duck):
     tau0 = pri0[WSAMPLE_K][0]
     est0 = sum(max(w, tau0) for _, w in pri0[:WSAMPLE_K])
     assert abs(est0 - total) / total < 4 * sd, (est0, total, sd)
+
+
+def test_priority_headroom_guard():
+    """Trip + pass paths of the cross-multiplication guard (the
+    pagerank/bm25/dsir/cms pattern): weight * 2^32 must stay in int64 —
+    past the bound Spark's non-ANSI multiply wraps silently while the
+    DuckDB oracle raises, so the engines would diverge instead of
+    failing loudly."""
+    import pytest
+
+    from datafusion_distributed_experiment_spark.errors import PlanningError
+    from datafusion_distributed_experiment_spark.operators.curation import (
+        _WSAMPLE_HASH_MOD,
+        check_priority_headroom,
+    )
+
+    bound = (2**63 - 1) // _WSAMPLE_HASH_MOD
+    check_priority_headroom(bound)  # a ~2-GB document: exactly at the bound
+    with pytest.raises(PlanningError, match="int64 headroom"):
+        check_priority_headroom(bound + 1)
