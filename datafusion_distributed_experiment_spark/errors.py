@@ -68,7 +68,10 @@ _SUBTYPE_MARKERS: list[tuple[type[ExecutionError], tuple[str, ...]]] = [
     (
         ResourceError,
         (
-            "OutOfMemoryError",
+            # "MemoryError" also matches the JVM's "OutOfMemoryError" (as a
+            # substring) AND a Python worker's MemoryError traceback — both
+            # sides of the Arrow boundary land in the resource variant
+            "MemoryError",
             "Total size of serialized results",
             "exceeds memory limit",
             "RESOURCES_EXHAUSTED",

@@ -233,12 +233,18 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(chars.select("word", F.col("pos").alias("tpos"), "tok")), "word"
     ).join(F.broadcast(ids), "tok")
     wdoc = Window.partitionBy("doc_id").orderBy("widx", "tpos")
+    # sortWithinPartitions, NOT a global orderBy: the output is corpus-sized
+    # (one row per token), so a presentation sort would add a second
+    # corpus-wide range exchange for nothing — the driver's value hash is
+    # order-insensitive and every consumer (pytest reconstruction, oracle
+    # compare) sorts locally. Within-partition (doc_id, pos) order keeps
+    # per-document runs contiguous for downstream writers at zero exchanges.
     return flat.select(
         "doc_id",
         (F.row_number().over(wdoc) - 1).cast("long").alias("pos"),
         "token_id",
         F.col("tok").alias("token"),
-    ).orderBy("doc_id", "pos")
+    ).sortWithinPartitions("doc_id", "pos")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -160,3 +160,90 @@ def test_corrupt_parquet_is_data_format_error(spark, tmp_path):
         spark.read.parquet(str(bad_dir)).collect()
     err = map_exception(exc.value)
     assert isinstance(err, DataFormatError), str(err)[:300]
+
+
+# ------------------------------------------------------------------ #
+# Subtype WIRE tests (round-8 verdict task): one integration test per
+# ExecutionError subtype where the failure is raised INSIDE an executor
+# task and crosses the task->driver boundary before classification —
+# the Spark analog of the reference's per-variant network round-trip
+# (src/errors/datafusion_error.rs:282-405). The driver-side classifier
+# must land the shipped failure in the right variant WITH the original
+# message intact.
+# ------------------------------------------------------------------ #
+
+
+def test_wire_deleted_file_is_storage_error(spark, tmp_path):
+    """StorageError across the boundary: plan against a valid file index,
+    delete the part file underneath, re-execute — the SCAN TASK (not the
+    driver's listing) hits FileNotFoundException and ships it back."""
+    import glob
+    import os
+
+    from datafusion_distributed_experiment_spark import StorageError
+
+    path = str(tmp_path / "vanishing.parquet")
+    spark.range(100).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert df.count() == 100  # file index + first healthy read
+    for part in glob.glob(os.path.join(path, "*.parquet")):
+        os.remove(part)
+    with pytest.raises(Exception) as exc:
+        df.collect()  # cached index still lists the file; the task opens it
+    err = map_exception(exc.value)
+    assert isinstance(err, StorageError), str(err)[:300]
+    assert "vanishing" in str(err)
+
+
+def test_wire_type_conflict_is_schema_mismatch_error(spark, tmp_path):
+    """SchemaMismatchError across the boundary: parquet written as DOUBLE,
+    read with a declared INT schema — the declared schema means the driver
+    never probes footers, so the conversion failure is raised by the
+    vectorized reader inside the scan task."""
+    from datafusion_distributed_experiment_spark import SchemaMismatchError
+
+    path = str(tmp_path / "typed.parquet")
+    spark.range(50).selectExpr("CAST(id AS DOUBLE) AS x").write.parquet(path)
+    with pytest.raises(Exception) as exc:
+        spark.read.schema("x INT").parquet(path).collect()
+    err = map_exception(exc.value)
+    assert isinstance(err, SchemaMismatchError), str(err)[:300]
+    assert "x" in str(err) and "typed" in str(err)
+
+
+def test_wire_corrupt_footer_is_data_format_error(spark, tmp_path):
+    """DataFormatError across the boundary: junk bytes under a .parquet
+    name, with an EXPLICIT read schema so driver-side footer inference is
+    skipped and the footer failure happens in the scan task itself."""
+    from datafusion_distributed_experiment_spark import DataFormatError
+
+    bad_dir = tmp_path / "corrupt_remote.parquet"
+    bad_dir.mkdir()
+    (bad_dir / "part-00000.parquet").write_bytes(b"PAR0 these bytes lie")
+    with pytest.raises(Exception) as exc:
+        spark.read.schema("x BIGINT").parquet(str(bad_dir)).collect()
+    err = map_exception(exc.value)
+    assert isinstance(err, DataFormatError), str(err)[:300]
+
+
+def test_wire_worker_memory_exhaustion_is_resource_error(spark):
+    """ResourceError across the boundary: a Python worker that fails to
+    allocate raises MemoryError inside the task; the traceback ships back
+    through the Arrow boundary and must classify as the resource variant
+    with the allocation message intact. (A real heap OOM would take the
+    shared test JVM down with it — the worker-side MemoryError is the
+    boundary-faithful simulation.)"""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from datafusion_distributed_experiment_spark import ResourceError
+
+    @F.udf(returnType=LongType())
+    def alloc(x):
+        raise MemoryError("simulated 64 GiB allocation failure: 424242-marker")
+
+    with pytest.raises(Exception) as exc:
+        spark.range(10).select(alloc("id")).collect()
+    err = map_exception(exc.value)
+    assert isinstance(err, ResourceError), str(err)[:300]
+    assert "424242-marker" in str(err)

@@ -666,3 +666,56 @@ def test_bpe_apply_model_broadcasts_single_corpus_scan(spark):
     # checkpointed chars RDD, not parquet)
     assert plan.count("FileScan parquet") == 1, plan[:3000]
     assert "windowspecdefinition(doc_id" in plan, plan[:3000]
+
+
+def test_single_partition_windows_are_model_sized(spark):
+    """GATE.txt shows benign 'WindowExec: No Partition Defined' warnings
+    from exactly two declared-query places: token_budget_select's band
+    OFFSET frame and bpe_apply's vocab id-assignment window. Both are
+    model-sized BY CONSTRUCTION — the band table is O(score_range /
+    SCORE_BAND_WIDTH) rows and the id window runs over the trained
+    VOCABULARY, never the corpus — so the single-partition sort the warning
+    fears is a handful-of-rows task. Pin both facts: (a) each plan has
+    EXACTLY ONE unpartitioned Window (a new global window over the corpus
+    would show up as a second), (b) the actual frame inputs are orders of
+    magnitude below corpus size."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.functions.text import tokens
+    from datafusion_distributed_experiment_spark.operators.bpe import bpe_apply
+    from datafusion_distributed_experiment_spark.operators.selection import (
+        SCORE_BAND_WIDTH,
+        token_budget_select,
+    )
+
+    from .conftest import SF_DIR
+
+    def unpartitioned_windows(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        wins = [
+            line for line in plan.splitlines() if "windowspecdefinition" in line
+        ]
+        # node shape: `Window [funcs], [partSpec], [orderSpec]` — an
+        # UNPARTITIONED window has only two top-level groups (funcs, order)
+        return [w for w in wins if len(re.findall(r"\], \[", w)) == 1], wins
+
+    sf = SF_DIR
+    unpart, wins = unpartitioned_windows(token_budget_select(spark, sf))
+    assert len(unpart) == 1, wins
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_bands = (
+        docs.filter(F.col("n_chars").isNotNull())
+        .select(F.expr(f"n_chars DIV {SCORE_BAND_WIDTH}"))
+        .distinct()
+        .count()
+    )
+    assert n_bands <= 64, n_bands  # the offset frame's whole input
+
+    unpart, wins = unpartitioned_windows(bpe_apply(spark, sf))
+    assert len(unpart) == 1, wins
+    vocab = docs.select(F.explode(tokens(F.col("text"))).alias("w")).distinct().count()
+    corpus_tokens = docs.select(F.explode(tokens(F.col("text")))).count()
+    # trained token count is O(vocab * word_len), bounded far below corpus
+    assert vocab * 8 < corpus_tokens, (vocab, corpus_tokens)

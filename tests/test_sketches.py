@@ -5,6 +5,7 @@ partition-local sketches == the global sketch).
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -258,7 +259,7 @@ def test_hll_oracle_sql_matches_python_replica(ids):
         HLL_ALPHA_X,
         HLL_M,
         HLL_RHO_CAP,
-        staged_oracles,
+        oracles,
     )
 
     # ---- python replica ----
@@ -284,7 +285,7 @@ def test_hll_oracle_sql_matches_python_replica(ids):
 
     con = duckdb.connect()
     con.execute("CREATE TABLE events AS SELECT 'x' AS event_type, UNNEST(?) AS user_id", [ids])
-    row = con.execute(staged_oracles()["hll_distinct"]).fetchall()[0]
+    row = con.execute(oracles()["hll_distinct"]).fetchall()[0]
     assert row[1] == zeros
     assert row[2] == want_est, (row[2], want_est, zeros, raw)
     assert row[3] == len(set(ids))
@@ -303,3 +304,26 @@ def test_cms_heavy_flag_headroom_guard():
     check_heavy_flag_headroom(10**12, 10**6)  # 1T events, 1M users: fine
     with pytest.raises(PlanningError, match="int64 headroom"):
         check_heavy_flag_headroom(10**12, 10**9)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_hll_relative_error_stays_in_published_band(spark, sf_dir):
+    """Accuracy envelope ON DATA, at both verification scales (round-8
+    verdict task): the estimator's own oracle only proves Spark == DuckDB —
+    a hash or bitlen-ladder edit could degrade ACCURACY while still
+    hash-matching its twin. HyperLogLog's published asymptotic stderr is
+    1.04/sqrt(m) ~= 3.25% at m=1024 (linear-counting regime tighter);
+    pin every key inside a 3-sigma ~10% envelope and the mean inside
+    ~1.6-sigma 5% (measured today: +2% at sf0.01, +4.7% worst-key at
+    sf0.1 — a regression past these bands is an algorithm break, not
+    noise)."""
+    rows = hll_distinct(spark, sf_dir).collect()
+    assert rows, "no event types"
+    errs = [
+        abs(r["est_distinct"] - r["exact_distinct"]) / r["exact_distinct"]
+        for r in rows
+    ]
+    assert max(errs) <= 0.10, [
+        (r["event_type"], r["est_distinct"], r["exact_distinct"]) for r in rows
+    ]
+    assert sum(errs) / len(errs) <= 0.05, errs
