@@ -666,6 +666,9 @@ def test_bpe_apply_model_broadcasts_single_corpus_scan(spark):
     # checkpointed chars RDD, not parquet)
     assert plan.count("FileScan parquet") == 1, plan[:3000]
     assert "windowspecdefinition(doc_id" in plan, plan[:3000]
+    # r8: output order is sortWithinPartitions — a global presentation sort
+    # would put a second corpus-sized RANGE exchange back into the plan
+    assert "rangepartitioning" not in plan, plan[:3000]
 
 
 def test_single_partition_windows_are_model_sized(spark):
