@@ -37,9 +37,8 @@ from datafusion_distributed_experiment_spark import Engine
 from datafusion_distributed_experiment_spark import queries as corpus
 
 _SQL_QUERIES = [
-    # events_window_funcs' last driver row is CORRECTNESS_r05; it is one of
-    # the round-7 stale-budget sacrifices (see query_tiers) and stays in
-    # the sql_tail tier behind the window
+    # events_window_funcs was a round-7 stale-budget sacrifice (last green
+    # r05) and re-enters the round-8 window with the rest of that cohort
     "adhoc/events_window_funcs",
     *(f"tpch/q{i}" for i in range(1, 23)),
     "adhoc/events_agg_count",
