@@ -479,6 +479,43 @@ _WSAMPLE_HASH_HEX = _HASH32_HEX
 _WSAMPLE_HASH_MOD = _HASH32_MOD
 
 
+def _parquet_column_max(sf_dir: str, table: str, column: str) -> int | None:
+    """Max of an integer column read from parquet FOOTER statistics — the
+    zero-job way to bound a guard input (at 100 TB a MAX aggregate is a
+    full column scan; row-group stats are a driver-side metadata read).
+    Returns None when any file/row-group lacks stats (the caller falls back
+    to the aggregate)."""
+    import glob as _glob
+    import os as _os
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return None
+    root = f"{sf_dir}/{table}.parquet"
+    files = [root] if _os.path.isfile(root) else sorted(
+        _glob.glob(_os.path.join(root, "*.parquet"))
+    )
+    if not files:
+        return None
+    best: int | None = None
+    for f in files:
+        try:
+            md = pq.ParquetFile(f).metadata
+        except Exception:  # noqa: BLE001 - unreadable footer -> fallback
+            return None
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if column not in idx:
+            return None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx[column]).statistics
+            if st is None or not st.has_min_max:
+                return None
+            v = st.max
+            best = v if best is None or v > best else best
+    return best
+
+
 def check_priority_headroom(max_weight: int) -> None:
     """Raise PlanningError when the priority cross-multiplication
     ``weight * 2^32`` could exceed int64: Spark's non-ANSI long multiply
@@ -514,13 +551,22 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     in int64 up to w ~ 2^31 chars per document (a 2 GB single doc) —
     documents beyond that should be chunked regardless."""
     docs = _docs(spark, sf_dir).filter(F.col("n_chars").isNotNull())
-    # overflow guard (the module-family pattern): one MAX aggregate over the
-    # pruned n_chars column — scalar-sized collect, trips loudly where
-    # Spark's non-ANSI multiply would otherwise wrap silently
-    head = docs.agg(
-        F.max(F.greatest(F.col("n_chars").cast("long"), F.lit(1).cast("long"))).alias("mw")
-    ).first()
-    check_priority_headroom(int(head["mw"] or 0))
+    # overflow guard (the module-family pattern): trips loudly where
+    # Spark's non-ANSI multiply would otherwise wrap silently. The bound
+    # comes from parquet FOOTER stats when available (driver-side metadata
+    # read, zero jobs — the only answer at 100 TB); a stats-less file falls
+    # back to one MAX aggregate over the pruned n_chars column.
+    max_w = _parquet_column_max(sf_dir, "documents", "n_chars")
+    if max_w is None:
+        max_w = (
+            docs.agg(
+                F.max(
+                    F.greatest(F.col("n_chars").cast("long"), F.lit(1).cast("long"))
+                ).alias("mw")
+            ).first()["mw"]
+            or 0
+        )
+    check_priority_headroom(max(int(max_w), 1))
     pri = docs.select(
         "doc_id",
         F.greatest(F.col("n_chars").cast("long"), F.lit(1).cast("long")).alias(
