@@ -201,13 +201,18 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: training is the shared vocabulary-sized dataflow
     (:func:`_trained_chars`). Encoding is one corpus scan: per-doc word
-    positions explode map-side, then TWO BROADCAST joins against the
-    model — word -> its trained token rows, token -> id (both
+    positions explode map-side, then BROADCAST joins against the model —
+    word -> token count, word -> its trained token rows, token -> id (all
     vocabulary-sized, i.e. model state). The only corpus-wide exchange is
-    the per-doc position window, partitioned by doc_id with per-task state
-    bounded by one document's tokens. The id-assignment window is global
-    but runs over the VOCABULARY (model-sized, like the kmeans centroid
-    collect) — never the corpus."""
+    the per-doc prefix-sum window, and it runs over WORD rows, not token
+    rows: because trained positions are dense 0..n_toks-1 within each word
+    (re-compacted every merge round), ``pos = (tokens in preceding words)
+    + tpos`` — so the cumulative sum needs only one row per corpus word,
+    and the token-level fan-out happens map-side AFTER the exchange
+    (~4-5x less shuffled/sorted volume than numbering exploded token
+    rows). Per-task window state is one document's words. The
+    id-assignment window is global but runs over the VOCABULARY
+    (model-sized, like the kmeans centroid collect) — never the corpus."""
     chars = _trained_chars(spark, sf_dir)
     ids = (
         chars.groupBy("tok")
@@ -229,10 +234,19 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     dw = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("widx", "word")
     )
-    flat = dw.join(
+    n_toks = chars.groupBy("word").agg(F.count("*").cast("long").alias("n_toks"))
+    # the ONLY corpus exchange: per-doc running token offset over WORD rows
+    # (trained positions are dense per word, so offset + tpos IS the global
+    # token position — no need to shuffle the exploded token rows)
+    w_off = Window.partitionBy("doc_id").orderBy("widx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dw_off = dw.join(F.broadcast(n_toks), "word").withColumn(
+        "off", F.coalesce(F.sum("n_toks").over(w_off), F.lit(0)).cast("long")
+    )
+    flat = dw_off.join(
         F.broadcast(chars.select("word", F.col("pos").alias("tpos"), "tok")), "word"
     ).join(F.broadcast(ids), "tok")
-    wdoc = Window.partitionBy("doc_id").orderBy("widx", "tpos")
     # sortWithinPartitions, NOT a global orderBy: the output is corpus-sized
     # (one row per token), so a presentation sort would add a second
     # corpus-wide range exchange for nothing — the driver's value hash is
@@ -241,7 +255,7 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-document runs contiguous for downstream writers at zero exchanges.
     return flat.select(
         "doc_id",
-        (F.row_number().over(wdoc) - 1).cast("long").alias("pos"),
+        (F.col("off") + F.col("tpos")).cast("long").alias("pos"),
         "token_id",
         F.col("tok").alias("token"),
     ).sortWithinPartitions("doc_id", "pos")

@@ -47,7 +47,7 @@ SHOWCASE = [
     ("span_scrub", "scrub apply step: checkpointed position table, MIN-owner aggregate, constant K fan-out to token coverage, ONE (doc,token) left join"),
     ("lpa_communities_t3", "label propagation: checkpointed |E|-row bidirected edges reused every round; per round one join + aggregate + per-node top-1 window"),
     ("bfs_hops_t3", "multi-source BFS: min-plus frontier relaxation as one join + min-aggregate per round on the checkpointed edge list"),
-    ("bpe_apply", "tokenizer encode: trained model broadcasts twice (word->tokens, token->id, both vocab-sized); ONE corpus scan; only corpus-wide exchange is the per-doc position window"),
+    ("bpe_apply", "tokenizer encode: trained model broadcasts three ways (word->n_toks, word->tokens, token->id, all vocab-sized); ONE corpus scan; only corpus-wide exchange is the per-doc prefix sum over WORD rows — token fan-out is map-side after it"),
     ("hll_distinct", "HLL build: per-key register MAX merges map-side; integer estimator is a pure projection; exact twin rides the same key exchange"),
     ("weighted_sample", "priority sampling: map-only integer priorities, TakeOrderedAndProject top-k (per-partition heaps, no global sort); rank window bounded by k rows"),
 ]

@@ -660,7 +660,10 @@ def test_bpe_apply_model_broadcasts_single_corpus_scan(spark):
     df = bpe_apply(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     s = stage_summary(df)
-    assert s["broadcasts"] >= 2, (s, plan[:3000])
+    # r8: three model-sized broadcasts (word->n_toks, word->token rows,
+    # token->id); the corpus-wide doc_id exchange carries WORD rows with
+    # the token fan-out joined map-side above it
+    assert s["broadcasts"] >= 3, (s, plan[:3000])
     assert "SortMergeJoin" not in plan, plan[:3000]
     # one parquet scan for the encode side (the trained model reads the
     # checkpointed chars RDD, not parquet)
