@@ -78,7 +78,15 @@ def _merge_round(chars: DataFrame) -> DataFrame:
     with ``match`` set, and the classic islands windows find run starts and
     offsets in one pass — a matched position merges iff its offset within
     its run is even, and the row after a merged position is the consumed
-    right half."""
+    right half.
+
+    A round with NO adjacent pair anywhere (every word already a single
+    token — reachable on tiny vocabularies before MERGE_ITERS runs out) is
+    a NO-OP, as in standard BPE early stopping: the 1-row argmax is joined
+    LEFT on a constant key, so an empty winner leaves every token
+    unmatched instead of emptying the vocabulary through a cross join
+    (hypothesis-caught on the corpus [['aa']]; the DuckDB oracle chain
+    no-ops the same way)."""
     wp = Window.partitionBy("word").orderBy("pos")
     wcum = wp.rowsBetween(Window.unboundedPreceding, 0)
     paired = chars.withColumn("nxt", F.lead("tok").over(wp))
@@ -88,10 +96,12 @@ def _merge_round(chars: DataFrame) -> DataFrame:
         .agg(F.sum("freq").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "x", "y")
         .limit(1)
-        .select("x", "y")
+        .select("x", "y", F.lit(1).alias("__k"))
     )
     flagged = (
-        paired.crossJoin(top)
+        paired.withColumn("__k", F.lit(1))
+        .join(top, "__k", "left")
+        .drop("__k")
         .withColumn(
             "match",
             F.coalesce(
@@ -294,10 +304,13 @@ def _duck_round(prev: str, this: str) -> str:
     ), {this}_mpos AS (
         SELECT word, pos FROM {this}_matched WHERE off % 2 = 0
     ), {this}_raw AS (
+        -- LEFT JOIN ON TRUE, not CROSS JOIN: an empty winner (no pair
+        -- anywhere = BPE early stop) must leave the round a NO-OP rather
+        -- than empty the vocabulary (mirrors the Spark merge round)
         SELECT c.word, c.freq, c.pos,
                CASE WHEN m.pos IS NOT NULL THEN t.x || t.y ELSE c.tok END AS tok
         FROM {this}_paired c
-        CROSS JOIN {this}_top t
+        LEFT JOIN {this}_top t ON TRUE
         LEFT JOIN {this}_mpos m ON m.word = c.word AND m.pos = c.pos
         LEFT JOIN {this}_mpos p ON p.word = c.word AND p.pos = c.pos - 1
         WHERE p.pos IS NULL

@@ -238,3 +238,38 @@ def test_bpe_apply_matches_python_replica(spark, tmp_path_factory, docs):
         for r in bpe_apply(spark, str(sf)).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_pairless_merge_round_is_a_noop(spark, tmp_path):
+    """Regression (hypothesis-caught, round 8): a corpus whose vocabulary
+    fully merges before MERGE_ITERS runs out (here [['aa']] — one pair,
+    gone after round 1) must EARLY-STOP like standard BPE. The old cross
+    join against the empty 1-row argmax emptied the vocabulary, making
+    bpe_apply/bpe_merges_t2 return zero rows; both engines agreed (same
+    degenerate dataflow), so only an algorithm-level replica could see it."""
+    import duckdb
+
+    from datafusion_distributed_experiment_spark.operators.bpe import (
+        bpe_apply,
+        bpe_merges_t2,
+        oracles,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame([(0, "aa")], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    enc = [tuple(r) for r in bpe_apply(spark, sf).collect()]
+    assert enc == [(0, 0, 1, "aa")], enc
+    stats = [tuple(r) for r in bpe_merges_t2(spark, sf).collect()]
+    # one doc, one word, ONE surviving bpe token (the merged 'aa')
+    assert len(stats) == 1 and stats[0][:3] == (0, 1, 1), stats
+
+    # the DuckDB oracle chain no-ops identically
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    rows = con.execute(oracles()["bpe_apply"]).fetchall()
+    assert [tuple(r) for r in rows] == [(0, 0, 1, "aa")], rows
