@@ -216,7 +216,16 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle exactly once (its minimum-key vertex owns it). The collapsed
     graph is checkpointed once (<= |V|^2 rows, KB-scale here) so the fact
     joins never re-run for the three edge consumers."""
-    kept = _kept_undirected(spark, sf_dir)
+    return triangle_frame(_kept_undirected(spark, sf_dir)).orderBy("node")
+
+
+def triangle_frame(kept: DataFrame) -> DataFrame:
+    """Frame-level degree-ordered triangle kernel: unique undirected
+    ``kept(u, v)`` (u != v, one row per pair) -> ``(node, n_triangles)``
+    — see :func:`triangle_count`. Exposed separately so the counting
+    semantics (orientation, each triangle owned once, isolated-in-graph
+    nodes reporting 0) are testable on constructed graphs against a
+    brute-force replica."""
     deg = (
         kept.select(F.col("u").alias("node"))
         .unionAll(kept.select(F.col("v").alias("node")))
@@ -276,13 +285,9 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(kept.select(F.col("v").alias("node")))
         .distinct()
     )
-    return (
-        nodes.join(per_node, "node", "left")
-        .select(
-            F.col("node").cast("long").alias("node"),
-            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
-        )
-        .orderBy("node")
+    return nodes.join(per_node, "node", "left").select(
+        F.col("node").cast("long").alias("node"),
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
     )
 
 
@@ -390,19 +395,28 @@ def bfs_hops_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted-majority). Fixed rounds keep it bit-deterministic and make the
     DuckDB oracle an unrolled-CTE replay."""
     kept = _kept_undirected(spark, sf_dir)
-    bi = kept.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-        kept.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    ).localCheckpoint()  # reused every round
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    nodes = nation.select(
+    seeds = nation.select(
         F.col("n_nationkey").alias("v"),
         F.when(F.col("n_regionkey") == BFS_SOURCE_REGION, F.lit(0))
         .otherwise(F.lit(BFS_INF))
         .cast("long")
         .alias("d"),
     )
-    dist = nodes
-    for _ in range(BFS_ITERS):
+    return bfs_frame(seeds, kept).orderBy("v")
+
+
+def bfs_frame(seeds: DataFrame, und: DataFrame, iters: int = BFS_ITERS) -> DataFrame:
+    """Frame-level min-plus BFS kernel: ``seeds(v, d)`` (0 for sources,
+    :data:`BFS_INF` otherwise) x undirected ``und(u, v)`` -> ``(v, hops)``
+    after ``iters`` synchronous rounds — see :func:`bfs_hops_t3`. Exposed
+    separately so the relaxation semantics (multi-source min, round budget,
+    unreached sentinel) are testable on constructed graphs."""
+    bi = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint()  # reused every round
+    dist = seeds
+    for _ in range(iters):
         relaxed = (
             bi.join(dist.select(F.col("v").alias("b"), "d"), "b")
             .groupBy(F.col("a").alias("v"))
@@ -419,7 +433,7 @@ def bfs_hops_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return dist.select(
         F.col("v").cast("long").alias("v"), F.col("d").alias("hops")
-    ).orderBy("v")
+    )
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
