@@ -136,33 +136,40 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     artifacts, i.e. at most ~2 completed rounds stale at commit time; (c)
     the queries left to age furthest are chosen deepest-evidence-first.
 
-    ROUND 8 — the window (50):
-    * slots 1-3: the promoted round-7 staged operators (bpe_apply,
-      hll_distinct, weighted_sample — never driver-checked, lead).
-    * slots 4-18: the 15 queries whose last green row is CORRECTNESS_r05
-      (the round-7 sacrifice cohort — two rounds stale, must not reach
-      three): ann_ivf, ann_lsh, embedding_dedup, embedding_topk,
-      media_features, media_frames, media_meta_stats, minhash_dedup_pairs,
-      ngram_jaccard_pairs, simhash_dedup_pairs, simhash_signatures,
-      dedup_clusters, dedup_incremental, split_assign, events_window_funcs.
-    * slots 19-50: 32 of the 50 r06-green queries, shallowest evidence
-      first: the five single-green (chunk_overlap, ngram_span_dedup,
-      minhash_pairs_skew, kmeans_lloyd_t3, semantic_dedup), the ten
-      twice-green (events_asof, events_kmv_distinct, events_range_join,
-      sessionize, user_sessions, stream_click_attr, stream_dedup,
-      stream_enrich, stream_sliding, events_cube), then 17 of the 4x/5x-
-      green SQL corpus — all 10 remaining ad-hoc queries plus the 8
-      TPC-H queries with the most distinctive constructs (q15's
-      multi-statement script, q1_decimal's decimal promotion, q2's nested
-      correlated subquery, q13's outer-join count, q17/q20's correlated
-      scalar subqueries, q21/q22's EXISTS/NOT-EXISTS + NOT-IN).
+    ROUND 9 — the window (50):
+    * slots 1-18: the 18 queries whose last green row is CORRECTNESS_r06
+      (the round-8 sacrifice cohort — two completed rounds stale, the
+      rotation contract says they re-enter now): the fifteen TPC-H
+      queries q1, q3-q12, q14, q16, q18, q19 and the three text ops
+      text_stats, lang_id, fingerprint.
+    * slots 19-28: the ten r07-green queries with a SINGLE green row
+      (the operators promoted at the round-7 rotation): bfs_hops_t3,
+      lpa_communities_t3, triangle_count, bm25_topk, dsir_weights,
+      bpe_merges_t2, winnow_fingerprints, span_scrub, cms_heavy_hitters,
+      and stream_topk (kept in a "streaming"-named tier so the bench
+      still measures it last).
+    * slots 29-50: 22 of the 36 twice-green r07 queries. All 36 carry
+      equal evidence depth, so the tie-break is risk-weighted: the
+      iterative/composed/stateful operators whose silent-regression risk
+      is highest take the slots (dedup_clusters_star's CC loop,
+      corpus_pipeline's composition, rollup_incremental's IVM path,
+      custom_source_scan's codec, cdc_apply_changes, sessionize_native,
+      bloom_semi_agg, embedding_quantize, media_dedup, media_resize,
+      pagerank_nations, kmeans_assign, token_budget_select, and the nine
+      hash-sensitive curation samplers: chunk_documents, decontaminate,
+      domain_mix, domain_resample, pack_sequences, pii_scrub,
+      repetition_stats, shuffle_shards, stratified_sample).
 
     SACRIFICED this round (18, deepest-evidence-first; they re-enter at
-    round 9): the three 5x-green text ops (fingerprint, lang_id,
-    text_stats) and the fifteen 4x-green plain-shape TPC-H queries (q1,
-    q3-q12, q14, q16, q18, q19) — single-text SQL shared verbatim with the
-    oracle, whose join/agg constructs all recur in the in-window eight.
-    The 50 r07-green queries sit behind the window as the freshest cohort.
+    round 10): the four deep-evidence ops (quality_score 4x-green;
+    dedup_exact, minhash_signatures, token_count 5x-green) and the 14
+    map-only/single-exchange analytics shapes among the twice-green
+    (anomaly_days, basket_pairs, event_sequences, events_json,
+    events_percentiles, events_percentiles_hist, events_pivot,
+    events_unpivot, funnel, retention, salted_events_enrich, top_terms,
+    ngram_top, table_profile) — the lowest-risk dataflows in the r07
+    cohort. The 50 r08-green queries sit behind the window as the
+    freshest cohort.
 
     The bench re-orders tiers for measurement isolation ("streaming"-named
     tiers run last); see ``operators.pipeline_tiers``."""
@@ -183,67 +190,52 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     def _pop_sql(*names: str) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return {n: sql.pop(n) for n in names}
 
-    # --- window slots 1-3: the promoted round-7 staged operators -------
-    promoted = {
-        **_pop("bpe", "bpe_apply"),
-        **_pop("sketches", "hll_distinct"),
-        **_pop("curation", "weighted_sample"),
+    # --- slots 1-15: r06-stale TPC-H re-entries (round-8 sacrifice) ----
+    stale_sql = _pop_sql(
+        "q1", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
+        "q12", "q14", "q16", "q18", "q19",
+    )
+    # --- slots 16-18: r06-stale text ops (round-8 sacrifice) -----------
+    stale_text = _pop("text", "text_stats", "lang_id", "fingerprint")
+    # --- slots 19-27: promoted-at-r7 single-green (batch) --------------
+    shallow_r07 = {
+        **_pop("graph", "bfs_hops_t3", "lpa_communities_t3", "triangle_count"),
+        **_pop("retrieval", "bm25_topk"),
+        **_pop("selection", "dsir_weights"),
+        **_pop("bpe", "bpe_merges_t2"),
+        **_pop("dedup", "winnow_fingerprints", "span_scrub"),
+        **_pop("sketches", "cms_heavy_hitters"),
     }
-    # --- slots 4-18: last green r05, two rounds stale, must re-verify --
-    stale_r05 = {
-        **_pop("similarity", "ann_ivf", "ann_lsh", "embedding_dedup", "embedding_topk"),
-        **_pop("multimodal", "media_features", "media_frames", "media_meta_stats"),
+    # --- slot 28: promoted-at-r7 single-green streaming; "streaming"-
+    # named tier so the bench still measures it last (RocksDB
+    # maintenance-thread isolation)
+    streaming_window = _pop("streaming", "stream_topk")
+    # --- slots 29-50: twice-green r07, risk-weighted (see docstring) ---
+    mid_r07 = {
+        **_pop("dedup", "dedup_clusters_star"),
+        **_pop("pipeline", "corpus_pipeline"),
+        **_pop("custom", "custom_source_scan"),
+        **_pop("cdc", "cdc_apply_changes"),
+        **_pop("analytics", "rollup_incremental", "sessionize_native"),
+        **_pop("joins", "bloom_semi_agg"),
+        **_pop("similarity", "embedding_quantize"),
+        **_pop("multimodal", "media_dedup", "media_resize"),
+        **_pop("graph", "pagerank_nations"),
+        **_pop("selection", "kmeans_assign", "token_budget_select"),
         **_pop(
-            "dedup",
-            "minhash_dedup_pairs",
-            "ngram_jaccard_pairs",
-            "simhash_dedup_pairs",
-            "simhash_signatures",
-            "dedup_clusters",
-            "dedup_incremental",
+            "curation",
+            "chunk_documents",
+            "decontaminate",
+            "domain_mix",
+            "domain_resample",
+            "pack_sequences",
+            "pii_scrub",
+            "repetition_stats",
+            "shuffle_shards",
+            "stratified_sample",
         ),
-        **_pop("curation", "split_assign"),
-        **_pop_sql("events_window_funcs"),
     }
-    # --- slots 19-23: r06-green with a single green row -----------------
-    shallow_r06 = {
-        **_pop("dedup", "chunk_overlap", "ngram_span_dedup", "minhash_pairs_skew"),
-        **_pop("selection", "kmeans_lloyd_t3"),
-        **_pop("similarity", "semantic_dedup"),
-    }
-    # --- slots 24-28: r06-green, twice green (batch) ---------------------
-    mid_r06 = {
-        **_pop("temporal", "events_asof", "events_kmv_distinct", "events_range_join"),
-        **_pop("stateful", "sessionize", "user_sessions"),
-    }
-    # --- slots 29-32: r06-green streaming; "streaming"-named tier so the
-    # bench still measures them last (RocksDB maintenance-thread isolation)
-    streaming_window = _pop(
-        "streaming", "stream_click_attr", "stream_dedup", "stream_enrich", "stream_sliding"
-    )
-    # --- slots 33-50: the in-window SQL cohort (see docstring) ----------
-    sql_window = _pop_sql(
-        "events_cube",
-        "events_agg_count",
-        "events_cte_join",
-        "events_daily",
-        "events_latest",
-        "events_median",
-        "events_rolling",
-        "events_rollup",
-        "events_setops",
-        "events_topk",
-        "q15",
-        "q1_decimal",
-        "q2",
-        "q13",
-        "q17",
-        "q20",
-        "q21",
-        "q22",
-    )
-    # `sql` now holds the 15 sacrificed plain-shape TPC-H queries
-    window_tiers = ()
+    # `sql` now holds the r08-green SQL cohort (freshest, behind the window)
     tail_tiers = (
         "selection",
         "dedup",
@@ -266,15 +258,13 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
         "text",
     )
     out = [
-        ("promoted", promoted),
-        ("stale-r05", stale_r05),
-        ("shallow-r06", shallow_r06),
-        ("mid-r06", mid_r06),
+        ("stale-sql", stale_sql),
+        ("stale-text", stale_text),
+        ("shallow-r07", shallow_r07),
         ("streaming-window", streaming_window),
-        ("sql-window", sql_window),
+        ("mid-r07", mid_r07),
         # ---- window boundary: exactly 50 entries above this line ----
         ("sql", sql),
-        *[(n, by_name[n]) for n in window_tiers],
         *[(n, by_name[n]) for n in tail_tiers],
     ]
     return [(n, qs) for n, qs in out if qs]

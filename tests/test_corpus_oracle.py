@@ -70,8 +70,15 @@ def test_gate_window_rotation_leaves_no_query_unverified():
     (a) never-verified count = 0 — every query outside the current window
         holds a green driver row in SOME committed CORRECTNESS artifact;
     (b) bounded staleness — every query outside the window was green in
-        one of the TWO most recent committed artifacts (at most ~2
-        completed rounds stale at commit time, re-entering on the 3rd);
+        one of the THREE most recent committed artifacts. Three, not two:
+        the driver commits CORRECTNESS_r{N} BEFORE the round-(N+1)
+        rotation lands, so between those two commits the deepest-stale
+        cohort (green only at round N-2) is still outside the window
+        while the artifact list already ends at N — a two-artifact bound
+        fails in that legitimate in-between state on every rotation.
+        The three-artifact bound is exactly the 118/50 = 3-round cycle
+        arithmetic and holds at every commit point, mid-rotation
+        included;
     (c) the aging cohort is chosen deepest-evidence-first (see the
         query_tiers docstring for the round's named choices)."""
     by_round = _green_rows_by_round()
@@ -83,38 +90,48 @@ def test_gate_window_rotation_leaves_no_query_unverified():
         f"queries outside the 50-entry gate window with NO green driver row "
         f"in any committed CORRECTNESS artifact: {missing}"
     )
-    # (b): outside-window queries must be green within the two most recent
-    # committed artifacts — at round 8 that is r06 ∪ r07 (the 18 sacrificed
-    # r06-green queries + the 50 r07-green queries = all 68 outside slots)
-    recent = sorted(by_round)[-2:]
+    # (b): outside-window queries must be green within the three most
+    # recent committed artifacts — at round 9 that is r07 ∪ r08 (the 18
+    # sacrificed r07-green queries + the 50 r08-green queries = all 68
+    # outside slots), with r06 headroom for the post-artifact-commit /
+    # pre-rotation window state (see docstring)
+    recent = sorted(by_round)[-3:]
     recent_green = set().union(*(by_round[r] for r in recent))
     too_stale = [n for n in ungated if n not in recent_green]
     assert not too_stale, (
-        f"queries outside the window whose last green row predates the two "
+        f"queries outside the window whose last green row predates the three "
         f"most recent CORRECTNESS artifacts (rounds {recent}): {too_stale}"
     )
 
 
-def test_round8_window_composition():
-    """Round-8 rotation, pinned by name: the 3 promoted round-7 staged
-    operators lead (never driver-checked), then the 15 r05-green queries
-    (two rounds stale — the round-7 sacrifice cohort, must not reach
-    three), then 32 of the 50 r06-green queries shallowest-evidence-first.
-    Nothing r07-green occupies a window slot, and the 18 sacrificed
-    r06-green queries (three 5x-green text ops + fifteen 4x-green
-    plain-shape TPC-H) re-enter at round 9."""
+def test_round9_window_composition():
+    """Round-9 rotation, pinned by name: the 18 queries whose last green
+    row is CORRECTNESS_r06 (the round-8 sacrifice cohort — two completed
+    rounds stale, the rotation contract's re-entry point) LEAD the window,
+    then the ten single-green promoted-at-r7 operators, then 22 of the 36
+    twice-green r07 queries chosen risk-weighted (iterative / composed /
+    stateful / hash-sensitive dataflows take slots; map-only analytics
+    shapes age). Nothing r08-green occupies a window slot, and the 18
+    sacrificed r07-green queries re-enter at round 10."""
     names = list(entry_mod.queries())
     gated = set(names[:50])
-    promoted = {"bpe_apply", "hll_distinct", "weighted_sample"}
-    assert set(names[:3]) == promoted, "promoted operators must lead the window"
-    stale_r05 = {
-        "ann_ivf", "ann_lsh", "embedding_dedup", "embedding_topk",
-        "media_features", "media_frames", "media_meta_stats",
-        "minhash_dedup_pairs", "ngram_jaccard_pairs", "simhash_dedup_pairs",
-        "simhash_signatures", "dedup_clusters", "dedup_incremental",
-        "split_assign", "events_window_funcs",
+    stale_r06 = {
+        "q1", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
+        "q12", "q14", "q16", "q18", "q19",
+        "text_stats", "lang_id", "fingerprint",
     }
-    assert stale_r05 <= gated, f"r05-stale not all in window: {stale_r05 - gated}"
+    assert set(names[:18]) == stale_r06, (
+        f"the 18 r06-stale re-entries must lead the window; head is "
+        f"{names[:18]}"
+    )
+    shallow_r07 = {
+        "bfs_hops_t3", "lpa_communities_t3", "triangle_count", "bm25_topk",
+        "dsir_weights", "bpe_merges_t2", "winnow_fingerprints", "span_scrub",
+        "cms_heavy_hitters", "stream_topk",
+    }
+    assert shallow_r07 <= gated, (
+        f"single-green r07 ops not all in window: {shallow_r07 - gated}"
+    )
     by_round = _green_rows_by_round()
     # nothing verified in the freshest committed artifact wastes a slot
     freshest = by_round[max(by_round)]
@@ -122,15 +139,17 @@ def test_round8_window_composition():
     assert not fresh_in_window, (
         f"freshest-round-verified queries occupying window slots: {fresh_in_window}"
     )
-    # the sacrificed r06 cohort is exactly the documented 18
+    # the sacrificed r07 cohort is exactly the documented 18
     sacrificed = {
-        "fingerprint", "lang_id", "text_stats",
-        "q1", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
-        "q12", "q14", "q16", "q18", "q19",
+        "quality_score", "dedup_exact", "minhash_signatures", "token_count",
+        "anomaly_days", "basket_pairs", "event_sequences", "events_json",
+        "events_percentiles", "events_percentiles_hist", "events_pivot",
+        "events_unpivot", "funnel", "retention", "salted_events_enrich",
+        "top_terms", "ngram_top", "table_profile",
     }
     outside = set(names[50:])
-    r06_outside = outside & by_round[6] - by_round[7]
-    assert r06_outside == sacrificed, (
-        f"stale-budget drift: r06-green queries outside the window "
-        f"unexpected={r06_outside - sacrificed} missing={sacrificed - r06_outside}"
+    r07_outside = outside & by_round[7] - by_round[8]
+    assert r07_outside == sacrificed, (
+        f"stale-budget drift: r07-green queries outside the window "
+        f"unexpected={r07_outside - sacrificed} missing={sacrificed - r07_outside}"
     )
