@@ -485,7 +485,6 @@ def _parquet_column_max(sf_dir: str, table: str, column: str) -> int | None:
     full column scan; row-group stats are a driver-side metadata read).
     Returns None when any file/row-group lacks stats (the caller falls back
     to the aggregate)."""
-    import glob as _glob
     import os as _os
 
     try:
@@ -493,9 +492,24 @@ def _parquet_column_max(sf_dir: str, table: str, column: str) -> int | None:
     except ImportError:  # pragma: no cover - pyarrow is baked in
         return None
     root = f"{sf_dir}/{table}.parquet"
-    files = [root] if _os.path.isfile(root) else sorted(
-        _glob.glob(_os.path.join(root, "*.parquet"))
-    )
+    if _os.path.isfile(root):
+        files = [root]
+    else:
+        # Walk the whole tree, not a top-level glob: a partitioned layout
+        # nests data files under key=value dirs, and a layout that mixes
+        # nested and top-level files must not yield a max over a subset.
+        # Any unrecognized data file means the listing may be incomplete —
+        # return None so the caller's MAX-aggregate fallback runs (same
+        # for non-local paths, where os.walk yields nothing).
+        files = []
+        for dirpath, _dirs, names in _os.walk(root):
+            for n in names:
+                if n.startswith(("_", ".")):
+                    continue  # _SUCCESS / _metadata / .crc sidecars
+                if not n.endswith(".parquet"):
+                    return None
+                files.append(_os.path.join(dirpath, n))
+        files.sort()
     if not files:
         return None
     best: int | None = None

@@ -1039,35 +1039,61 @@ def connected_components_star(pairs: DataFrame, max_iters: int = 32) -> DataFram
 # different job. The bench's between-query eviction and the scaling probe
 # call :func:`clear_pair_graph_memo` so every measured iteration rebuilds
 # the graph (round-8 advisory fix).
-_PAIR_GRAPH_MEMO: dict[tuple[str, str], DataFrame] = {}
+_PAIR_GRAPH_MEMO: dict[tuple[str, str], tuple[DataFrame, frozenset[int]]] = {}
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> frozenset[int]:
+    """Ids of the RDDs currently holding executor storage —
+    ``JavaSparkContext.getPersistentRDDs`` is a plain ``java.util.Map`` so
+    py4j can walk it without Scala-collection shims."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return frozenset(int(i) for i in jmap.keySet().toArray())
 
 
 def clear_pair_graph_memo() -> None:
     """Drop all memoized pair graphs and release their checkpoint blocks.
     Called by the bench harness between measured queries and by the scaling
     probe between measured runs; also the escape hatch when an sf_dir's
-    parquet is rewritten within one application."""
+    parquet is rewritten within one application.
+
+    ``DataFrame.unpersist`` alone is NOT enough: it uncaches the query via
+    the cache manager but localCheckpoint RDD blocks sit outside it and
+    would otherwise wait on ContextCleaner GC. The memo therefore records
+    the checkpoint's RDD ids at creation time and unpersists them directly
+    through ``getPersistentRDDs`` — storage is freed at eviction, not at
+    some later GC. The evicted frame is unusable afterward (truncated
+    lineage), which is fine: its memo entry is gone and the next caller
+    rebuilds."""
     while _PAIR_GRAPH_MEMO:
-        _, df = _PAIR_GRAPH_MEMO.popitem()
+        _, (df, rdd_ids) = _PAIR_GRAPH_MEMO.popitem()
         try:
             df.unpersist()
+            if rdd_ids:
+                jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+                for rid in rdd_ids:
+                    jrdd = jmap.get(rid)
+                    if jrdd is not None:
+                        jrdd.unpersist(False)
         except Exception:  # noqa: BLE001 - block cleanup is best-effort
             pass
 
 
 def _shared_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    pairs = _PAIR_GRAPH_MEMO.get(key)
-    if pairs is None:
+    memo = _PAIR_GRAPH_MEMO.get(key)
+    if memo is None:
         # one retained graph per application: evict (and unpersist) any
         # other sf_dir's entry so executor storage is bounded
         clear_pair_graph_memo()
+        before = _persistent_rdd_ids(spark)
         pairs = (
             minhash_dedup_pairs(spark, sf_dir)
             .select("doc_a", "doc_b")
             .localCheckpoint()
         )
-        _PAIR_GRAPH_MEMO[key] = pairs
+        _PAIR_GRAPH_MEMO[key] = (pairs, _persistent_rdd_ids(spark) - before)
+    else:
+        pairs = memo[0]
     return pairs
 
 

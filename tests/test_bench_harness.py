@@ -255,7 +255,7 @@ def test_measured_iterations_evict_cross_query_memos():
     def probe(spark, sf_dir):
         # memo state seen AT QUERY START: a prior query's entry must be gone
         evictions.append(len(dedup._PAIR_GRAPH_MEMO))
-        dedup._PAIR_GRAPH_MEMO[("app", sf_dir)] = _FakeCheckpoint()
+        dedup._PAIR_GRAPH_MEMO[("app", sf_dir)] = (_FakeCheckpoint(), frozenset())
         return _FakeDF(1)
 
     dedup._PAIR_GRAPH_MEMO.clear()

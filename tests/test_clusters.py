@@ -204,3 +204,27 @@ def test_star_cc_agrees_with_label_prop_on_dedup_pairs(spark):
 def test_star_cc_empty_and_self_loop_graphs(spark):
     assert _star_cc(spark, []) == {}
     assert _star_cc(spark, [(5, 5)]) == {5: 5}
+
+
+def test_pair_graph_memo_eviction_releases_checkpoint_blocks(spark):
+    """clear_pair_graph_memo must free the localCheckpoint's executor
+    storage, not just drop the dict entry: DataFrame.unpersist alone only
+    uncaches via the cache manager, leaving the checkpoint RDD blocks to
+    ContextCleaner GC (round-8 advisory). The memo records the checkpoint's
+    RDD ids at creation and unpersists them through getPersistentRDDs, so
+    eviction is observable as the ids leaving the persistent-RDD map."""
+    from datafusion_distributed_experiment_spark.operators import dedup
+
+    from .conftest import SF_DIR
+
+    dedup.clear_pair_graph_memo()
+    before = dedup._persistent_rdd_ids(spark)
+    dedup._shared_pair_graph(spark, SF_DIR)
+    (_, ckpt_ids), = dedup._PAIR_GRAPH_MEMO.values()
+    assert ckpt_ids, "memo must record the checkpoint's RDD ids"
+    assert ckpt_ids <= dedup._persistent_rdd_ids(spark) - before
+    dedup.clear_pair_graph_memo()
+    assert not dedup._PAIR_GRAPH_MEMO
+    assert not (ckpt_ids & dedup._persistent_rdd_ids(spark)), (
+        "checkpoint blocks must be released at eviction, not deferred to GC"
+    )

@@ -167,3 +167,28 @@ def test_priority_headroom_guard():
     check_priority_headroom(bound)  # a ~2-GB document: exactly at the bound
     with pytest.raises(PlanningError, match="int64 headroom"):
         check_priority_headroom(bound + 1)
+
+
+def test_parquet_column_max_walks_nested_layouts(tmp_path):
+    """Footer-stat guard input must never under-report on a partitioned
+    layout: a directory mixing top-level data files with nested
+    partition dirs takes the max over the WHOLE tree, and any
+    non-parquet data file in the tree (incomplete listing) returns None
+    so the caller's MAX-aggregate fallback runs (round-8 advisory)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_distributed_experiment_spark.operators.curation import (
+        _parquet_column_max,
+    )
+
+    root = tmp_path / "documents.parquet"
+    nested = root / "domain=web"
+    nested.mkdir(parents=True)
+    pq.write_table(pa.table({"n_chars": [10, 20]}), root / "part-0.parquet")
+    pq.write_table(pa.table({"n_chars": [99, 5]}), nested / "part-1.parquet")
+    (root / "_SUCCESS").write_text("")  # sidecar: ignored, not incomplete
+    assert _parquet_column_max(str(tmp_path), "documents", "n_chars") == 99
+
+    (nested / "data.orc").write_bytes(b"ORC")  # unlistable data file
+    assert _parquet_column_max(str(tmp_path), "documents", "n_chars") is None
