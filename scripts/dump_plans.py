@@ -50,7 +50,15 @@ SHOWCASE = [
     ("bpe_apply", "tokenizer encode: trained model broadcasts three ways (word->n_toks, word->tokens, token->id, all vocab-sized); ONE corpus scan; only corpus-wide exchange is the per-doc prefix sum over WORD rows — token fan-out is map-side after it"),
     ("hll_distinct", "HLL build: per-key register MAX merges map-side; integer estimator is a pure projection; exact twin rides the same key exchange"),
     ("weighted_sample", "priority sampling: map-only integer priorities, TakeOrderedAndProject top-k (per-partition heaps, no global sort); rank window bounded by k rows"),
+    ("corpus_pipeline", "flagship composition: quality+token features fused into the scan of EACH augmented-corpus union branch (2 documents scans total, filters pushed); AQE resolves the pairs-sized drop set to ONE BroadcastHashJoin LeftAnti whose exchange is built once and ReusedExchange'd by the other branch; map-side partial aggregate feeds the 1-row rollup"),
+    ("dedup_clusters", "cluster resolution (label-prop CC): ALL iterative work ran during construction on pairs-sized checkpointed state (graph-width-scoped shuffles, per-round localCheckpoint) — the returned plan is a checkpointed-RDD scan plus the range-partitioned presentation sort: zero parquet scans, zero joins, zero corpus-sized exchanges"),
+    ("dedup_clusters_star", "cluster resolution (large/small-star CC): returned plan joins the nodes table to the fixpoint star edges — two checkpointed-RDD scans, pairs-sized hash exchanges (SMJ is the scale-safe choice: the dup-node side needn't fit a broadcast), zero parquet scans"),
 ]
+
+# Queries whose audited shape is AQE's RUNTIME decision (broadcast
+# conversion from actual pairs-sized stats): execute before dumping so
+# PLANS.md records the final adaptive plan, not the static SMJ guess.
+EXECUTE_FIRST = {"corpus_pipeline", "dedup_clusters", "dedup_clusters_star"}
 
 
 def main() -> int:
@@ -85,6 +93,8 @@ def main() -> int:
     ]
     for name, why in SHOWCASE:
         df = queries[name](spark, SF_DIR)
+        if name in EXECUTE_FIRST:
+            df.collect()
         s = stage_summary(df)
         pf = pushed_filters(df)
         out.append(f"## {name}")

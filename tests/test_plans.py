@@ -725,3 +725,67 @@ def test_single_partition_windows_are_model_sized(spark):
     corpus_tokens = docs.select(F.explode(tokens(F.col("text")))).count()
     # trained token count is O(vocab * word_len), bounded far below corpus
     assert vocab * 8 < corpus_tokens, (vocab, corpus_tokens)
+
+
+def test_corpus_pipeline_broadcasts_drop_set_once(spark):
+    """The flagship composition's final adaptive plan: the corpus is
+    scanned once PER union branch of the augmented corpus (2 documents
+    scans, nothing else), and the pairs-sized drop set resolves at
+    runtime to a BroadcastHashJoin LeftAnti whose broadcast exchange is
+    built ONCE and reused by the other branch — AQE sees the actual
+    drop-set stats, so the static SortMergeJoin guess never executes.
+    The composition adds no exchange its stages didn't already have; the
+    rollup is a partial/final aggregate pair."""
+    from datafusion_distributed_experiment_spark.operators.pipeline import (
+        corpus_pipeline,
+    )
+
+    from .conftest import SF_DIR
+
+    df = corpus_pipeline(spark, SF_DIR)
+    df.collect()  # AQE's broadcast conversion is a runtime decision
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:500]
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 2, final[:3000]
+    assert all("documents" in p for p in _parquet_scan_paths(final)), final[:3000]
+    assert final.count("BroadcastHashJoin") == 2, final[:3000]
+    assert "LeftAnti" in final and "SortMergeJoin" not in final, final[:3000]
+    assert "ReusedExchange" in final, final[:3000]
+    assert "partial_count" in final, final[:3000]
+
+
+def test_dedup_cluster_plans_carry_no_corpus_sized_work(spark):
+    """Both clustering queries run ALL iterative CC work during
+    construction, on pairs-sized checkpointed state with graph-scoped
+    shuffle widths — so the RETURNED plan must touch no parquet and hold
+    no aggregate: label-prop's plan is one checkpointed-RDD scan plus the
+    range-partitioned presentation sort; star-CC's adds only the
+    nodes-to-star-edges output join over two checkpointed-RDD scans
+    (pairs-sized hash exchanges — SMJ is the scale-safe choice there: the
+    dup-node side needn't fit a broadcast). A parquet scan or aggregate
+    appearing here would mean corpus-sized work leaked into the
+    per-consumer plan."""
+    from datafusion_distributed_experiment_spark.operators.dedup import (
+        clear_pair_graph_memo,
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    from .conftest import SF_DIR
+
+    clear_pair_graph_memo()
+    df = dedup_clusters(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert "FileScan parquet" not in plan, plan[:3000]
+    assert "Scan ExistingRDD" in plan, plan[:3000]
+    assert "rangepartitioning" in plan, plan[:3000]
+    assert s["aggregates"] == 0 and s["exchanges"] == 1, (s, plan[:2000])
+
+    df2 = dedup_clusters_star(spark, SF_DIR)  # memoized pair graph reused
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    s2 = stage_summary(df2)
+    assert "FileScan parquet" not in plan2, plan2[:3000]
+    assert plan2.count("Scan ExistingRDD") == 2, plan2[:3000]
+    assert s2["aggregates"] == 0 and s2["exchanges"] == 3, (s2, plan2[:2000])
