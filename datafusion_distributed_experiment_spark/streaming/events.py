@@ -168,7 +168,16 @@ def _stream_session(spark: SparkSession) -> SparkSession:
     from ..session import scoped_session
 
     return scoped_session(
-        spark, {"spark.sql.shuffle.partitions": str(STREAM_STATE_PARTITIONS)}
+        spark,
+        {
+            "spark.sql.shuffle.partitions": str(STREAM_STATE_PARTITIONS),
+            # AQE is unsupported in streaming and force-disabled at query
+            # start anyway; pre-disabling it on the scoped stream session
+            # stops ResolveWriteToStream from warning on EVERY query start
+            # (the repeated-warning noise that bloated GATE.txt) while
+            # leaving batch queries on the caller's session fully adaptive.
+            "spark.sql.adaptive.enabled": "false",
+        },
     )
 
 
@@ -397,14 +406,28 @@ def run_to_completion(
     output_mode: str = "complete",
 ) -> DataFrame:
     """Drain a bounded stream with an availableNow trigger into a memory sink
-    and return the final table (test/verification harness)."""
+    and return the final table (test/verification harness).
+
+    The checkpoint is an EXPLICIT throwaway directory, removed after the
+    drain: memory-sink replays are single-shot, and leaving Spark to invent
+    a temp location makes ResolveWriteToStream warn on every start (noise
+    that made GATE.txt diffs unreviewable) and leak best-effort-deleted
+    /tmp dirs on abnormal exit."""
+    import shutil
+    import tempfile
+
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = tempfile.mkdtemp(prefix=f"stream_ckpt_{query_name}_")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(query_name)
