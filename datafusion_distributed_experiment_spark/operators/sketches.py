@@ -281,15 +281,183 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {"cms_heavy_hitters": cms_heavy_hitters, "hll_distinct": hll_distinct}
 
 
+PROFILE_SHARDS = 8
+
+
+def domain_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: token-mass share plus an HLL
+    distinct-token estimate built from per-SHARD partial sketches, feeding
+    a diversity-aware mixture weight — the round-7/8 advisory composition
+    of the two verified kernels (:func:`hll_distinct`'s register math and
+    ``curation.domain_mix``'s share/weight arithmetic).
+
+    What this adds over both parents is the MERGE step: shard-local
+    register tables (``groupBy(source, shard, bucket).max(rho)`` — the
+    partial sketch each shard of a 100 TB corpus would ship) combine into
+    the per-source sketch by a second register-wise MAX across the
+    aggregation boundary. Register-wise max IS HyperLogLog's merge
+    operator, so the merged estimate must equal the unsharded one —
+    pinned by ``tests/test_sketches.py`` on data, and the DuckDB oracle
+    replays the same two-level dataflow.
+
+    Output per source: ``(source, n_docs, src_tokens, share_ppm,
+    est_distinct_tokens, exact_distinct_tokens, div_share_ppm,
+    weight_ppm)`` where ``weight_ppm = floor(1e6 * div_share_ppm /
+    share_ppm)`` upweights domains whose share of DISTINCT vocabulary
+    exceeds their share of raw token mass (dedup-style diversity
+    signal) — all arithmetic in the ppm-floor integer forms both engines
+    share bit-for-bit. Scale shape: one corpus scan fans into the sketch
+    build (state capped at ``m`` registers per (source, shard)) and the
+    per-source token totals; everything after the two bounded aggregates
+    is broadcast-sized. The exact-distinct twin rides the same exchange
+    for row-by-row verifiability, exactly like the parents."""
+    from ..functions.text import tokens
+    from .temporal import hash48
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    toks = docs.select(
+        "source",
+        (F.col("doc_id") % PROFILE_SHARDS).alias("shard"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    rho = toks.select(
+        "source",
+        "shard",
+        hash48(F.col("tok")).alias("h"),
+    ).select(
+        "source",
+        "shard",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"{_HLL_W_BITS + 1} - ({_bitlen_ladder(f'(h DIV {HLL_M})')})").alias(
+            "rho"
+        ),
+    )
+    # level 1: shard-local partial sketches (max combines map-side)
+    shard_regs = rho.groupBy("source", "shard", "bucket").agg(
+        F.max("rho").alias("m_j")
+    )
+    # level 2: register-wise MAX across shards — the HLL merge operator
+    regs = shard_regs.groupBy("source", "bucket").agg(F.max("m_j").alias("m_j"))
+    sketch = regs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_CAP} - m_j)"))
+        .cast("long")
+        .alias("sum_nz"),
+    )
+    est = sketch.select(
+        "source",
+        F.expr(f"CAST({_hll_est_sql('DIV', _SPARK_INDEX)} AS BIGINT)").alias(
+            "est_distinct_tokens"
+        ),
+    )
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").cast("long").alias("exact_distinct_tokens")
+    )
+    per_src = (
+        docs.select(
+            "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("src_tokens"))
+    )
+    # prof is consumed twice (row side + totals side of the cross join);
+    # without lineage truncation the WHOLE profile subtree — including the
+    # corpus-fanout sketch build — executes once per consumer (measured: 6
+    # parquet scans instead of 3). prof is sources-sized (KB), so the
+    # checkpoint is the standard multi-consumer fix, not a data copy.
+    prof = per_src.join(est, "source").join(exact, "source").localCheckpoint()
+    totals = prof.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.sum("est_distinct_tokens").alias("total_est_distinct"),
+    )
+    share = F.floor(F.lit(1e6) * F.col("src_tokens") / F.col("total_tokens")).cast(
+        "long"
+    )
+    div_share = F.floor(
+        F.lit(1e6) * F.col("est_distinct_tokens") / F.col("total_est_distinct")
+    ).cast("long")
+    return (
+        prof.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            share.alias("share_ppm"),
+            "est_distinct_tokens",
+            "exact_distinct_tokens",
+            div_share.alias("div_share_ppm"),
+            F.floor(F.lit(1e6) * div_share / share).cast("long").alias("weight_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Empty since the round-8 promotion: hll_distinct moved into
-    :func:`queries` and the driver gate window."""
-    return {}
+    """Round 9 stages :func:`domain_token_profile` (the one staged slot the
+    round-8 VERDICT budgeted); it awaits a gate-window slot at the round-10
+    rotation."""
+    return {"domain_token_profile": domain_token_profile}
 
 
 def staged_oracles() -> dict[str, str]:
-    """Empty since the round-8 promotion (see :func:`staged_queries`)."""
-    return {}
+    from ..functions.text import DUCK_TOKENS
+    from .temporal import HASH_HEX_DIGITS
+
+    toks = DUCK_TOKENS.format(x="text")
+    h48 = f"CAST(('0x' || substr(md5(tok), 1, {HASH_HEX_DIGITS})) AS BIGINT)"
+    return {
+        "domain_token_profile": f"""
+            WITH toks AS (
+                SELECT source, doc_id % {PROFILE_SHARDS} AS shard,
+                       unnest({toks}) AS tok
+                FROM documents
+            ), rho AS (
+                SELECT source, shard, h % {HLL_M} AS bucket,
+                       {_HLL_W_BITS + 1} - ({_bitlen_ladder(f'(h // {HLL_M})')}) AS rho
+                FROM (SELECT source, shard, {h48} AS h FROM toks)
+            ), shard_regs AS (
+                SELECT source, shard, bucket, MAX(rho) AS m_j
+                FROM rho GROUP BY source, shard, bucket
+            ), regs AS (
+                SELECT source, bucket, MAX(m_j) AS m_j
+                FROM shard_regs GROUP BY source, bucket
+            ), sk AS (
+                SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                       CAST(SUM((CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - m_j))) AS BIGINT) AS sum_nz
+                FROM regs GROUP BY source
+            ), est AS (
+                SELECT source,
+                       CAST({_hll_est_sql('//', _DUCK_INDEX)} AS BIGINT) AS est_distinct_tokens
+                FROM sk
+            ), exact AS (
+                SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct_tokens
+                FROM toks GROUP BY source
+            ), per_src AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       CAST(SUM(len({toks})) AS BIGINT) AS src_tokens
+                FROM documents GROUP BY source
+            ), prof AS (
+                SELECT source, n_docs, src_tokens, est_distinct_tokens,
+                       exact_distinct_tokens
+                FROM per_src JOIN est USING (source) JOIN exact USING (source)
+            ), totals AS (
+                SELECT SUM(src_tokens) AS total_tokens,
+                       SUM(est_distinct_tokens) AS total_est_distinct
+                FROM prof
+            )
+            SELECT source, n_docs, src_tokens,
+                   CAST(FLOOR(1e6 * src_tokens / total_tokens) AS BIGINT) AS share_ppm,
+                   est_distinct_tokens, exact_distinct_tokens,
+                   CAST(FLOOR(1e6 * est_distinct_tokens / total_est_distinct) AS BIGINT) AS div_share_ppm,
+                   CAST(FLOOR(1e6 * CAST(FLOOR(1e6 * est_distinct_tokens / total_est_distinct) AS BIGINT)
+                              / CAST(FLOOR(1e6 * src_tokens / total_tokens) AS BIGINT)) AS BIGINT) AS weight_ppm
+            FROM prof CROSS JOIN totals
+            ORDER BY source
+        """,
+    }
 
 
 def _hll_oracle() -> dict[str, str]:

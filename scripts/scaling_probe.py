@@ -75,6 +75,8 @@ PROBE_OPS = [
     "bpe_apply",
     "hll_distinct",
     "weighted_sample",
+    # round-9 staged addition: two-level sharded HLL register merge
+    "domain_token_profile",
 ]
 
 

@@ -327,3 +327,119 @@ def test_hll_relative_error_stays_in_published_band(spark, sf_dir):
         (r["event_type"], r["est_distinct"], r["exact_distinct"]) for r in rows
     ]
     assert sum(errs) / len(errs) <= 0.05, errs
+
+
+def test_domain_profile_shard_merge_equals_direct_sketch(spark):
+    """Register-wise MAX is HyperLogLog's merge operator: the per-shard
+    partial sketches merged across the aggregation boundary must produce
+    EXACTLY the register table (and therefore the estimate) of an
+    unsharded build over the same tokens. This is the property
+    domain_token_profile exists to exercise — and the algorithm-level
+    check its shared-dataflow DuckDB twin cannot provide (both engines
+    run the same two-level dataflow; only this direct-vs-merged
+    differential would catch a merge that loses register mass)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.functions.text import tokens
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        HLL_M,
+        _HLL_W_BITS,
+        _bitlen_ladder,
+        domain_token_profile,
+    )
+    from datafusion_distributed_experiment_spark.operators.temporal import hash48
+
+    from .conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("source", "text")
+    direct = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .select("source", hash48(F.col("tok")).alias("h"))
+        .select(
+            "source",
+            (F.col("h") % HLL_M).alias("bucket"),
+            F.expr(
+                f"{_HLL_W_BITS + 1} - ({_bitlen_ladder(f'(h DIV {HLL_M})')})"
+            ).alias("rho"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    # rebuild the merged registers the operator aggregates internally
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        PROFILE_SHARDS,
+    )
+
+    sharded = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "source",
+            (F.col("doc_id") % PROFILE_SHARDS).alias("shard"),
+            F.explode(tokens(F.col("text"))).alias("tok"),
+        )
+        .select("source", "shard", hash48(F.col("tok")).alias("h"))
+        .select(
+            "source",
+            "shard",
+            (F.col("h") % HLL_M).alias("bucket"),
+            F.expr(
+                f"{_HLL_W_BITS + 1} - ({_bitlen_ladder(f'(h DIV {HLL_M})')})"
+            ).alias("rho"),
+        )
+        .groupBy("source", "shard", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        .groupBy("source", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    d = {(r["source"], r["bucket"]): r["m_j"] for r in direct.collect()}
+    m = {(r["source"], r["bucket"]): r["m_j"] for r in sharded.collect()}
+    assert d == m
+    # and the profile's estimate respects the hll accuracy envelope on data
+    rows = domain_token_profile(spark, SF_DIR).collect()
+    assert rows
+    errs = [
+        abs(r["est_distinct_tokens"] - r["exact_distinct_tokens"])
+        / r["exact_distinct_tokens"]
+        for r in rows
+    ]
+    assert max(errs) <= 0.10, [
+        (r["source"], r["est_distinct_tokens"], r["exact_distinct_tokens"])
+        for r in rows
+    ]
+
+
+def test_domain_profile_weight_arithmetic(spark):
+    """The diversity weight recomputes from the row's own integer columns
+    (floor(1e6 * div_share / share)) and the two share columns sum to
+    ~1e6 — the domain_mix ppm-floor contract carried over."""
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        domain_token_profile,
+    )
+
+    from .conftest import SF_DIR
+
+    rows = domain_token_profile(spark, SF_DIR).collect()
+    assert rows
+    n = len(rows)
+    for r in rows:
+        assert r["weight_ppm"] == (10**6 * r["div_share_ppm"]) // r["share_ppm"]
+    for col in ("share_ppm", "div_share_ppm"):
+        total = sum(r[col] for r in rows)
+        assert 10**6 - n <= total <= 10**6, (col, total)
+
+
+def test_domain_profile_checkpoints_the_multi_consumer_profile(spark):
+    """The profile table feeds both sides of the totals cross join; without
+    the sources-sized localCheckpoint the whole sketch subtree executes
+    once per consumer (measured: 6 corpus scans instead of 3). The
+    returned plan reading ZERO parquet pins the checkpoint in place."""
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        domain_token_profile,
+    )
+
+    from .conftest import SF_DIR
+
+    df = domain_token_profile(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan, plan[:2000]
+    assert "Scan ExistingRDD" in plan, plan[:2000]
