@@ -14,12 +14,13 @@ semantically-equivalent hand-written oracle.
 
 All 118 queries are declared as of round 8 (the three round-7 staged
 operators — ``bpe_apply``, ``hll_distinct``, ``weighted_sample`` — were
-promoted at the round-8 rotation, emptying the staged tier). The staged
-machinery (``operators.staged_queries()`` / ``staged_oracles()`` +
-``tests/test_staged_oracle.py`` + ``scripts/verify_staged.py``) stays in
-place for future operators; round 8 deliberately adds none (the
-118-query surface already cycles the 50-slot gate window every 3 rounds —
-see ``query_tiers``).
+promoted at the round-8 rotation). The staged tier
+(``operators.staged_queries()`` / ``staged_oracles()`` +
+``tests/test_staged_oracle.py`` + ``scripts/verify_staged.py``) holds the
+single round-9 addition ``domain_token_profile`` — the one staged slot the
+round-8 VERDICT budgeted — which awaits a gate-window slot at the
+round-10 rotation (the 118-query surface already cycles the 50-slot gate
+window every 3 rounds — see ``query_tiers``).
 """
 
 from __future__ import annotations
