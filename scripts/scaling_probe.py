@@ -106,6 +106,9 @@ XSTEP_OPS = [
     "bpe_apply",
     # round-7: weighted top-k — output constant at k, cost one scan
     "weighted_sample",
+    # round-9: sharded HLL register merge — state capped at m x shards per
+    # source; the 10x vocabulary step grows only the register OCCUPANCY
+    "domain_token_profile",
 ]
 XSTEP_FACTOR = 10
 XSTEP_DIR = "/tmp/scaling_docs_x10"
