@@ -428,9 +428,11 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-n-gram-concentration quality filters.
 
     One corpus scan; the 2-gram explode is absorbed by a map-side partial
-    count before the (doc_id, gram) shuffle, and the second aggregate down
-    to doc_id re-uses the same hash partitioning family. No Python, no
-    per-row UDF — pure JVM expressions end to end."""
+    count before the (doc_id, gram) shuffle — the exchange carries one row
+    per DISTINCT gram per doc, which is exactly what a high-repetition doc
+    collapses. The rollup down to doc_id is a second, doc-row-sized
+    exchange (its input is already one row per distinct gram). No Python,
+    no per-row UDF — pure JVM expressions end to end."""
     ex = (
         _docs(spark, sf_dir)
         .select("doc_id", tokens(F.col("text")).alias("toks"))

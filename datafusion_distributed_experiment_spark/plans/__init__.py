@@ -67,7 +67,10 @@ def stage_summary(df: DataFrame) -> dict[str, int]:
         "broadcasts": text.count("BroadcastExchange"),
         "sorts": text.count("Sort "),
         "aggregates": text.count("HashAggregate"),
-        "scans": text.count("Scan parquet") + text.count("FileScan parquet"),
+        # One alternation so "FileScan parquet" (which CONTAINS the substring
+        # "Scan parquet") counts once, not twice; "Scan parquet" alone still
+        # catches the DSv2 BatchScan spelling.
+        "scans": len(re.findall(r"FileScan parquet|Scan parquet", text)),
     }
 
 

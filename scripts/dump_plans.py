@@ -53,6 +53,16 @@ SHOWCASE = [
     ("corpus_pipeline", "flagship composition: quality+token features fused into the scan of EACH augmented-corpus union branch (2 documents scans total, filters pushed); AQE resolves the pairs-sized drop set to ONE BroadcastHashJoin LeftAnti whose exchange is built once and ReusedExchange'd by the other branch; map-side partial aggregate feeds the 1-row rollup"),
     ("dedup_clusters", "cluster resolution (label-prop CC): ALL iterative work ran during construction on pairs-sized checkpointed state (graph-width-scoped shuffles, per-round localCheckpoint) — the returned plan is a checkpointed-RDD scan plus the range-partitioned presentation sort: zero parquet scans, zero joins, zero corpus-sized exchanges"),
     ("dedup_clusters_star", "cluster resolution (large/small-star CC): returned plan joins the nodes table to the fixpoint star edges — two checkpointed-RDD scans, pairs-sized hash exchanges (SMJ is the scale-safe choice: the dup-node side needn't fit a broadcast), zero parquet scans"),
+    ("minhash_dedup_pairs", "LSH mine: checkpointed signatures feed ALL five consumers (cap count, both band self-join sides, both token join-backs — zero parquet scans); hub buckets suppressed by a broadcast LEFT ANTI before the band shuffle"),
+    ("simhash_dedup_pairs", "byte-band SimHash LSH: ONE exploded band table self-joined on the (band_idx, byte) equi-key — not four per-byte joins; Hamming verify is a map-side filter over the checkpointed signature table"),
+    ("ngram_jaccard_pairs", "blocking-key Jaccard: tokenize ONCE into the checkpoint; candidates from the (first-token, length-band) equi-join, exact verify on the pair rows — never a cartesian"),
+    ("kmeans_lloyd_t3", "Lloyd k-means final assignment: pure projection over the checkpointed quantized vectors against LITERAL centroids — zero joins/aggregates/parquet; per-round M-steps collected only K x DIM sums during construction"),
+    ("ann_ivf", "IVF top-k: map-only list assignment against literal centroids; the ONLY shuffle is the probe join keyed by list_id (candidates ~ sqrt(N) per query), then a per-query rank window"),
+    ("media_resize", "multimodal resize: ONE parquet scan into ONE Arrow-batched MapInPandas stage (the single sanctioned Python boundary); digest/metadata projection stays JVM-side above it"),
+    ("basket_pairs", "market-basket mining: exactly two shuffles (basket collapse, pair support) with the k^2 pair explode map-side from basket arrays; top-N is TakeOrderedAndProject heaps, no global sort"),
+    ("domain_resample", "temperature resampling: per-source weight table broadcast onto ONE corpus scan; copy counts are a map-only hash decision — no corpus shuffle beyond the weight aggregation itself"),
+    ("repetition_stats", "Gopher repetition signals: 2-gram explode absorbed by a map-side partial count, shuffle carries one row per DISTINCT gram per doc; doc rollup is a second doc-row-sized exchange"),
+    ("domain_token_profile", "staged sharded-HLL profile: corpus-fanout sketch build runs once into the checkpointed profile; returned plan is profile-sized (two RDD reads + 1-row totals broadcast, zero parquet)"),
 ]
 
 # Queries whose audited shape is AQE's RUNTIME decision (broadcast

@@ -489,7 +489,7 @@ def test_check_constraints_counts_violations_in_one_pass(engine, duck):
         ]
     )
     s = stage_summary(plan_df)
-    assert s["scans"] <= 2 and s["exchanges"] <= 1, s  # one scan, one partial/final agg
+    assert s["scans"] <= 1 and s["exchanges"] <= 1, s  # one scan, one partial/final agg
 
 
 def test_executed_metrics_expose_operator_row_counts(engine):
