@@ -141,10 +141,20 @@ def _with_signature(df: DataFrame) -> DataFrame:
     """doc -> (toks, sig[8]) in one pass.
 
     Per-token char-level hashes are computed once; 3-token shingle hashes are
-    integer combinations of them; all 8 permuted minima fold in a single
-    ``aggregate`` over the shingle hashes. Everything is one map-side
-    expression chain per row — no shuffle, no recomputation of the char fold
-    per permutation."""
+    integer combinations of them; each permuted minimum is
+    ``array_min(transform(_sh, h -> (a*h+b) % P))`` — eight independent
+    scalar reductions. Everything is one map-side expression chain per row —
+    no shuffle, no recomputation of the char fold per permutation (the
+    shingle column is referenced 8x, which keeps CollapseProject from
+    inlining it into each consumer).
+
+    Formulation benched at sf0.1 (local[32], best of 3 checkpoint runs):
+    single ``aggregate`` folding an 8-slot array accumulator 0.99s (allocates
+    a fresh array per shingle step), eight scalar ``aggregate`` folds 0.83s,
+    eight ``array_min(transform(...))`` 0.73s — the winner, bit-identical
+    minima (every ``(a*h+b) % P`` is ``< P``, the old fold's init). An
+    explode + groupBy-MIN reshape (the simhash trick) is 68s here: the
+    ``toks`` join-back array would ride every exploded shingle row."""
     df = df.withColumn("_toks", tokens(F.col("text")))
     df = df.withColumn("_th", F.transform(F.col("_toks"), poly_hash))
     th, n = F.col("_th"), F.size(F.col("_th"))
@@ -168,16 +178,11 @@ def _with_signature(df: DataFrame) -> DataFrame:
         )
     )
     df = df.withColumn("_sh", shingle_hashes)
-    init = F.array(*[F.lit(P).cast("long") for _ in A])
-    sig = F.aggregate(
-        F.col("_sh"),
-        init,
-        lambda acc, h: F.array(
-            *[
-                F.least(acc[i], (F.lit(a) * h + F.lit(b)) % P)
-                for i, (a, b) in enumerate(zip(A, B))
-            ]
-        ),
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_sh"), lambda h: (F.lit(a) * h + F.lit(b)) % P))
+            for a, b in zip(A, B)
+        ]
     )
     return (
         df.withColumn("toks", F.array_distinct(F.col("_toks")))
