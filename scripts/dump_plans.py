@@ -44,7 +44,7 @@ SHOWCASE = [
     ("bpe_merges_t2", "BPE training: corpus scanned exactly twice (dictionary + application); merge rounds on checkpointed vocabulary-sized tables; 1-row top pair broadcast"),
     ("winnow_fingerprints", "winnowing selection: all 2(W-1) min-frames share ONE (doc_id, pos) exchange; zero joins, zero per-window row explosion"),
     ("cms_heavy_hitters", "count-min build: D*W-cell bounded aggregate (map-side partial sketches merge cell-wise); finished sketch broadcasts onto the probes"),
-    ("span_scrub", "scrub apply step: checkpointed position table, MIN-owner aggregate, constant K fan-out to token coverage, ONE (doc,token) left join"),
+    ("span_scrub", "scrub apply step: checkpointed position table, MIN-owner aggregate; only DROPPED positions shuffle (per-doc collect_set), fingerprint folds array_except of kept positions map-side — the token stream never re-explodes"),
     ("lpa_communities_t3", "label propagation: checkpointed |E|-row bidirected edges reused every round; per round one join + aggregate + per-node top-1 window"),
     ("bfs_hops_t3", "multi-source BFS: min-plus frontier relaxation as one join + min-aggregate per round on the checkpointed edge list"),
     ("bpe_apply", "tokenizer encode: trained model broadcasts three ways (word->n_toks, word->tokens, token->id, all vocab-sized); ONE corpus scan; only corpus-wide exchange is the per-doc prefix sum over WORD rows — token fan-out is map-side after it"),

@@ -568,10 +568,14 @@ def test_cms_sketch_broadcasts_onto_probes(spark):
 
 def test_span_scrub_reuses_positions_and_never_funnels(spark):
     """Neither the tokenize fold nor the n-gram position chain may re-run:
-    the token-hash checkpoint feeds the position build + the token stream,
+    the token-hash checkpoint feeds the position build + the verdict join,
     the position checkpoint feeds its two consumers (1 + 2 ExistingRDD
     reads), ZERO parquet scans remain downstream, and nothing funnels
-    through a single partition."""
+    through a single partition. The verdict side must also never explode
+    the token stream back into rows: only DROPPED positions shuffle
+    (collect_set per doc), the fingerprint folds array_except map-side —
+    a posexplode or collect_list in this plan means the corpus-token-row
+    join shape regressed."""
     from datafusion_distributed_experiment_spark.operators.dedup import span_scrub
 
     from .conftest import SF_DIR
@@ -582,6 +586,8 @@ def test_span_scrub_reuses_positions_and_never_funnels(spark):
     assert plan.count("ExistingRDD") == 3, plan[:3000]
     assert s["scans"] == 0, (s, plan[:3000])
     assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "posexplode" not in plan, plan[:3000]
+    assert "collect_list" not in plan, plan[:3000]
 
 
 def test_lpa_rounds_reuse_checkpointed_edges(spark):
