@@ -556,3 +556,62 @@ def test_session_window_boundary_matches_reference(spark, rows):
         for r in session_windows_frame(df, gap_ms=gap).collect()
     )
     assert got == _sessions_reference(rows, gap)
+
+
+# ------------------------------------------------------------------ #
+# MinHash signature vs a pure-Python replica
+# ------------------------------------------------------------------ #
+
+def _py_minhash(text: str) -> tuple[list[int], list[int]]:
+    """Replica of dedup._with_signature for one document: (sorted distinct
+    tokens, 8 permuted minima). Exists so REFORMULATIONS of the Spark
+    expression (the r9 array_min rewrite replaced the array-accumulator
+    fold) are pinned at the algorithm level, independent of the DuckDB
+    twin — the replica program of tests/test_replica_audit.py."""
+    from datafusion_distributed_experiment_spark.operators.dedup import (
+        A,
+        B,
+        MOD,
+        P,
+        SHINGLE_MULT,
+    )
+
+    toks = [t for t in text.split(" ") if t]
+    th = []
+    for t in toks:
+        acc = 0
+        for ch in t:
+            acc = (acc * 31 + ord(ch)) % MOD
+        th.append(acc)
+    if len(th) >= 3:
+        sh = [
+            ((th[i] * SHINGLE_MULT + th[i + 1]) % MOD * SHINGLE_MULT + th[i + 2]) % MOD
+            for i in range(len(th) - 2)
+        ]
+    else:
+        acc = 0
+        for h in th:
+            acc = (acc * SHINGLE_MULT + h) % MOD
+        sh = [acc]
+    sig = [min((a * h + b) % P for h in sh) for a, b in zip(A, B)]
+    # dedupe preserving first occurrence = Spark's array_distinct
+    seen: dict[str, None] = {}
+    for t in toks:
+        seen.setdefault(t)
+    return list(seen), sig
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.text(alphabet="abc xyz", min_size=0, max_size=60), min_size=1, max_size=5)
+)
+def test_minhash_signature_matches_python_replica(spark, texts):
+    from datafusion_distributed_experiment_spark.operators.dedup import _with_signature
+
+    frame = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (list(r["toks"]), list(r["sig"]))
+        for r in _with_signature(frame).select("doc_id", "toks", "sig").collect()
+    }
+    want = {d: _py_minhash(t) for d, t in enumerate(texts)}
+    assert got == want
