@@ -44,6 +44,11 @@ SPILL_QUERIES = (
     # tokens (~240 at this corpus's doc length) — above the 128-row forced
     # threshold, so the encode path must spill and still hash-match
     "bpe_apply",
+    # round-9: the rewritten apply step (dropped-position sets + map-side
+    # array_except fold) routes its ownership join through SMJ buffers and
+    # its verdict through a collect_set aggregate — prove the new shape
+    # still hash-matches when the join buffers are forced to disk
+    "span_scrub",
 )
 FORCE_SPILL_ROWS = "128"
 
