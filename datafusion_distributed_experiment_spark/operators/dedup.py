@@ -664,6 +664,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns one row per incoming document: (doc_id, is_dup)."""
     index, incoming = _incremental_sides(spark, sf_dir)
+    # idx_sigs is deliberately NOT checkpointed despite two consumers:
+    # column pruning gives each consumer a DISJOINT slice (the band stage
+    # prunes away toks, the token fetch prunes away sig), so the "two"
+    # computations sum to ~one full one with zero materialization — an
+    # eager checkpoint forces the full (toks, sig) row to disk and benched
+    # SLOWER (2.05s vs 1.74s at sf0.1). Contrast _mine_minhash_pairs,
+    # whose three consumers all need the same columns.
     idx_sigs = _with_signature(index).select("doc_id", "toks", "sig")
     inc_sigs = (
         _with_signature(incoming).select("doc_id", "toks", "sig").localCheckpoint()
