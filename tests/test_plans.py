@@ -975,3 +975,58 @@ def test_domain_token_profile_presentation_plan_is_profile_sized(spark):
     assert s["scans"] == 0, (s, plan[:3000])
     assert plan.count("Scan ExistingRDD") == 2, plan[:3000]
     assert s["broadcasts"] == 1, (s, plan[:3000])
+
+
+def test_media_features_single_scan_one_python_stage(spark):
+    """Feature extraction crosses the Python boundary exactly ONCE (one
+    Arrow-batched MapInPandas over one scan); everything else — metadata
+    projection, presentation sort — stays JVM-side. Same contract as
+    media_resize: a second MapInPandas means a per-step boundary crossing."""
+    from datafusion_distributed_experiment_spark.operators.multimodal import (
+        media_features,
+    )
+
+    from .conftest import SF_DIR
+
+    df = media_features(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert s["scans"] == 1, (s, plan[:3000])
+    assert plan.count("MapInPandas") == 1, plan[:3000]
+    assert "Join" not in plan and s["aggregates"] == 0, (s, plan[:3000])
+
+
+def test_custom_source_scan_plans_as_dsv2_batch_leaf(spark):
+    """The Python DataSource leaf must plan as a DSv2 BatchScan feeding
+    ordinary Catalyst operators (filter above the leaf, one presentation
+    exchange) — the Spark analog of the reference's user-codec custom leaf
+    (reference tests/custom_extension_codec.rs): the extension point is a
+    LEAF, not a bolted-on RDD pipeline."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["custom_source_scan"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert "BatchScan" in plan and "(Python)" in plan, plan[:2000]
+    assert s["exchanges"] == 1, (s, plan[:2000])  # presentation sort only
+    assert "Filter" in plan, plan[:2000]
+
+
+def test_dedup_exact_is_one_digest_exchange(spark):
+    """Exact dedup must be exactly one hash exchange on the content digest
+    with a partial/final aggregate split (map-side combine of identical
+    texts) — no rebalance exchange (the groupBy IS the fan-out) and no
+    join anywhere."""
+    from datafusion_distributed_experiment_spark.operators.dedup import dedup_exact
+
+    from .conftest import SF_DIR
+
+    df = dedup_exact(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert s["aggregates"] == 2, (s, plan[:2000])  # partial + final
+    assert s["exchanges"] == 2, (s, plan[:2000])  # digest hash + range sort
+    assert "RoundRobinPartitioning" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
