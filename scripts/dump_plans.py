@@ -66,6 +66,9 @@ SHOWCASE = [
     ("media_features", "multimodal feature extraction: ONE scan into ONE Arrow-batched MapInPandas (the single Python boundary crossing); metadata projection and sort stay JVM-side"),
     ("custom_source_scan", "Python DataSource extension leaf: plans as a DSv2 BatchScan feeding ordinary Catalyst operators — the user-codec custom-leaf analog (reference tests/custom_extension_codec.rs)"),
     ("dedup_exact", "exact dedup: ONE digest hash exchange with partial/final aggregate split (identical texts combine map-side); no rebalance (the groupBy is the fan-out), no joins"),
+    ("events_asof", "as-of join: union + ONE window pass (last(payload) ignorenulls) over the key exchange — ZERO join operators; the theta-join spelling would plan a per-key-quadratic BroadcastNestedLoopJoin"),
+    ("events_range_join", "interval range join: interval side explodes over covered time buckets, probe joins on the (key, bucket) EQUI-key, containment is a post-join filter — never a nested-loop inequality join"),
+    ("user_sessions", "sessionization: all gap/session windows share ONE user_id exchange (plan-tested); per-task state is one user's events"),
 ]
 
 # Queries whose audited shape is AQE's RUNTIME decision (broadcast

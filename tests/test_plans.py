@@ -1030,3 +1030,37 @@ def test_dedup_exact_is_one_digest_exchange(spark):
     assert s["exchanges"] == 2, (s, plan[:2000])  # digest hash + range sort
     assert "RoundRobinPartitioning" not in plan, plan[:2000]
     assert "Join" not in plan, plan[:2000]
+
+
+def test_asof_join_is_one_window_pass_no_join(spark):
+    """The as-of join must plan as union + ONE window pass over the key
+    exchange — ZERO join operators of any kind. The naive spelling (theta
+    join on ts <= ts, then max) plans a BroadcastNestedLoopJoin that goes
+    quadratic per key at scale; its absence is the whole point of the
+    union-and-last formulation."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["events_asof"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Window") == 1, plan[:3000]
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """The interval range join must reach the executor as an EQUI-join on
+    (key, bucket) — the interval side explodes over its covered buckets
+    (one Generate) and the containment predicate is a post-join filter.
+    A BroadcastNestedLoopJoin here means the inequality predicate leaked
+    into the join condition: the all-pairs-per-key trap."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["events_range_join"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("Generate explode") == 1, plan[:3000]
