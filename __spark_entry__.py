@@ -12,15 +12,13 @@ plus the training-data pipeline operators. SQL-corpus queries share one ANSI
 text between Spark and the DuckDB oracle; DataFrame-native operators carry a
 semantically-equivalent hand-written oracle.
 
-All 118 queries are declared as of round 8 (the three round-7 staged
-operators — ``bpe_apply``, ``hll_distinct``, ``weighted_sample`` — were
-promoted at the round-8 rotation). The staged tier
-(``operators.staged_queries()`` / ``staged_oracles()`` +
-``tests/test_staged_oracle.py`` + ``scripts/verify_staged.py``) holds the
-single round-9 addition ``domain_token_profile`` — the one staged slot the
-round-8 VERDICT budgeted — which awaits a gate-window slot at the
-round-10 rotation (the 118-query surface already cycles the 50-slot gate
-window every 3 rounds — see ``query_tiers``).
+All 119 queries are declared as of round 10 (the round-9 staged operator
+``domain_token_profile`` was promoted at the round-10 rotation). The staged
+tier (``operators.staged_queries()`` / ``staged_oracles()`` +
+``tests/test_staged_oracle.py`` + ``scripts/verify_staged.py``) holds at
+most the one new operator each round's VERDICT budgets; the 119-query
+surface cycles the 50-slot gate window every ceil(119/50) = 3 rounds —
+see ``query_tiers``.
 """
 
 from __future__ import annotations
@@ -126,51 +124,53 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     """Queries grouped by tier, gate-ordered: the driver oracle-checks the
     FIRST 50 entries, so the window rotates round-over-round.
 
-    STALE BUDGET (restated for the 118-query surface): 118 queries over a
-    50-slot window means the full surface cycles every ceil(118/50) = 3
-    rounds — the old "no query goes more than two rounds stale" wording is
-    arithmetically impossible in steady state (118/50 = 2.36). The real
+    STALE BUDGET (119-query surface): 119 queries over a 50-slot window
+    means the full surface cycles every ceil(119/50) = 3 rounds. The real
     guarantee, pinned by tests/test_corpus_oracle.py: (a) never-verified
     count = 0 — every declared query holds a green row in SOME committed
     CORRECTNESS_r*.json before it may sit outside the window; (b) every
-    query outside the window was green within the TWO most recent committed
-    artifacts, i.e. at most ~2 completed rounds stale at commit time; (c)
-    the queries left to age furthest are chosen deepest-evidence-first.
+    query outside the window was green within the THREE most recent
+    committed artifacts (exactly the 3-round cycle arithmetic; holds at
+    every commit point, mid-rotation included); (c) the queries left to
+    age furthest are chosen deepest-evidence-first.
 
-    ROUND 9 — the window (50):
-    * slots 1-18: the 18 queries whose last green row is CORRECTNESS_r06
-      (the round-8 sacrifice cohort — two completed rounds stale, the
-      rotation contract says they re-enter now): the fifteen TPC-H
-      queries q1, q3-q12, q14, q16, q18, q19 and the three text ops
-      text_stats, lang_id, fingerprint.
-    * slots 19-28: the ten r07-green queries with a SINGLE green row
-      (the operators promoted at the round-7 rotation): bfs_hops_t3,
-      lpa_communities_t3, triangle_count, bm25_topk, dsir_weights,
-      bpe_merges_t2, winnow_fingerprints, span_scrub, cms_heavy_hitters,
-      and stream_topk (kept in a "streaming"-named tier so the bench
-      still measures it last).
-    * slots 29-50: 22 of the 36 twice-green r07 queries. All 36 carry
-      equal evidence depth, so the tie-break is risk-weighted: the
-      iterative/composed/stateful operators whose silent-regression risk
-      is highest take the slots (dedup_clusters_star's CC loop,
-      corpus_pipeline's composition, rollup_incremental's IVM path,
-      custom_source_scan's codec, cdc_apply_changes, sessionize_native,
-      bloom_semi_agg, embedding_quantize, media_dedup, media_resize,
-      pagerank_nations, kmeans_assign, token_budget_select, and the nine
-      hash-sensitive curation samplers: chunk_documents, decontaminate,
-      domain_mix, domain_resample, pack_sequences, pii_scrub,
-      repetition_stats, shuffle_shards, stratified_sample).
+    ROUND 10 — the window (50):
+    * slot 1: domain_token_profile — the round-9 staged operator,
+      PROMOTED this rotation (never driver-verified; leads the window).
+    * slots 2-19: the 18 queries whose last green row is CORRECTNESS_r07
+      (the round-9 sacrifice cohort — the rotation contract's re-entry
+      point): quality_score, dedup_exact, minhash_signatures,
+      token_count, and the 14 map-only analytics shapes (anomaly_days,
+      basket_pairs, event_sequences, events_json, events_percentiles,
+      events_percentiles_hist, events_pivot, events_unpivot, funnel,
+      retention, salted_events_enrich, top_terms, ngram_top,
+      table_profile).
+    * slots 20-50: the 31 SHALLOWEST of the 50 r08-green queries by
+      total green-row depth across all committed artifacts: the three
+      single-green promoted-at-r8 ops (bpe_apply, hll_distinct,
+      weighted_sample), the seven twice-green (chunk_overlap,
+      events_window_funcs, kmeans_lloyd_t3, minhash_pairs_skew,
+      ngram_span_dedup, semantic_dedup, split_assign), the twelve
+      thrice-green (events_asof, events_cube, events_kmv_distinct,
+      events_range_join, media_frames, media_meta_stats, sessionize,
+      user_sessions + the four micro-batch streaming queries in a
+      "streaming"-named tier so the bench measures them last), the two
+      4x-green CC/incremental dedups (dedup_clusters, dedup_incremental),
+      and seven risk-weighted picks from the 5x-green band — the pairs
+      miners and ANN ops sharing the round-9-rewritten _with_signature
+      fold and the hash-bucketing code paths (minhash_dedup_pairs,
+      ngram_jaccard_pairs, simhash_dedup_pairs, simhash_signatures,
+      ann_ivf, ann_lsh, embedding_dedup).
 
-    SACRIFICED this round (18, deepest-evidence-first; they re-enter at
-    round 10): the four deep-evidence ops (quality_score 4x-green;
-    dedup_exact, minhash_signatures, token_count 5x-green) and the 14
-    map-only/single-exchange analytics shapes among the twice-green
-    (anomaly_days, basket_pairs, event_sequences, events_json,
-    events_percentiles, events_percentiles_hist, events_pivot,
-    events_unpivot, funnel, retention, salted_events_enrich, top_terms,
-    ngram_top, table_profile) — the lowest-risk dataflows in the r07
-    cohort. The 50 r08-green queries sit behind the window as the
-    freshest cohort.
+    SACRIFICED this round (19, deepest-evidence-first; they re-enter at
+    round 11 alongside ~31 of the 50 r09-green): all 5x-green, lowest
+    risk — the nine ad-hoc SQL aggregates (events_agg_count,
+    events_cte_join, events_daily, events_latest, events_median,
+    events_rolling, events_rollup, events_setops, events_topk), the
+    seven plain-shape TPC-H re-runs (q2, q13, q15, q17, q20, q21, q22),
+    q1_decimal, and the two battle-tested ops embedding_topk and
+    media_features. The 50 r09-green queries sit behind the window as
+    the freshest cohort.
 
     The bench re-orders tiers for measurement isolation ("streaming"-named
     tiers run last); see ``operators.pipeline_tiers``."""
@@ -191,52 +191,65 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     def _pop_sql(*names: str) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return {n: sql.pop(n) for n in names}
 
-    # --- slots 1-15: r06-stale TPC-H re-entries (round-8 sacrifice) ----
-    stale_sql = _pop_sql(
-        "q1", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
-        "q12", "q14", "q16", "q18", "q19",
-    )
-    # --- slots 16-18: r06-stale text ops (round-8 sacrifice) -----------
-    stale_text = _pop("text", "text_stats", "lang_id", "fingerprint")
-    # --- slots 19-27: promoted-at-r7 single-green (batch) --------------
-    shallow_r07 = {
-        **_pop("graph", "bfs_hops_t3", "lpa_communities_t3", "triangle_count"),
-        **_pop("retrieval", "bm25_topk"),
-        **_pop("selection", "dsir_weights"),
-        **_pop("bpe", "bpe_merges_t2"),
-        **_pop("dedup", "winnow_fingerprints", "span_scrub"),
-        **_pop("sketches", "cms_heavy_hitters"),
-    }
-    # --- slot 28: promoted-at-r7 single-green streaming; "streaming"-
-    # named tier so the bench still measures it last (RocksDB
-    # maintenance-thread isolation)
-    streaming_window = _pop("streaming", "stream_topk")
-    # --- slots 29-50: twice-green r07, risk-weighted (see docstring) ---
-    mid_r07 = {
-        **_pop("dedup", "dedup_clusters_star"),
-        **_pop("pipeline", "corpus_pipeline"),
-        **_pop("custom", "custom_source_scan"),
-        **_pop("cdc", "cdc_apply_changes"),
-        **_pop("analytics", "rollup_incremental", "sessionize_native"),
-        **_pop("joins", "bloom_semi_agg"),
-        **_pop("similarity", "embedding_quantize"),
-        **_pop("multimodal", "media_dedup", "media_resize"),
-        **_pop("graph", "pagerank_nations"),
-        **_pop("selection", "kmeans_assign", "token_budget_select"),
+    # --- slot 1: the promoted round-9 staged operator -------------------
+    promoted = _pop("sketches", "domain_token_profile")
+    # --- slots 2-19: last green r07, the round-9 sacrifice cohort -------
+    stale_r07 = {
+        **_pop("text", "quality_score", "token_count"),
+        **_pop("dedup", "dedup_exact", "minhash_signatures"),
+        **_pop("curation", "ngram_top"),
+        **_pop("joins", "salted_events_enrich"),
+        **_pop("profile", "table_profile"),
         **_pop(
-            "curation",
-            "chunk_documents",
-            "decontaminate",
-            "domain_mix",
-            "domain_resample",
-            "pack_sequences",
-            "pii_scrub",
-            "repetition_stats",
-            "shuffle_shards",
-            "stratified_sample",
+            "analytics",
+            "anomaly_days",
+            "basket_pairs",
+            "event_sequences",
+            "events_json",
+            "events_percentiles",
+            "events_percentiles_hist",
+            "events_pivot",
+            "events_unpivot",
+            "funnel",
+            "retention",
+            "top_terms",
         ),
     }
-    # `sql` now holds the r08-green SQL cohort (freshest, behind the window)
+    # --- slots 20-29: r08-green with one or two green rows --------------
+    shallow_r08 = {
+        **_pop("bpe", "bpe_apply"),
+        **_pop("sketches", "hll_distinct"),
+        **_pop("curation", "weighted_sample", "split_assign"),
+        **_pop("dedup", "chunk_overlap", "ngram_span_dedup", "minhash_pairs_skew"),
+        **_pop("selection", "kmeans_lloyd_t3"),
+        **_pop("similarity", "semantic_dedup"),
+        **_pop_sql("events_window_funcs"),
+    }
+    # --- slots 30-46: r08-green, three/four green rows + the seven
+    # risk-weighted 5x-green picks (see docstring) ------------------------
+    mid_r08 = {
+        **_pop("temporal", "events_asof", "events_kmv_distinct", "events_range_join"),
+        **_pop_sql("events_cube"),
+        **_pop("multimodal", "media_frames", "media_meta_stats"),
+        **_pop("stateful", "sessionize", "user_sessions"),
+        **_pop(
+            "dedup",
+            "dedup_clusters",
+            "dedup_incremental",
+            "minhash_dedup_pairs",
+            "ngram_jaccard_pairs",
+            "simhash_dedup_pairs",
+            "simhash_signatures",
+        ),
+        **_pop("similarity", "ann_ivf", "ann_lsh", "embedding_dedup"),
+    }
+    # --- slots 47-50: r08-green micro-batch streaming; "streaming"-named
+    # tier so the bench still measures them last (RocksDB maintenance-
+    # thread isolation)
+    streaming_window = _pop(
+        "streaming", "stream_click_attr", "stream_dedup", "stream_enrich", "stream_sliding"
+    )
+    # `sql` now holds the sacrificed 5x-green SQL cohort (behind the window)
     tail_tiers = (
         "selection",
         "dedup",
@@ -259,11 +272,11 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
         "text",
     )
     out = [
-        ("stale-sql", stale_sql),
-        ("stale-text", stale_text),
-        ("shallow-r07", shallow_r07),
+        ("promoted", promoted),
+        ("stale-r07", stale_r07),
+        ("shallow-r08", shallow_r08),
+        ("mid-r08", mid_r08),
         ("streaming-window", streaming_window),
-        ("mid-r07", mid_r07),
         # ---- window boundary: exactly 50 entries above this line ----
         ("sql", sql),
         *[(n, by_name[n]) for n in tail_tiers],

@@ -98,11 +98,10 @@ def staged_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Da
     comparison over them in every pytest run; at the next rotation they
     move into ``pipeline_tiers()`` and earn driver CORRECTNESS rows.
 
-    EMPTY as of round 8: the three round-7 staged operators (bpe_apply,
-    hll_distinct, weighted_sample) were promoted at the round-8 rotation
-    and no new operators were staged (the 118-query surface already cycles
-    the gate window every 3 rounds; growth is deliberately frozen). The
-    machinery stays for future operators."""
+    Round 9 staged domain_token_profile; it was promoted into the window
+    at the round-10 rotation. Each round's VERDICT budgets at most ONE
+    new staged operator (the 119-query surface already cycles the gate
+    window every 3 rounds; growth is deliberately near-frozen)."""
     from ..streaming import events as streaming_events
     from . import bpe, curation, dedup, graph, retrieval, selection, sketches
 

@@ -278,7 +278,11 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {"cms_heavy_hitters": cms_heavy_hitters, "hll_distinct": hll_distinct}
+    return {
+        "cms_heavy_hitters": cms_heavy_hitters,
+        "hll_distinct": hll_distinct,
+        "domain_token_profile": domain_token_profile,
+    }
 
 
 PROFILE_SHARDS = 8
@@ -303,14 +307,22 @@ def domain_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per source: ``(source, n_docs, src_tokens, share_ppm,
     est_distinct_tokens, exact_distinct_tokens, div_share_ppm,
     weight_ppm)`` where ``weight_ppm = floor(1e6 * div_share_ppm /
-    share_ppm)`` upweights domains whose share of DISTINCT vocabulary
-    exceeds their share of raw token mass (dedup-style diversity
-    signal) — all arithmetic in the ppm-floor integer forms both engines
-    share bit-for-bit. Scale shape: one corpus scan fans into the sketch
-    build (state capped at ``m`` registers per (source, shard)) and the
-    per-source token totals; everything after the two bounded aggregates
-    is broadcast-sized. The exact-distinct twin rides the same exchange
-    for row-by-row verifiability, exactly like the parents."""
+    greatest(share_ppm, 1))`` upweights domains whose share of DISTINCT
+    vocabulary exceeds their share of raw token mass (dedup-style
+    diversity signal) — all arithmetic in the ppm-floor integer forms
+    both engines share bit-for-bit. The ``greatest(·, 1)`` clamp keeps
+    the integer contract for a source holding under 1 ppm of total
+    token mass (share_ppm floors to 0 there; an unguarded division
+    would yield NULL weights on both engines). Scale shape: THREE
+    corpus scans by construction — the tokenized subtree is consumed by
+    the sketch build (state capped at ``m`` registers per
+    (source, shard)) and by the exact-distinct twin, and the per-source
+    token totals read the corpus once more; the consumers project
+    disjoint column slices, so checkpointing the tokenized frame to
+    share one scan would defeat column pruning (same finding as
+    dedup_incremental's idx_sigs). Everything after the bounded
+    aggregates is broadcast-sized. The exact-distinct twin exists for
+    row-by-row verifiability, exactly like the parents."""
     from ..functions.text import tokens
     from .temporal import hash48
 
@@ -388,20 +400,18 @@ def domain_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_distinct_tokens",
             "exact_distinct_tokens",
             div_share.alias("div_share_ppm"),
-            F.floor(F.lit(1e6) * div_share / share).cast("long").alias("weight_ppm"),
+            # greatest(share, 1): share_ppm floors to 0 for a <1 ppm source;
+            # an unguarded division would NULL the declared integer output
+            # (mirrored in the DuckDB oracle)
+            F.floor(F.lit(1e6) * div_share / F.greatest(share, F.lit(1)))
+            .cast("long")
+            .alias("weight_ppm"),
         )
         .orderBy("source")
     )
 
 
-def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Round 9 stages :func:`domain_token_profile` (the one staged slot the
-    round-8 VERDICT budgeted); it awaits a gate-window slot at the round-10
-    rotation."""
-    return {"domain_token_profile": domain_token_profile}
-
-
-def staged_oracles() -> dict[str, str]:
+def _domain_profile_oracle() -> dict[str, str]:
     from ..functions.text import DUCK_TOKENS
     from .temporal import HASH_HEX_DIGITS
 
@@ -453,11 +463,22 @@ def staged_oracles() -> dict[str, str]:
                    est_distinct_tokens, exact_distinct_tokens,
                    CAST(FLOOR(1e6 * est_distinct_tokens / total_est_distinct) AS BIGINT) AS div_share_ppm,
                    CAST(FLOOR(1e6 * CAST(FLOOR(1e6 * est_distinct_tokens / total_est_distinct) AS BIGINT)
-                              / CAST(FLOOR(1e6 * src_tokens / total_tokens) AS BIGINT)) AS BIGINT) AS weight_ppm
+                              / GREATEST(CAST(FLOOR(1e6 * src_tokens / total_tokens) AS BIGINT), 1)) AS BIGINT) AS weight_ppm
             FROM prof CROSS JOIN totals
             ORDER BY source
         """,
     }
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EMPTY as of round 10: :func:`domain_token_profile` (staged at round
+    9) was promoted into the gate window at the round-10 rotation. The
+    machinery stays for future staged sketches."""
+    return {}
+
+
+def staged_oracles() -> dict[str, str]:
+    return {}
 
 
 def _hll_oracle() -> dict[str, str]:
@@ -504,6 +525,7 @@ def _duck_bucket(d: int) -> str:
 
 def oracles() -> dict[str, str]:
     out = _hll_oracle()
+    out.update(_domain_profile_oracle())
     cell_rows = " UNION ALL ".join(
         f"SELECT {d} AS d, {_duck_bucket(d)} AS bucket FROM events"
         for d in range(CMS_D)

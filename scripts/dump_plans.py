@@ -62,7 +62,7 @@ SHOWCASE = [
     ("basket_pairs", "market-basket mining: exactly two shuffles (basket collapse, pair support) with the k^2 pair explode map-side from basket arrays; top-N is TakeOrderedAndProject heaps, no global sort"),
     ("domain_resample", "temperature resampling: per-source weight table broadcast onto ONE corpus scan; copy counts are a map-only hash decision — no corpus shuffle beyond the weight aggregation itself"),
     ("repetition_stats", "Gopher repetition signals: 2-gram explode absorbed by a map-side partial count, shuffle carries one row per DISTINCT gram per doc; doc rollup is a second doc-row-sized exchange"),
-    ("domain_token_profile", "staged sharded-HLL profile: corpus-fanout sketch build runs once into the checkpointed profile; returned plan is profile-sized (two RDD reads + 1-row totals broadcast, zero parquet)"),
+    ("domain_token_profile", "sharded-HLL profile (promoted r10): corpus-fanout sketch build runs once into the checkpointed profile; returned plan is profile-sized (two RDD reads + 1-row totals broadcast, zero parquet)"),
     ("media_features", "multimodal feature extraction: ONE scan into ONE Arrow-batched MapInPandas (the single Python boundary crossing); metadata projection and sort stay JVM-side"),
     ("custom_source_scan", "Python DataSource extension leaf: plans as a DSv2 BatchScan feeding ordinary Catalyst operators — the user-codec custom-leaf analog (reference tests/custom_extension_codec.rs)"),
     ("dedup_exact", "exact dedup: ONE digest hash exchange with partial/final aggregate split (identical texts combine map-side); no rebalance (the groupBy is the fan-out), no joins"),

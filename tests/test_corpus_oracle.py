@@ -104,33 +104,39 @@ def test_gate_window_rotation_leaves_no_query_unverified():
     )
 
 
-def test_round9_window_composition():
-    """Round-9 rotation, pinned by name: the 18 queries whose last green
-    row is CORRECTNESS_r06 (the round-8 sacrifice cohort — two completed
-    rounds stale, the rotation contract's re-entry point) LEAD the window,
-    then the ten single-green promoted-at-r7 operators, then 22 of the 36
-    twice-green r07 queries chosen risk-weighted (iterative / composed /
-    stateful / hash-sensitive dataflows take slots; map-only analytics
-    shapes age). Nothing r08-green occupies a window slot, and the 18
-    sacrificed r07-green queries re-enter at round 10."""
+def test_round10_window_composition():
+    """Round-10 rotation, pinned by name: the promoted round-9 staged
+    operator (domain_token_profile — never driver-verified) leads, then
+    the 18 queries whose last green row is CORRECTNESS_r07 (the round-9
+    sacrifice cohort — the rotation contract's re-entry point), then the
+    31 shallowest r08-green by total green-row depth (ties in the
+    5x-green band broken risk-weighted toward the pairs-miner/ANN ops
+    sharing the r9-rewritten signature fold). Nothing r09-green occupies
+    a window slot, and the 19 sacrificed r08-green queries re-enter at
+    round 11."""
     names = list(entry_mod.queries())
     gated = set(names[:50])
-    stale_r06 = {
-        "q1", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
-        "q12", "q14", "q16", "q18", "q19",
-        "text_stats", "lang_id", "fingerprint",
-    }
-    assert set(names[:18]) == stale_r06, (
-        f"the 18 r06-stale re-entries must lead the window; head is "
-        f"{names[:18]}"
+    assert names[0] == "domain_token_profile", (
+        f"the promoted staged operator must lead the window; head is {names[0]}"
     )
-    shallow_r07 = {
-        "bfs_hops_t3", "lpa_communities_t3", "triangle_count", "bm25_topk",
-        "dsir_weights", "bpe_merges_t2", "winnow_fingerprints", "span_scrub",
-        "cms_heavy_hitters", "stream_topk",
+    stale_r07 = {
+        "quality_score", "dedup_exact", "minhash_signatures", "token_count",
+        "anomaly_days", "basket_pairs", "event_sequences", "events_json",
+        "events_percentiles", "events_percentiles_hist", "events_pivot",
+        "events_unpivot", "funnel", "retention", "salted_events_enrich",
+        "top_terms", "ngram_top", "table_profile",
     }
-    assert shallow_r07 <= gated, (
-        f"single-green r07 ops not all in window: {shallow_r07 - gated}"
+    assert set(names[1:19]) == stale_r07, (
+        f"the 18 r07-stale re-entries must follow the promoted op; slots "
+        f"2-19 are {names[1:19]}"
+    )
+    shallow_r08 = {
+        "bpe_apply", "hll_distinct", "weighted_sample", "chunk_overlap",
+        "events_window_funcs", "kmeans_lloyd_t3", "minhash_pairs_skew",
+        "ngram_span_dedup", "semantic_dedup", "split_assign",
+    }
+    assert shallow_r08 <= gated, (
+        f"one/two-green r08 ops not all in window: {shallow_r08 - gated}"
     )
     by_round = _green_rows_by_round()
     # nothing verified in the freshest committed artifact wastes a slot
@@ -139,17 +145,16 @@ def test_round9_window_composition():
     assert not fresh_in_window, (
         f"freshest-round-verified queries occupying window slots: {fresh_in_window}"
     )
-    # the sacrificed r07 cohort is exactly the documented 18
+    # the sacrificed r08 cohort is exactly the documented 19
     sacrificed = {
-        "quality_score", "dedup_exact", "minhash_signatures", "token_count",
-        "anomaly_days", "basket_pairs", "event_sequences", "events_json",
-        "events_percentiles", "events_percentiles_hist", "events_pivot",
-        "events_unpivot", "funnel", "retention", "salted_events_enrich",
-        "top_terms", "ngram_top", "table_profile",
+        "events_agg_count", "events_cte_join", "events_daily",
+        "events_latest", "events_median", "events_rolling", "events_rollup",
+        "events_setops", "events_topk", "q2", "q13", "q15", "q17", "q20",
+        "q21", "q22", "q1_decimal", "embedding_topk", "media_features",
     }
     outside = set(names[50:])
-    r07_outside = outside & by_round[7] - by_round[8]
-    assert r07_outside == sacrificed, (
-        f"stale-budget drift: r07-green queries outside the window "
-        f"unexpected={r07_outside - sacrificed} missing={sacrificed - r07_outside}"
+    r08_outside = outside & by_round[8] - by_round[9]
+    assert r08_outside == sacrificed, (
+        f"stale-budget drift: r08-green queries outside the window "
+        f"unexpected={r08_outside - sacrificed} missing={sacrificed - r08_outside}"
     )

@@ -410,8 +410,10 @@ def test_domain_profile_shard_merge_equals_direct_sketch(spark):
 
 def test_domain_profile_weight_arithmetic(spark):
     """The diversity weight recomputes from the row's own integer columns
-    (floor(1e6 * div_share / share)) and the two share columns sum to
-    ~1e6 — the domain_mix ppm-floor contract carried over."""
+    (floor(1e6 * div_share / greatest(share, 1))) and the two share columns
+    sum to ~1e6 — the domain_mix ppm-floor contract carried over. The
+    greatest(·, 1) clamp keeps the replay total (share_ppm floors to 0 for
+    any source under 1 ppm of corpus token mass)."""
     from datafusion_distributed_experiment_spark.operators.sketches import (
         domain_token_profile,
     )
@@ -422,7 +424,7 @@ def test_domain_profile_weight_arithmetic(spark):
     assert rows
     n = len(rows)
     for r in rows:
-        assert r["weight_ppm"] == (10**6 * r["div_share_ppm"]) // r["share_ppm"]
+        assert r["weight_ppm"] == (10**6 * r["div_share_ppm"]) // max(r["share_ppm"], 1)
     for col in ("share_ppm", "div_share_ppm"):
         total = sum(r[col] for r in rows)
         assert 10**6 - n <= total <= 10**6, (col, total)
