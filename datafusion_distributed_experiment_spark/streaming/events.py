@@ -157,6 +157,33 @@ def click_view_join(
 
 STREAM_STATE_PARTITIONS = 8
 
+_aqe_warning_silenced: set[int] = set()
+
+
+def _silence_unconditional_aqe_warning(spark: SparkSession) -> None:
+    """Demote MicroBatchExecution's logger to ERROR — per-JVM, once.
+
+    Spark 4.1's ``disableAQESupportInStatelessIfUnappropriated`` logs
+    "Disabling AQE since AQE is not supported in stateful workloads" and
+    force-sets the conf UNCONDITIONALLY whenever the analyzed plan holds a
+    stateful operator — it never checks whether AQE is already off (verified
+    by decompiling MicroBatchExecution.class: the logWarning precedes an
+    unguarded conf.set). Pre-disabling AQE on the stream session (which this
+    module already does) therefore cannot silence it; scoping that one
+    logger to ERROR is the only lever. Every other logger keeps WARN."""
+    sc = spark.sparkContext
+    if id(sc) in _aqe_warning_silenced:
+        return
+    try:
+        jvm = sc._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+        _aqe_warning_silenced.add(id(sc))
+    except Exception:  # noqa: BLE001 - cosmetic; never fail a query over logging
+        pass
+
 
 def _stream_session(spark: SparkSession) -> SparkSession:
     """Sibling session with ``spark.sql.shuffle.partitions`` scoped to
@@ -167,6 +194,7 @@ def _stream_session(spark: SparkSession) -> SparkSession:
     the caller's conf — untouched."""
     from ..session import scoped_session
 
+    _silence_unconditional_aqe_warning(spark)
     return scoped_session(
         spark,
         {
