@@ -1074,6 +1074,25 @@ def _persistent_rdd_ids(spark: SparkSession) -> frozenset[int]:
     return frozenset(int(i) for i in jmap.keySet().toArray())
 
 
+def _checkpoint_rdd_ids(df: DataFrame) -> frozenset[int]:
+    """The JVM RDD id backing a ``localCheckpoint()``-ed frame, read off the
+    frame itself: ``Dataset.localCheckpoint`` returns a Dataset over a
+    ``LogicalRDD`` wrapping exactly the RDD it persisted, so
+    ``analyzed().rdd().id()`` names the block to release at eviction.
+
+    This replaces a before/after diff of the global persistent-RDD map,
+    which attributed ANY concurrently-persisted RDD (another thread's
+    localCheckpoint during the build window) to the memo entry — and memo
+    eviction force-unpersists its recorded ids, which is unrecoverable for
+    a live checkpointed frame (truncated lineage). Reading the id from the
+    frame makes the record exact under concurrency by construction."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        return frozenset({int(plan.rdd().id())})
+    except Exception:  # noqa: BLE001 - fall back to unpersist-only cleanup
+        return frozenset()
+
+
 def clear_pair_graph_memo() -> None:
     """Drop all memoized pair graphs and release their checkpoint blocks.
     Called by the bench harness between measured queries and by the scaling
@@ -1109,13 +1128,12 @@ def _shared_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one retained graph per application: evict (and unpersist) any
         # other sf_dir's entry so executor storage is bounded
         clear_pair_graph_memo()
-        before = _persistent_rdd_ids(spark)
         pairs = (
             minhash_dedup_pairs(spark, sf_dir)
             .select("doc_a", "doc_b")
             .localCheckpoint()
         )
-        _PAIR_GRAPH_MEMO[key] = (pairs, _persistent_rdd_ids(spark) - before)
+        _PAIR_GRAPH_MEMO[key] = (pairs, _checkpoint_rdd_ids(pairs))
     else:
         pairs = memo[0]
     return pairs

@@ -219,12 +219,28 @@ def test_pair_graph_memo_eviction_releases_checkpoint_blocks(spark):
 
     dedup.clear_pair_graph_memo()
     before = dedup._persistent_rdd_ids(spark)
+    # an UNRELATED frame checkpointed while the memo builds: the memo must
+    # record only its own checkpoint (it reads the RDD id off the returned
+    # frame), never attribute concurrent persists to itself — eviction
+    # force-unpersists its recorded ids, which would strand a live
+    # truncated-lineage frame (round-9 advisory)
+    bystander = spark.range(10).localCheckpoint()
+    bystander_ids = dedup._checkpoint_rdd_ids(bystander)
+    assert bystander_ids, "probe must see the bystander checkpoint id"
     dedup._shared_pair_graph(spark, SF_DIR)
     (_, ckpt_ids), = dedup._PAIR_GRAPH_MEMO.values()
     assert ckpt_ids, "memo must record the checkpoint's RDD ids"
     assert ckpt_ids <= dedup._persistent_rdd_ids(spark) - before
+    assert not (ckpt_ids & bystander_ids), (
+        "memo attributed an unrelated concurrent checkpoint to itself"
+    )
     dedup.clear_pair_graph_memo()
     assert not dedup._PAIR_GRAPH_MEMO
     assert not (ckpt_ids & dedup._persistent_rdd_ids(spark)), (
         "checkpoint blocks must be released at eviction, not deferred to GC"
     )
+    assert bystander_ids <= dedup._persistent_rdd_ids(spark), (
+        "eviction must not release blocks it does not own"
+    )
+    assert bystander.count() == 10  # still usable after eviction
+    bystander.unpersist()
