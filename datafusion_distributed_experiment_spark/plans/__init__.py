@@ -33,6 +33,13 @@ _SCRUBS: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"Statistics\([^)]*\)"), "Statistics(S)"),
     # memory addresses / object hashes
     (re.compile(r"@[0-9a-f]{6,}"), "@ADDR"),
+    # streaming runIds and other UUIDs (micro-batch executed plans)
+    (
+        re.compile(
+            r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+        ),
+        "UUID",
+    ),
 ]
 
 
@@ -44,12 +51,19 @@ def plan_string(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
-def normalized_plan(df: DataFrame, mode: str = "simple") -> str:
-    """Plan text with volatile ids scrubbed — safe for snapshot assertions."""
-    text = plan_string(df, mode)
+def normalize_text(text: str) -> str:
+    """Scrub volatile ids from already-rendered plan text — the same
+    treatment :func:`normalized_plan` applies, for plans that arrive as
+    strings (e.g. a streaming query's executed micro-batch plan, which is
+    only reachable through ``StreamingQuery.explainInternal``)."""
     for pat, repl in _SCRUBS:
         text = pat.sub(repl, text)
     return text.strip()
+
+
+def normalized_plan(df: DataFrame, mode: str = "simple") -> str:
+    """Plan text with volatile ids scrubbed — safe for snapshot assertions."""
+    return normalize_text(plan_string(df, mode))
 
 
 def stage_summary(df: DataFrame) -> dict[str, int]:

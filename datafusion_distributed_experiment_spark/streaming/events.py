@@ -440,7 +440,13 @@ def run_to_completion(
     drain: memory-sink replays are single-shot, and leaving Spark to invent
     a temp location makes ResolveWriteToStream warn on every start (noise
     that made GATE.txt diffs unreviewable) and leak best-effort-deleted
-    /tmp dirs on abnormal exit."""
+    /tmp dirs on abnormal exit.
+
+    The EXECUTED micro-batch plan is recorded in
+    :data:`LAST_STREAM_PLANS` under ``query_name`` — streaming plans never
+    surface through the returned batch frame (it reads the memory sink),
+    so this capture is the only audit trail of the stateful plan shape
+    (PLANS.md section + tests/test_plans.py assertion)."""
     import shutil
     import tempfile
 
@@ -456,6 +462,17 @@ def run_to_completion(
             .start()
         )
         q.awaitTermination()
+        try:
+            # the StreamingQuery handle outlives termination; explainInternal
+            # renders the LAST micro-batch's executed (codegen'd) plan
+            LAST_STREAM_PLANS[query_name] = q._jsq.explainInternal(False)
+        except Exception:  # noqa: BLE001 - plan capture must never fail a drain
+            pass
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(query_name)
+
+
+# query_name -> executed micro-batch plan text of the most recent
+# run_to_completion drain (see its docstring)
+LAST_STREAM_PLANS: dict[str, str] = {}

@@ -69,6 +69,9 @@ SHOWCASE = [
     ("events_asof", "as-of join: union + ONE window pass (last(payload) ignorenulls) over the key exchange — ZERO join operators; the theta-join spelling would plan a per-key-quadratic BroadcastNestedLoopJoin"),
     ("events_range_join", "interval range join: interval side explodes over covered time buckets, probe joins on the (key, bucket) EQUI-key, containment is a post-join filter — never a nested-loop inequality join"),
     ("user_sessions", "sessionization: all gap/session windows share ONE user_id exchange (plan-tested); per-task state is one user's events"),
+    ("table_profile", "one-pass profiling: N count(distinct) aggregates through ONE Expand inside a single partial/final aggregate pass — never a per-column rescan; batching caps the Expand factor past 16 columns"),
+    ("events_percentiles_hist", "histogram-sketch percentiles: bin counts are a bounded partial/final aggregate (state O(bins) per group at any group size); domain stats broadcast twice; cum-sum window runs on the BINS*types table, never the fact rows"),
+    ("stream_topk", "streaming top-k split: the STATEFUL micro-batch plan (below, captured from the executed drain) is partial agg -> ONE REQUIRED_BY_STATEFUL_OPERATOR exchange -> StateStoreRestore/Save; rank is a batch window over the windows*types memory sink, zero parquet"),
 ]
 
 # Queries whose audited shape is AQE's RUNTIME decision (broadcast
@@ -129,6 +132,21 @@ def main() -> int:
         out.append("```")
         out.append(normalized_plan(df, "simple"))
         out.append("```")
+        if name == "stream_topk":
+            # the stateful plan never surfaces through the returned batch
+            # frame (it reads the memory sink); run_to_completion captured
+            # the executed micro-batch plan during the drain above
+            from datafusion_distributed_experiment_spark.plans import normalize_text
+            from datafusion_distributed_experiment_spark.streaming.events import (
+                LAST_STREAM_PLANS,
+            )
+
+            out.append("")
+            out.append("**Executed micro-batch plan** (the stateful half):")
+            out.append("")
+            out.append("```")
+            out.append(normalize_text(LAST_STREAM_PLANS[name]))
+            out.append("```")
         out.append("")
 
     with open("/root/repo/PLANS.md", "w") as fh:

@@ -1064,3 +1064,79 @@ def test_range_join_is_bucketed_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
     assert plan.count("Generate explode") == 1, plan[:3000]
+
+
+def test_table_profile_is_one_expand_pass_no_rescan(spark):
+    """All N count(distinct) aggregates must run through ONE Expand inside
+    a single partial/final aggregate pass over ONE table scan — a
+    per-column rescan (N scans) or N separate aggregate jobs is the shape
+    that dies at a 100 TB table width. The per-column output rows come
+    from a struct-array explode of the 1-row aggregate, not from joins."""
+    from datafusion_distributed_experiment_spark.operators.profile import (
+        table_profile,
+    )
+
+    from .conftest import SF_DIR
+
+    df = table_profile(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert s["scans"] == 1, (s, plan[:3000])
+    assert plan.count("Expand") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_events_percentiles_hist_windows_run_on_bins_not_facts(spark):
+    """The sketch contract: fact rows feed exactly TWO bounded aggregates
+    (domain stats, bin counts — both with map-side partial halves); the
+    cum-sum window and bin selection run on the BINS*types table. The
+    domain stats join the fact stream as a BROADCAST (hint pinned), so no
+    fact-sized shuffle exists beyond the two aggregates' own exchanges;
+    the window must NOT partition on a fact-table key."""
+    from datafusion_distributed_experiment_spark.operators.analytics import (
+        events_percentiles_hist,
+    )
+
+    from .conftest import SF_DIR
+
+    df = events_percentiles_hist(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert s["broadcasts"] == 2, (s, plan[:3000])
+    assert "partial_count" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert plan.count("Window") == 1, plan[:3000]
+
+
+def test_stream_topk_stateful_plan_shape(spark):
+    """The streaming half must execute as: map-side partial aggregate ->
+    ONE REQUIRED_BY_STATEFUL_OPERATOR exchange -> StateStoreRestore ->
+    merge -> StateStoreSave -> final aggregate — watermark-bounded state,
+    one counter per (window, type). The rank half is a batch window over
+    the windows*types memory sink: zero parquet, bounded by the aggregate
+    cardinality however large the drained stream was. Captured from the
+    EXECUTED micro-batch plan (run_to_completion records it; streaming
+    plans never surface through the returned batch frame)."""
+    import __spark_entry__ as entry_mod
+    from datafusion_distributed_experiment_spark.streaming.events import (
+        LAST_STREAM_PLANS,
+    )
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["stream_topk"](spark, SF_DIR)
+    micro = LAST_STREAM_PLANS["stream_topk"]
+    assert "StateStoreSave" in micro and "StateStoreRestore" in micro, micro[:3000]
+    assert micro.count("REQUIRED_BY_STATEFUL_OPERATOR") == 1, micro[:3000]
+    assert "partial_count" in micro, micro[:3000]
+    assert "AdaptiveSparkPlan" not in micro, micro[:3000]
+    batch = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert s["scans"] == 0, (s, batch[:3000])
+    import re as _re
+
+    assert len(_re.findall(r"\bWindow \[", batch)) == 1, batch[:3000]
+    # rank<=N pushed into partial/final WindowGroupLimit: per-partition
+    # heaps cap rows BEFORE the day exchange, so the rank pass never
+    # materializes more than N rows per (partition, day)
+    assert "WindowGroupLimit" in batch, batch[:3000]
