@@ -470,15 +470,186 @@ def _domain_profile_oracle() -> dict[str, str]:
     }
 
 
+# ---------------------------------------------------------------------------
+# Mergeable rank sketch (staged round 10)
+# ---------------------------------------------------------------------------
+
+QSKETCH_K = 512      # retained sample rows per group — the FIXED state size
+QSKETCH_SHARDS = 8   # simulated partial sketches (the 100 TB merge boundary)
+QSKETCH_PERCENTILES = (50, 90, 99)  # the events_percentiles contract
+
+
+def quantile_sketch_sample(
+    rows: DataFrame, k: int = QSKETCH_K, shards: int = QSKETCH_SHARDS
+) -> DataFrame:
+    """The sketch's retained sample: bottom-``k`` rows per ``event_type`` by
+    a uniform 48-bit row hash, built as per-shard partial sketches merged by
+    the SAME bottom-k operator (min-k of a union is associative, exactly like
+    HLL's register-wise max — merged == direct is pinned on data in
+    tests/test_sketches.py). ``rows`` must carry (event_type, event_id,
+    value_cents); returns the retained (event_type, event_id, value_cents, h).
+
+    Scale shape: the rank<=k filter over the row_number window plans as a
+    partial/final WindowGroupLimit, so every input partition forwards at most
+    k rows per (type, shard) into the exchange — state is O(k) per group at
+    ANY input size, and the merge level runs on shards*k rows per type."""
+    from pyspark.sql import Window
+
+    from .temporal import hash48
+
+    hashed = rows.select(
+        "event_type",
+        "event_id",
+        "value_cents",
+        hash48(F.col("event_id")).alias("h"),
+        (F.col("event_id") % shards).alias("shard"),
+    )
+    # level 1: per-shard partial sketch (bottom-k by hash; event_id breaks
+    # hash ties so the order is total and both engines retain identical rows)
+    w1 = Window.partitionBy("event_type", "shard").orderBy("h", "event_id")
+    l1 = (
+        hashed.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "shard")
+    )
+    # level 2: the merge operator IS bottom-k again, over the union of
+    # partial sketches — shards*k rows per type, never the fact stream
+    w2 = Window.partitionBy("event_type").orderBy("h", "event_id")
+    return (
+        l1.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable epsilon-approximate percentiles per event type —
+    the bounded-state companion ``events_percentiles``'s docstring promises
+    for 100 TB group-bys, where sorting whole groups (exact rank selection)
+    stops being an option.
+
+    The sketch is a bottom-``k``-by-hash uniform row sample (Rosen 1997 /
+    reservoir-by-priority): keep the ``k`` rows with the smallest
+    deterministic 48-bit hash per group. That state is (a) FIXED at k rows
+    per group regardless of group size, and (b) MERGEABLE — bottom-k of a
+    union equals bottom-k of the per-shard bottom-k's, the same
+    associativity HLL gets from register-wise max — which is what lets
+    partial sketches ship from every shard of a 100 TB corpus and combine
+    loss-free. Quantile estimates are exact rank selection WITHIN the
+    retained sample (the ``(n*p + 99) DIV 100`` ceil-rank integer form both
+    engines share); rank error is the sampling error, O(1/sqrt(k)) with
+    k=512 (~4.4 ppt s.d.), and the estimate is EXACT whenever a group holds
+    fewer than k rows. All arithmetic is integer (48-bit md5-slice hash,
+    cent-quantized values), so the DuckDB oracle replays the identical
+    two-level dataflow bit-for-bit. Output: ``(event_type, n_events,
+    sample_k, p50_est_cents, p90_est_cents, p99_est_cents)``.
+
+    vs the histogram sketch (``events_percentiles_hist``): no domain pass,
+    no fixed-bin resolution floor — accuracy is in RANK space, value
+    distribution irrelevant; vs exact (``events_percentiles``): one
+    WindowGroupLimit-capped exchange instead of a whole-group sort."""
+    from pyspark.sql import Window
+
+    from ..sources.events import read_events
+
+    ev = read_events(spark, sf_dir).select("event_type", "event_id", "value_cents")
+    sample = quantile_sketch_sample(ev)
+    # exact rank selection WITHIN the k-row sample (ceil-rank integer form)
+    ws = Window.partitionBy("event_type").orderBy("value_cents", "event_id")
+    wp = Window.partitionBy("event_type")
+    ranked = sample.select(
+        "event_type",
+        "value_cents",
+        F.row_number().over(ws).alias("srn"),
+        F.count("*").over(wp).alias("sk"),
+    )
+    est = ranked.groupBy("event_type").agg(
+        F.max("sk").cast("long").alias("sample_k"),
+        *[
+            F.max(
+                F.when(
+                    F.expr(f"srn = (sk * {p} + 99) DIV 100"), F.col("value_cents")
+                )
+            )
+            .cast("long")
+            .alias(f"p{p}_est_cents")
+            for p in QSKETCH_PERCENTILES
+        ],
+    )
+    totals = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    return (
+        totals.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "sample_k",
+            *[f"p{p}_est_cents" for p in QSKETCH_PERCENTILES],
+        )
+        .orderBy("event_type")
+    )
+
+
+def _quantile_sketch_oracle() -> dict[str, str]:
+    from ..sources.events import DUCK_EVENTS_MS
+    from .temporal import HASH_HEX_DIGITS
+
+    h48 = f"CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, {HASH_HEX_DIGITS})) AS BIGINT)"
+    pct = ",\n                   ".join(
+        f"CAST(MAX(CASE WHEN srn = (sk * {p} + 99) // 100 THEN value_cents END) AS BIGINT) AS p{p}_est_cents"
+        for p in QSKETCH_PERCENTILES
+    )
+    return {
+        "events_quantile_sketch": f"""
+            WITH e AS ({DUCK_EVENTS_MS}),
+            hashed AS (
+                SELECT event_type, event_id, value_cents, {h48} AS h,
+                       event_id % {QSKETCH_SHARDS} AS shard
+                FROM e),
+            l1 AS (
+                SELECT event_type, event_id, value_cents, h FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY event_type, shard ORDER BY h, event_id) AS rn
+                    FROM hashed) WHERE rn <= {QSKETCH_K}),
+            l2 AS (
+                SELECT event_type, event_id, value_cents FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY event_type ORDER BY h, event_id) AS rn
+                    FROM l1) WHERE rn <= {QSKETCH_K}),
+            ranked AS (
+                SELECT event_type, value_cents,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY value_cents, event_id) AS srn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS sk
+                FROM l2),
+            est AS (
+                SELECT event_type,
+                   CAST(MAX(sk) AS BIGINT) AS sample_k,
+                   {pct}
+                FROM ranked GROUP BY event_type),
+            totals AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM e GROUP BY event_type)
+            SELECT event_type, n_events, sample_k,
+                   {", ".join(f"p{p}_est_cents" for p in QSKETCH_PERCENTILES)}
+            FROM totals JOIN est USING (event_type)
+            ORDER BY event_type
+        """,
+    }
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """EMPTY as of round 10: :func:`domain_token_profile` (staged at round
-    9) was promoted into the gate window at the round-10 rotation. The
-    machinery stays for future staged sketches."""
-    return {}
+    """Round 10 stages :func:`events_quantile_sketch` (the one staged slot
+    the round-9 VERDICT budgeted — the mergeable rank sketch completing the
+    percentile family); it awaits a gate-window slot at the round-11
+    rotation."""
+    return {"events_quantile_sketch": events_quantile_sketch}
 
 
 def staged_oracles() -> dict[str, str]:
-    return {}
+    return _quantile_sketch_oracle()
 
 
 def _hll_oracle() -> dict[str, str]:

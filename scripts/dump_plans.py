@@ -72,6 +72,7 @@ SHOWCASE = [
     ("table_profile", "one-pass profiling: N count(distinct) aggregates through ONE Expand inside a single partial/final aggregate pass — never a per-column rescan; batching caps the Expand factor past 16 columns"),
     ("events_percentiles_hist", "histogram-sketch percentiles: bin counts are a bounded partial/final aggregate (state O(bins) per group at any group size); domain stats broadcast twice; cum-sum window runs on the BINS*types table, never the fact rows"),
     ("stream_topk", "streaming top-k split: the STATEFUL micro-batch plan (below, captured from the executed drain) is partial agg -> ONE REQUIRED_BY_STATEFUL_OPERATOR exchange -> StateStoreRestore/Save; rank is a batch window over the windows*types memory sink, zero parquet"),
+    ("events_quantile_sketch", "staged mergeable rank sketch: BOTH bottom-k levels plan as partial/final WindowGroupLimit pairs (every input partition forwards <= k rows per group into its exchange); rank selection runs on the k-row sample; types-sized totals broadcast"),
 ]
 
 # Queries whose audited shape is AQE's RUNTIME decision (broadcast

@@ -1140,3 +1140,27 @@ def test_stream_topk_stateful_plan_shape(spark):
     # heaps cap rows BEFORE the day exchange, so the rank pass never
     # materializes more than N rows per (partition, day)
     assert "WindowGroupLimit" in batch, batch[:3000]
+
+
+def test_quantile_sketch_bottom_k_caps_map_side(spark):
+    """The staged mergeable rank sketch's scale contract: BOTH bottom-k
+    levels (per-shard partial sketch, merge-of-union) plan as partial/final
+    WindowGroupLimit pairs — every input partition forwards at most k rows
+    per group into its exchange, so no fact-sized sort ever funnels a whole
+    group through one task (the exact-percentiles shape this sketch exists
+    to replace at 100 TB). Two fact scans (sample side + true-count side),
+    types-sized totals broadcast, never a SortMergeJoin."""
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        events_quantile_sketch,
+    )
+
+    from .conftest import SF_DIR
+
+    df = events_quantile_sketch(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert s["scans"] == 2, (s, plan[:3000])
+    assert plan.count("WindowGroupLimit") == 4, plan[:3000]
+    assert "Partial" in plan and "Final" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert s["broadcasts"] >= 1, (s, plan[:3000])

@@ -445,3 +445,121 @@ def test_domain_profile_checkpoints_the_multi_consumer_profile(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FileScan parquet" not in plan, plan[:2000]
     assert "Scan ExistingRDD" in plan, plan[:2000]
+
+
+def _qsketch_rows(spark, n_groups=3, n_rows=4000):
+    """Constructed fact table with >> QSKETCH_K rows per group and a KNOWN
+    value distribution (value_cents == rank within group), so true
+    percentiles are analytic and the approximation path — not the
+    exact-small-group path — is what the assertions exercise."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n_groups * n_rows)
+        .select(
+            F.concat(F.lit("t"), (F.col("id") % n_groups).cast("string")).alias(
+                "event_type"
+            ),
+            F.col("id").alias("event_id"),
+            (F.col("id") / n_groups).cast("long").alias("value_cents"),
+        )
+    )
+
+
+def test_quantile_sketch_merge_equals_direct_sample(spark):
+    """Bottom-k by hash is associative: the two-level (per-shard bottom-k,
+    then bottom-k of the union) sample must retain EXACTLY the rows of a
+    direct single-level bottom-k over the same data — the mergeability
+    property that lets partial sketches ship from every shard of a 100 TB
+    corpus and combine loss-free (HLL's register-max argument, in min-k
+    form). This is the algorithm-level check the shared-dataflow DuckDB
+    twin cannot provide."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        QSKETCH_K,
+        quantile_sketch_sample,
+    )
+    from datafusion_distributed_experiment_spark.operators.temporal import hash48
+
+    rows = _qsketch_rows(spark)
+    two_level = quantile_sketch_sample(rows)
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+    direct = (
+        rows.select(
+            "event_type", "event_id", hash48(F.col("event_id")).alias("h")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QSKETCH_K)
+    )
+    got = {(r["event_type"], r["event_id"]) for r in two_level.collect()}
+    want = {(r["event_type"], r["event_id"]) for r in direct.collect()}
+    assert got == want
+    # full state: every group has >= QSKETCH_K rows here
+    per_group: dict[str, int] = {}
+    for t, _ in got:
+        per_group[t] = per_group.get(t, 0) + 1
+    assert all(v == QSKETCH_K for v in per_group.values()), per_group
+
+
+def test_quantile_sketch_estimates_within_rank_envelope(spark):
+    """Exact-bracket envelope on constructed data (value == within-group
+    rank, so true percentile values are analytic): each estimate's TRUE
+    rank must sit within +-10 percentage points of the target — k=512
+    gives ~4.4 ppt sampling s.d., so the 10 ppt envelope is ~2.3 sigma per
+    (group, percentile). Catches any systematic bias (the r7 poly-hash
+    magnitude lesson) that the cross-engine oracle, replaying the same
+    dataflow, would reproduce rather than expose."""
+    import datafusion_distributed_experiment_spark.operators.sketches as sk
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = _qsketch_rows(spark)
+    n_rows = 4000
+    sample = sk.quantile_sketch_sample(rows)
+    ws = Window.partitionBy("event_type").orderBy("value_cents", "event_id")
+    wp = Window.partitionBy("event_type")
+    ranked = sample.select(
+        "event_type",
+        "value_cents",
+        F.row_number().over(ws).alias("srn"),
+        F.count("*").over(wp).alias("sk"),
+    )
+    est = ranked.groupBy("event_type").agg(
+        *[
+            F.max(
+                F.when(F.expr(f"srn = (sk * {p} + 99) DIV 100"), F.col("value_cents"))
+            ).alias(f"p{p}")
+            for p in sk.QSKETCH_PERCENTILES
+        ]
+    )
+    for r in est.collect():
+        for p in sk.QSKETCH_PERCENTILES:
+            true_rank_pct = 100.0 * (r[f"p{p}"] + 1) / n_rows
+            assert abs(true_rank_pct - p) <= 10.0, (r["event_type"], p, r[f"p{p}"])
+
+
+def test_quantile_sketch_exact_below_k_and_output_contract(spark):
+    """A group smaller than QSKETCH_K retains ALL its rows, so the sketch's
+    estimates must EQUAL events_percentiles' exact values there — true for
+    every event type at sf0.001 iff sample_k == n_events; where the group
+    exceeds k, sample_k must clamp at k."""
+    from datafusion_distributed_experiment_spark.operators.analytics import (
+        events_percentiles,
+    )
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        QSKETCH_K,
+        events_quantile_sketch,
+    )
+
+    exact = {r["event_type"]: r for r in events_percentiles(spark, SF_DIR).collect()}
+    for r in events_quantile_sketch(spark, SF_DIR).collect():
+        e = exact[r["event_type"]]
+        assert r["n_events"] == e["n_events"]
+        if r["n_events"] <= QSKETCH_K:
+            assert r["sample_k"] == r["n_events"]
+            for p in (50, 90, 99):
+                assert r[f"p{p}_est_cents"] == e[f"p{p}_cents"], (r, e)
+        else:
+            assert r["sample_k"] == QSKETCH_K
