@@ -77,6 +77,13 @@ PROBE_OPS = [
     "weighted_sample",
     # round-9 staged addition: two-level sharded HLL register merge
     "domain_token_profile",
+    # round-10: the r9-rewritten map-only shapes (array_min/transform
+    # signature fold; single-MapInPandas resize) + the staged bottom-k rank
+    # sketch — probe each ALONE in a fresh JVM (single-op invocations) per
+    # the probe-order variance doctrine
+    "minhash_signatures",
+    "media_resize",
+    "events_quantile_sketch",
 ]
 
 
