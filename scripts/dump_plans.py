@@ -73,6 +73,18 @@ SHOWCASE = [
     ("events_percentiles_hist", "histogram-sketch percentiles: bin counts are a bounded partial/final aggregate (state O(bins) per group at any group size); domain stats broadcast twice; cum-sum window runs on the BINS*types table, never the fact rows"),
     ("stream_topk", "streaming top-k split: the STATEFUL micro-batch plan (below, captured from the executed drain) is partial agg -> ONE REQUIRED_BY_STATEFUL_OPERATOR exchange -> StateStoreRestore/Save; rank is a batch window over the windows*types memory sink, zero parquet"),
     ("events_quantile_sketch", "staged mergeable rank sketch: BOTH bottom-k levels plan as partial/final WindowGroupLimit pairs (every input partition forwards <= k rows per group into its exchange); rank selection runs on the k-row sample; types-sized totals broadcast"),
+    ("stream_sliding", "sliding windows (micro-batch plan below): each event expands to its covering windows MAP-side, then partial agg -> ONE REQUIRED_BY_STATEFUL_OPERATOR exchange -> StateStoreRestore/Save — state is one counter per (window, type), never per event; batch half reads the memory sink, zero parquet"),
+    ("stream_dedup", "watermark-bounded streaming dedup (micro-batch below): StreamingDeduplicateWithinWatermark holds one row per key only until the watermark passes — ONE stateful exchange, zero aggregate state, the continuous half of dedup_exact"),
+    ("stream_enrich", "stream-static enrich (micro-batch below): the dimension joins INSIDE each micro-batch as an ordinary BroadcastHashJoin — static sides never enter streaming state; the only stateful operator is the downstream windowed aggregate behind its ONE exchange"),
+    ("stream_click_attr", "stream-stream attribution join (micro-batch below): StreamingSymmetricHashJoin with BOTH sides exchanged REQUIRED_BY_STATEFUL_OPERATOR; watermarks bound both buffers, so join state is the watermark horizon, not the stream"),
+    ("sessionize", "lag-cascade sessionization rollup: gap marks, session numbering and the per-user rollup all partition on user_id, so EnsureRequirements plans ONE user exchange for the whole cascade; one parquet scan, zero joins"),
+    ("events_kmv_distinct", "two-level k-min tree: distinct hashes -> per-(group, salt) k smallest -> global k smallest, ALL as partial/final aggregates — no aggregation state exceeds n_salt x k values and there is NO per-group window funnel (zero Window operators)"),
+    ("media_meta_stats", "metadata-only media inventory: Catalyst prunes the payload synthesis ENTIRELY out of the executed plan (no content/encode expression survives) — on a real media table this scan reads only (modality, meta), the column-pruning shape that makes 100 TB media tables cheap to inventory"),
+    ("media_frames", "video frame-sampling fan-out: ONE Arrow-batched MapInPandas performs the rows-out > rows-in expansion (the single Python crossing); the per-media count is an ordinary partial/final aggregate above it"),
+    ("salted_events_enrich", "static skew salting: the skewed stream side gets its salt as a MAP-side hash column; only the KEY-COUNT-sized dim side explodes by the constant salt factor before broadcasting — the stream is never replicated, and the join stays broadcast"),
+    ("split_assign", "train/val/test assignment: a pure map-only md5-slice hash decision — zero joins, zero aggregates; the only exchanges are the narrow-scan rebalance and the presentation sort"),
+    ("events_window_funcs", "analytic-function SQL: ROW_NUMBER/NTILE/PERCENT_RANK/CUME_DIST/LEAD all share ONE window spec, so the plan carries exactly ONE Window operator over one sort exchange"),
+    ("ngram_top", "n-gram frequency mining: the explode is absorbed by a map-side partial count (the shuffle carries one row per distinct gram, not the exploded stream); top-N is TakeOrderedAndProject heaps — no global sort"),
 ]
 
 # Queries whose audited shape is AQE's RUNTIME decision (broadcast
@@ -133,14 +145,15 @@ def main() -> int:
         out.append("```")
         out.append(normalized_plan(df, "simple"))
         out.append("```")
-        if name == "stream_topk":
+        from datafusion_distributed_experiment_spark.streaming.events import (
+            LAST_STREAM_PLANS,
+        )
+
+        if name in LAST_STREAM_PLANS:
             # the stateful plan never surfaces through the returned batch
             # frame (it reads the memory sink); run_to_completion captured
             # the executed micro-batch plan during the drain above
             from datafusion_distributed_experiment_spark.plans import normalize_text
-            from datafusion_distributed_experiment_spark.streaming.events import (
-                LAST_STREAM_PLANS,
-            )
 
             out.append("")
             out.append("**Executed micro-batch plan** (the stateful half):")

@@ -1164,3 +1164,188 @@ def test_quantile_sketch_bottom_k_caps_map_side(spark):
     assert "Partial" in plan and "Final" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
     assert s["broadcasts"] >= 1, (s, plan[:3000])
+
+
+def test_streaming_micro_batch_plan_shapes(spark):
+    """Executed micro-batch audits for the four bounded-replay streaming
+    queries (captured by run_to_completion — streaming plans never surface
+    through the returned batch frames):
+
+    - stream_sliding: the per-event covering-window expansion is a
+      MAP-side Expand absorbed by a partial aggregate BEFORE the single
+      REQUIRED_BY_STATEFUL_OPERATOR exchange; state is one counter per
+      (window, type), never per event.
+    - stream_dedup: StreamingDeduplicateWithinWatermark behind ONE
+      stateful exchange — per-key state lives only until the watermark
+      passes; no aggregate state at all.
+    - stream_enrich: the static dimension joins INSIDE the micro-batch as
+      an ordinary BroadcastHashJoin (static sides must never enter
+      streaming state); the only stateful operator is the downstream
+      windowed aggregate.
+    - stream_click_attr: StreamingSymmetricHashJoin with BOTH sides
+      exchanged REQUIRED_BY_STATEFUL_OPERATOR — join buffers are bounded
+      by the watermark horizon, not stream length."""
+    import __spark_entry__ as entry_mod
+    from datafusion_distributed_experiment_spark.streaming.events import (
+        LAST_STREAM_PLANS,
+    )
+
+    from .conftest import SF_DIR
+
+    qs = entry_mod.queries()
+    for name in ("stream_sliding", "stream_dedup", "stream_enrich", "stream_click_attr"):
+        qs[name](spark, SF_DIR)
+        assert name in LAST_STREAM_PLANS, name
+
+    m = LAST_STREAM_PLANS["stream_sliding"]
+    assert m.count("REQUIRED_BY_STATEFUL_OPERATOR") == 1, m[:3000]
+    assert "partial_count" in m, m[:3000]
+    i_exch = m.find("REQUIRED_BY_STATEFUL_OPERATOR")
+    i_expand = m.find("Expand")
+    assert 0 < i_exch < i_expand, (i_exch, i_expand)  # Expand below = map-side
+
+    m = LAST_STREAM_PLANS["stream_dedup"]
+    assert "StreamingDeduplicateWithinWatermark" in m, m[:3000]
+    assert m.count("REQUIRED_BY_STATEFUL_OPERATOR") == 1, m[:3000]
+    assert "StateStoreSave" not in m, m[:3000]  # dedup state, not agg state
+
+    m = LAST_STREAM_PLANS["stream_enrich"]
+    assert "BroadcastHashJoin" in m, m[:3000]
+    assert "StreamingSymmetricHashJoin" not in m, m[:3000]
+    assert m.count("REQUIRED_BY_STATEFUL_OPERATOR") == 1, m[:3000]
+
+    m = LAST_STREAM_PLANS["stream_click_attr"]
+    assert "StreamingSymmetricHashJoin" in m, m[:3000]
+    assert m.count("REQUIRED_BY_STATEFUL_OPERATOR") == 2, m[:3000]
+
+
+def test_sessionize_cascade_shares_one_user_exchange(spark):
+    """Gap marks, session numbering and the per-user rollup all partition
+    on user_id, so EnsureRequirements plans ONE user exchange for the whole
+    cascade (the second exchange is the presentation sort); one parquet
+    scan, zero joins."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["sessionize"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert s["scans"] == 1 and s["exchanges"] == 2, (s, plan[:3000])
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_kmv_two_level_tree_has_no_window_funnel(spark):
+    """The two-level k-min tree is ALL partial/final aggregates — no
+    per-group window rank, so no group's distinct hashes ever funnel
+    through one task (the flat window-rank plan would)."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["events_kmv_distinct"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    assert not _re.search(r"\bWindow \[", plan), plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_media_meta_stats_prunes_payload_synthesis(spark):
+    """Catalyst must prune the payload synthesis ENTIRELY out of the
+    metadata rollup's executed plan: no content/encode expression survives,
+    so on a real (non-synthesized) media table the scan reads only
+    (modality, meta) and never the payload bytes — the pruning shape that
+    makes 100 TB media tables cheap to inventory."""
+    from datafusion_distributed_experiment_spark.operators.multimodal import (
+        media_meta_stats,
+    )
+
+    from .conftest import SF_DIR
+
+    df = media_meta_stats(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan and "encode" not in plan, plan[:3000]
+    assert "MapInPandas" not in plan, plan[:3000]
+    s = stage_summary(df)
+    assert s["scans"] == 1, (s, plan[:3000])
+
+
+def test_media_frames_fanout_is_one_python_stage(spark):
+    """The rows-out > rows-in frame expansion crosses the Python boundary
+    exactly ONCE; the per-media count is an ordinary partial/final
+    aggregate above it."""
+    from datafusion_distributed_experiment_spark.operators.multimodal import (
+        media_frames,
+    )
+
+    from .conftest import SF_DIR
+
+    df = media_frames(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan[:3000]
+    assert "partial_count" in plan, plan[:3000]
+
+
+def test_salted_enrich_replicates_only_the_dim_side(spark):
+    """Static salting must explode ONLY the key-count-sized dimension side
+    (inside the broadcast subtree) by the constant salt factor; the skewed
+    stream side gets its salt as a map-side hash column and is never
+    replicated, and the join stays broadcast."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["salted_events_enrich"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 1, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    i_bex, i_exp = plan.find("BroadcastExchange"), plan.find("Generate explode")
+    assert 0 < i_bex < i_exp, (i_bex, i_exp)  # explode inside broadcast subtree
+
+
+def test_split_assign_is_map_only(spark):
+    """Deterministic split assignment is a pure map decision: zero joins,
+    zero aggregates — only the narrow-scan rebalance and presentation sort."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["split_assign"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = stage_summary(df)
+    assert "Join" not in plan and s["aggregates"] == 0, (s, plan[:3000])
+    assert s["scans"] == 1, (s, plan[:3000])
+
+
+def test_window_funcs_share_one_window_operator(spark):
+    """All five analytic functions (ROW_NUMBER/NTILE/PERCENT_RANK/
+    CUME_DIST/LEAD) declare the same window spec, so the plan must carry
+    exactly ONE Window operator — one sort exchange for the lot."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["events_window_funcs"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    assert len(_re.findall(r"\bWindow \[", plan)) == 1, plan[:3000]
+
+
+def test_ngram_top_absorbs_explode_and_heaps_topn(spark):
+    """The n-gram explode must be absorbed by a map-side partial count
+    (the shuffle carries one row per distinct gram, never the exploded
+    token stream) and top-N must be TakeOrderedAndProject heaps — a global
+    sort of the gram table is the shape that dies at corpus vocabulary
+    scale."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["ngram_top"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    s = stage_summary(df)
+    assert s["sorts"] == 0, (s, plan[:3000])
