@@ -85,6 +85,17 @@ SHOWCASE = [
     ("split_assign", "train/val/test assignment: a pure map-only md5-slice hash decision — zero joins, zero aggregates; the only exchanges are the narrow-scan rebalance and the presentation sort"),
     ("events_window_funcs", "analytic-function SQL: ROW_NUMBER/NTILE/PERCENT_RANK/CUME_DIST/LEAD all share ONE window spec, so the plan carries exactly ONE Window operator over one sort exchange"),
     ("ngram_top", "n-gram frequency mining: the explode is absorbed by a map-side partial count (the shuffle carries one row per distinct gram, not the exploded stream); top-N is TakeOrderedAndProject heaps — no global sort"),
+    ("quality_score", "Gopher-style quality signals: pure map-only JVM expressions over one scan — zero joins/aggregates/windows; the only exchanges are the narrow-scan rebalance and the presentation sort"),
+    ("token_count", "token counting: same map-only contract as quality_score — one scan, zero joins/aggregates/windows; whitespace + BPE-ish regex all inside whole-stage codegen"),
+    ("anomaly_days", "per-user anomaly days: fact rows collapse to (user, day) counts in a partial/final aggregate BEFORE the mean/stddev window — the stats window runs on user-day cardinality, never raw events; integer variance cross-multiplication, zero joins"),
+    ("event_sequences", "training-sequence construction: ONE user_id exchange; the time-ordering is array_sort INSIDE the aggregate (per-group, map-side partial collect) — no global ordering of the fact table"),
+    ("events_json", "semi-structured extraction: typed from_json evaluates once per row map-side (malformed payloads become NULLs in the same pass); one aggregate exchange after, single scan"),
+    ("events_pivot", "pivot: Spark's native two-phase pivot — both aggregate levels split partial/final, zero joins, one scan; the wide schema is a projection, not a self-join per column"),
+    ("events_unpivot", "unpivot/melt: native unpivot plans as ONE map-side Expand — zero joins, zero Generate, no shuffle beyond the aggregate it inverts"),
+    ("retention", "cohort retention: cohort assignment is a min-day window over (user, day) rows already collapsed by a partial/final aggregate; the cohort/day matrix aggregates are all partial/final; one scan, zero joins"),
+    ("simhash_signatures", "SimHash build: corpus = documents UNION an augmented slice (2 scans, the slice's modulo filter evaluated AT its scan); signature = explode -> 32 conditional SUMs as ONE partial/final aggregate — one slim 32-long row per doc per map partition crosses the shuffle (the map-only HOF fold benched 2-4x slower; aggregates beat interpreted lambdas)"),
+    ("ann_lsh", "LSH ANN: sign-bucket probe join on the bucket EQUI-key with the tiny query side broadcast; per-query rank window bounded by candidate volume; the frequent-bucket skew guard is SIZE-GATED (absent below 10k vectors — this plan — present above, both directions plan-tested)"),
+    ("embedding_dedup", "embedding near-dup: sign-bucket self-join on the bucket equi-key (never all-pairs); exact cosine verify is a map-side filter on the pair rows; same size-gated bucket-cap guard as ann_lsh"),
 ]
 
 # Queries whose audited shape is AQE's RUNTIME decision (broadcast

@@ -1349,3 +1349,154 @@ def test_ngram_top_absorbs_explode_and_heaps_topn(spark):
     assert "TakeOrderedAndProject" in plan, plan[:3000]
     s = stage_summary(df)
     assert s["sorts"] == 0, (s, plan[:3000])
+
+
+def test_text_scores_are_map_only(spark):
+    """quality_score and token_count are pure map-only JVM expression
+    pipelines: zero joins/aggregates/windows; the only exchanges are the
+    narrow-scan rebalance and the presentation sort. A join or aggregate
+    appearing here means a scoring signal started shuffling the corpus."""
+    import re as _re
+
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    qs = entry_mod.queries()
+    for name in ("quality_score", "token_count"):
+        df = qs[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        s = stage_summary(df)
+        assert "Join" not in plan and s["aggregates"] == 0, (name, s, plan[:2000])
+        assert not _re.search(r"\bWindow \[", plan), (name, plan[:2000])
+        assert s["scans"] == 1 and s["exchanges"] <= 2, (name, s)
+
+
+def test_anomaly_days_window_runs_on_collapsed_days(spark):
+    """Fact rows must collapse to (user, day) counts in a partial/final
+    aggregate BEFORE the mean/stddev window — the window's input is
+    user-day cardinality, never raw events; zero joins."""
+    import re as _re
+
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["anomaly_days"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:3000]
+    assert "partial_count" in plan, plan[:3000]
+    assert len(_re.findall(r"\bWindow \[", plan)) == 1, plan[:3000]
+    # plan prints parents first: the window must appear ABOVE (before) the
+    # day-count aggregate it consumes
+    assert plan.find("Window [") < plan.rfind("HashAggregate"), plan[:3000]
+
+
+def test_event_sequences_sorts_inside_the_aggregate(spark):
+    """Per-user ordering happens as array_sort INSIDE the aggregate (one
+    user_id exchange, map-side partial collect) — no window, no global sort
+    of the fact table."""
+    import re as _re
+
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["event_sequences"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the ordering lives in the aggregate's result expression (array_sort
+    # over the collected structs — not rendered in the plan text); what the
+    # plan CAN show: a partial/final collect_list pair and no Window/Sort
+    # imposing a global order
+    assert "partial_collect_list" in plan, plan[:3000]
+    assert not _re.search(r"\bWindow \[", plan), plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    s = stage_summary(df)
+    assert s["exchanges"] <= 2, (s, plan[:3000])  # user agg + presentation
+
+
+def test_events_json_parses_map_side_once(spark):
+    """from_json evaluates map-side before the single aggregate exchange —
+    typed extraction, not a per-field reparse."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["events_json"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "from_json" in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    s = stage_summary(df)
+    assert s["scans"] == 1 and s["aggregates"] >= 2, (s, plan[:3000])
+
+
+def test_events_pivot_is_two_phase_no_self_join(spark):
+    """Native pivot: both aggregate levels split partial/final; the wide
+    schema is a projection — never the naive one-self-join-per-column
+    spelling."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["events_pivot"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:3000]
+    s = stage_summary(df)
+    assert s["aggregates"] == 4 and s["scans"] == 1, (s, plan[:3000])
+
+
+def test_events_unpivot_is_one_expand(spark):
+    """Native unpivot plans as ONE map-side Expand — zero joins, zero
+    Generate; the long form costs no shuffle beyond the aggregate it
+    inverts."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["events_unpivot"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1, plan[:3000]
+    assert "Join" not in plan and "Generate" not in plan, plan[:3000]
+
+
+def test_retention_cohorts_from_collapsed_days_no_join(spark):
+    """Cohort assignment is a min-day window over (user, day) rows already
+    collapsed by a partial/final aggregate; the full cohort/day matrix
+    needs ONE scan and zero joins — the self-join cohort spelling doubles
+    the fact-table cost."""
+    import re as _re
+
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["retention"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:3000]
+    assert len(_re.findall(r"\bWindow \[", plan)) == 1, plan[:3000]
+    s = stage_summary(df)
+    assert s["scans"] == 1, (s, plan[:3000])
+
+
+def test_simhash_signatures_aggregate_formulation(spark):
+    """The signature is explode -> 32 conditional SUMs as ONE partial/final
+    aggregate: one slim 32-long row per doc per map partition crosses the
+    shuffle (the map-only HOF fold benched 2-4x slower — interpreted
+    lambdas allocate per token). Two scans = the corpus union's documents
+    branch + its augmented slice, whose modulo filter evaluates AT the
+    scan."""
+    import re as _re
+
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["simhash_signatures"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert not _re.search(r"\bWindow \[", plan), plan[:3000]
+    s = stage_summary(df)
+    assert s["scans"] == 2, (s, plan[:3000])
+    # the augmented slice's filter sits at its scan, not above the union
+    assert "(doc_id" in plan[plan.rfind("FileScan") - 600 :], plan[-1200:]
