@@ -49,6 +49,11 @@ AUDIT: dict[str, tuple] = {
     # genuinely independent dataflow, not the incremental path unrolled, so
     # a bug in the delta-merge cannot hide in a shared twin. Exempt.
     "rollup_incremental": ("exempt", "oracle recomputes from scratch; it shares no dataflow with the incremental merge"),
+    # Staged round 10 (promotes round 11): not RECURSIVE/_tN so the sweep
+    # below cannot catch it, but its oracle IS the same two-level bottom-k
+    # dataflow replayed — registered here ahead of promotion so the window
+    # slot arrives with its replica linkage already audited.
+    "events_quantile_sketch": ("replica", "tests.test_sketches", "test_quantile_sketch_sample_matches_python_replica"),
 }
 
 

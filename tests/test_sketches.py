@@ -563,3 +563,43 @@ def test_quantile_sketch_exact_below_k_and_output_contract(spark):
                 assert r[f"p{p}_est_cents"] == e[f"p{p}_cents"], (r, e)
         else:
             assert r["sample_k"] == QSKETCH_K
+
+
+def test_quantile_sketch_sample_matches_python_replica(spark):
+    """Pure-Python replica of the bottom-k selection on the REAL events
+    table: hashlib.md5 hex-slice (the hash48 contract), shard split,
+    per-(type, shard) k smallest by (h, event_id), then k smallest of the
+    union. The retained (event_type, event_id) sets must match Spark's
+    exactly. The DuckDB oracle replays the same dataflow in SQL, so only an
+    engine-independent replica like this one can catch a semantic slip in
+    the shared spelling (the verify-skill blind-spot class)."""
+    import hashlib
+
+    import duckdb
+
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        QSKETCH_K,
+        QSKETCH_SHARDS,
+        quantile_sketch_sample,
+    )
+    from datafusion_distributed_experiment_spark.sources.events import read_events
+
+    rows = duckdb.connect().execute(
+        f"SELECT event_type, event_id FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    by_shard: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    for t, eid in rows:
+        h = int(hashlib.md5(str(eid).encode()).hexdigest()[:12], 16)
+        by_shard.setdefault((t, eid % QSKETCH_SHARDS), []).append((h, eid))
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for (t, _), hs in by_shard.items():
+        by_type.setdefault(t, []).extend(sorted(hs)[:QSKETCH_K])
+    want = {
+        (t, eid) for t, hs in by_type.items() for _, eid in sorted(hs)[:QSKETCH_K]
+    }
+    ev = read_events(spark, SF_DIR).select("event_type", "event_id", "value_cents")
+    got = {
+        (r["event_type"], r["event_id"])
+        for r in quantile_sketch_sample(ev).collect()
+    }
+    assert got == want
