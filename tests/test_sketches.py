@@ -603,3 +603,48 @@ def test_quantile_sketch_sample_matches_python_replica(spark):
         for r in quantile_sketch_sample(ev).collect()
     }
     assert got == want
+
+
+def test_quantile_sketch_is_partitioning_independent(spark):
+    """1 vs 8 shuffle partitions must produce the identical result rows —
+    the bottom-k order is total ((h, event_id) ties impossible), so the
+    retained sample and every estimate are independent of physical
+    partitioning, the property that makes the sketch safe under AQE
+    re-planning and cluster-size changes."""
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        events_quantile_sketch,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        single = sorted(map(tuple, events_quantile_sketch(spark, SF_DIR).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        wide = sorted(map(tuple, events_quantile_sketch(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert single == wide
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=300, unique=True),
+    k=st.integers(min_value=1, max_value=40),
+    shards=st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=200, deadline=None)
+def test_bottom_k_merge_is_associative_property(ids, k, shards):
+    """Property (pure Python, no Spark): min-k of a union == min-k of the
+    per-shard min-k's, for ANY id multiset, k, and shard count — the
+    algebraic fact the two-level sketch build rests on (the min-k analog
+    of HLL's register-max merge)."""
+    import hashlib
+
+    hs = sorted(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16), i) for i in ids
+    )
+    direct = set(hs[:k])
+    per_shard: dict[int, list] = {}
+    for h, i in hs:
+        per_shard.setdefault(i % shards, []).append((h, i))
+    merged = set(sorted(x for v in per_shard.values() for x in sorted(v)[:k])[:k])
+    assert merged == direct
