@@ -96,6 +96,13 @@ SHOWCASE = [
     ("simhash_signatures", "SimHash build: corpus = documents UNION an augmented slice (2 scans, the slice's modulo filter evaluated AT its scan); signature = explode -> 32 conditional SUMs as ONE partial/final aggregate — one slim 32-long row per doc per map partition crosses the shuffle (the map-only HOF fold benched 2-4x slower; aggregates beat interpreted lambdas)"),
     ("ann_lsh", "LSH ANN: sign-bucket probe join on the bucket EQUI-key with the tiny query side broadcast; per-query rank window bounded by candidate volume; the frequent-bucket skew guard is SIZE-GATED (absent below 10k vectors — this plan — present above, both directions plan-tested)"),
     ("embedding_dedup", "embedding near-dup: sign-bucket self-join on the bucket equi-key (never all-pairs); exact cosine verify is a map-side filter on the pair rows; same size-gated bucket-cap guard as ann_lsh"),
+    ("q1", "TPC-H pricing summary: ONE scan with the shipdate predicate pushed, partial/final aggregate split around one exchange — the canonical map-side-combine shape"),
+    ("q13", "customer order-count distribution: the NOT LIKE references only the inner side, so Catalyst pushes it BELOW the LEFT OUTER join into the orders branch (filter runs before the build; outer rows NULL-extend after) — never a post-join filter that would drop them; two stacked partial/final aggregates (per-customer count, then histogram)"),
+    ("q15", "top-supplier view script (3 statements through Engine.sql_script): the revenue view materializes as a subplan reused by the max-revenue scalar and the final join — the multi-statement path the reference itself #[ignore]s in its integration test"),
+    ("q17", "correlated scalar subquery DECORRELATED: the per-part avg-quantity computes as ONE grouped aggregate joined back to lineitem — never a per-row re-execution of the subquery; the 0.2*avg predicate is a post-join filter"),
+    ("q18", "large-volume customers: the HAVING-subquery plans as a LeftSemi join against the grouped quantity aggregate; top-100 is TakeOrderedAndProject heaps, never a global sort"),
+    ("q20", "nested IN/EXISTS chain (part -> partsupp -> lineitem availability): every quantifier becomes a LeftSemi equi-join — zero nested-loop joins at any link of the chain"),
+    ("q21", "waiting-supplier query: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, both as equi-joins on l_orderkey beside the 4-way fact join; top-100 via TakeOrderedAndProject"),
 ]
 
 # Queries whose audited shape is AQE's RUNTIME decision (broadcast

@@ -1500,3 +1500,55 @@ def test_simhash_signatures_aggregate_formulation(spark):
     assert s["scans"] == 2, (s, plan[:3000])
     # the augmented slice's filter sits at its scan, not above the union
     assert "(doc_id" in plan[plan.rfind("FileScan") - 600 :], plan[-1200:]
+
+
+def test_tpch_hard_shapes_decorrelate_and_semi_anti_join(spark):
+    """Structural pins for the hardest TPC-H constructs — facts stable
+    across data sizes (broadcast-vs-SMJ choices are size-dependent and NOT
+    pinned here):
+
+    - q17's correlated scalar subquery must DECORRELATE to one grouped
+      aggregate joined back — a per-row subquery re-execution would appear
+      as a nested-loop join.
+    - q18's HAVING-subquery and q20's nested IN/EXISTS chain plan as
+      LeftSemi equi-joins; q21's NOT EXISTS as a LeftAnti. None of them
+      may degrade to BroadcastNestedLoopJoin/CartesianProduct.
+    - q18/q21 top-100 is TakeOrderedAndProject (per-partition heaps),
+      never a global sort.
+    - q13's LEFT OUTER must keep its NOT LIKE residual inside the join
+      (a post-join filter would silently drop the outer rows)."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    qs = entry_mod.queries()
+
+    def plan(n):
+        return qs[n](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+    p17 = plan("q17")
+    assert "BroadcastNestedLoopJoin" not in p17 and "CartesianProduct" not in p17
+    assert "partial_avg" in p17 or "avg(" in p17, p17[:3000]
+    assert p17.count("HashAggregate") >= 2, p17[:3000]  # decorrelated agg + outer agg
+
+    for n in ("q18", "q20", "q21"):
+        p = plan(n)
+        assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, (
+            n,
+            p[:3000],
+        )
+        assert "LeftSemi" in p, (n, p[:3000])
+    p21 = plan("q21")
+    assert "LeftAnti" in p21, p21[:3000]
+    for n in ("q18", "q21"):
+        assert "TakeOrderedAndProject" in plan(n), n
+
+    p13 = plan("q13")
+    assert "LeftOuter" in p13, p13[:3000]
+    # the NOT LIKE references only the inner (orders) side, so Catalyst
+    # pushes it BELOW the outer join into the orders branch — stronger than
+    # a join residual (the filter runs before the build), and safe: outer
+    # rows are NULL-extended after it. It must appear under the join, and
+    # never as a post-join filter above it (which would drop outer rows).
+    i_join, i_like = p13.find("LeftOuter"), p13.lower().find("like")
+    assert 0 < i_join < i_like, (i_join, i_like, p13[:3000])
