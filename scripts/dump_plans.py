@@ -103,6 +103,43 @@ SHOWCASE = [
     ("q18", "large-volume customers: the HAVING-subquery plans as a LeftSemi join against the grouped quantity aggregate; top-100 is TakeOrderedAndProject heaps, never a global sort"),
     ("q20", "nested IN/EXISTS chain (part -> partsupp -> lineitem availability): every quantifier becomes a LeftSemi equi-join — zero nested-loop joins at any link of the chain"),
     ("q21", "waiting-supplier query: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, both as equi-joins on l_orderkey beside the 4-way fact join; top-100 via TakeOrderedAndProject"),
+    ("q2", "min-cost supplier: the correlated min(ps_supplycost) subquery decorrelates to a partsupp aggregate joined back (fact-fact, SMJ is the scale-safe choice there); all dimension hops broadcast; top-100 via TakeOrderedAndProject"),
+    ("q4", "order priority check: EXISTS(lineitem) plans as ONE LeftSemi equi-join on l_orderkey — never a per-order probe; partial/final count after"),
+    ("q5", "local supplier volume: a 6-table chain where every dimension hop broadcasts; ONE aggregate exchange for the revenue rollup"),
+    ("q7", "volume shipping: nation pair filter rides the broadcast dim joins; the supp/cust nation cross-condition is a join-level OR residual, not a cartesian"),
+    ("q8", "national market share: 8-table join, all dims broadcast; the CASE share numerator folds into ONE partial/final aggregate over the year group"),
+    ("q9", "product-type profit: profit expression computed map-side under 5 broadcast joins; ONE aggregate exchange on (nation, year)"),
+    ("q10", "returned-item ranking: 4-way join with dims broadcast; top-20 customers via TakeOrderedAndProject heaps — zero global sorts, zero extra exchanges beyond the aggregate"),
+    ("q11", "important stock: the HAVING threshold is the SAME aggregate shape computed once over the group and once globally (two partial/final pairs); value scan never repeats per group"),
+    ("q12", "shipmode priority: one lineitem-orders join (date predicates pushed to the lineitem scan); CASE priority buckets fold into the partial aggregate"),
+    ("q14", "promo revenue: single join + ONE aggregate carrying both the conditional numerator and the total — no second pass for the denominator"),
+    ("q16", "supplier-part counts: NOT IN(complaint suppliers) plans as a LeftAnti equi-join; distinct supplier count via two-level aggregate"),
+    ("q19", "discounted revenue: the three OR-of-AND predicate arms evaluate as ONE join residual over a single lineitem-part join — brackets/quantity/shipmode conditions pushed where single-table"),
+    ("q22", "global sales opportunity: NOT EXISTS(orders) as a LeftAnti equi-join; the avg-balance threshold is a 1-row broadcast scalar; cntrycode buckets fold into partial/final aggregates"),
+    ("q1_decimal", "q1 on DECIMAL(12,2) arithmetic end-to-end: same single-scan partial/final split as q1 — decimal promotion happens inside the aggregate expressions, no extra passes"),
+    ("events_agg_count", "ad-hoc aggregate: one scan, partial/final count split — the distributed_aggregation.rs analog"),
+    ("events_cte_join", "CTE + join: the CTE materializes as a subplan feeding a broadcast join; two aggregates (CTE side + outer rollup), never a re-execution per consumer"),
+    ("events_daily", "daily rollup: day truncation is a map-side expression; ONE partial/final aggregate exchange"),
+    ("events_rolling", "rolling window: ONE Window operator over one sort exchange — frame bounds never re-sort per row"),
+    ("events_topk", "per-group top-k: rank window + filter; the rank<=N filter is the WindowGroupLimit candidate shape; one scan"),
+    ("events_rollup", "ROLLUP grouping sets: ONE map-side Expand feeds a single partial/final aggregate — never one pass per grouping set"),
+    ("events_setops", "INTERSECT/EXCEPT: set ops plan as LeftSemi/LeftAnti equi-joins over aggregated distinct branches plus one Union — no nested-loop membership probes"),
+    ("events_median", "exact median: percentile_approx-free rank selection inside ONE partial/final aggregate pair; single scan"),
+    ("events_latest", "latest-event-per-user: ONE row_number window over the user exchange, rank-1 filter — the argmax shape without a self-join"),
+    ("embedding_topk", "brute-force cosine top-k (the BASELINE the ANN variants beat): the K-row query side broadcasts into a BroadcastNestedLoopJoin — the all-pairs scoring IS the contract here, corpus scanned once map-side; per-query rank window after"),
+    ("embedding_quantize", "int8 scalar quantization: a pure map-only ppm-integer pipeline — one scan, zero joins/aggregates; the magnitude/sign split keeps every division non-negative"),
+    ("media_dedup", "payload-digest media dedup: ONE (modality, digest) hash exchange with partial/final aggregate — only the 16-byte digest shuffles, never payload bytes"),
+    ("stratified_sample", "per-stratum sampling: md5-slice priorities map-side, ONE rank window partitioned by stratum — no global sort, no join"),
+    ("chunk_documents", "document chunking: ONE Generate (posexplode of computed chunk bounds) over one scan — zero joins, zero aggregates; output rows = chunks"),
+    ("pack_sequences", "sequence packing: greedy bin assignment via ONE running-sum window + integer DIV, then a per-bin aggregate — no iterative loop, no join"),
+    ("decontaminate", "eval-set decontamination: eval n-grams explode into a BROADCAST LeftSemi probe against corpus n-grams — the corpus is filtered before any wide work; two Generates (corpus + eval sides), never a cartesian"),
+    ("pii_scrub", "PII scrubbing: pure map-only regexp_replace chain over one scan — zero joins/aggregates/windows; redaction counts are map-side expressions"),
+    ("domain_mix", "domain mixture weights: per-source aggregates with the 1-row corpus totals as a broadcast scalar (BroadcastNestedLoopJoin on a single row IS the scalar join); ppm-floor integer weights"),
+    ("shuffle_shards", "deterministic corpus shuffling: md5-slice shard assignment map-side, ONE window for the within-shard order — reproducible at any parallelism, no global sort"),
+    ("cdc_apply_changes", "CDC merge: the SNAPSHOT side never shuffles — changes broadcast onto it (BuildRight), tombstones filter post-join, inserts union in; the only exchange is the presentation sort (the fixture derives its change branches from the base table, hence the extra scans; a real feed reads a changes table)"),
+    ("text_stats", "text statistics: map-only JVM expressions over one scan — the zero-shuffle scoring contract shared by the text tier"),
+    ("lang_id", "n-gram language ID: stopword/character-class heuristics as map-only expressions — no vocabulary join, no shuffle beyond presentation"),
+    ("fingerprint", "rolling-hash document fingerprinting: polynomial hash folds map-side — one scan, zero exchanges beyond rebalance + presentation"),
 ]
 
 # Queries whose audited shape is AQE's RUNTIME decision (broadcast

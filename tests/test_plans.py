@@ -1552,3 +1552,196 @@ def test_tpch_hard_shapes_decorrelate_and_semi_anti_join(spark):
     # never as a post-join filter above it (which would drop outer rows).
     i_join, i_like = p13.find("LeftOuter"), p13.lower().find("like")
     assert 0 < i_join < i_like, (i_join, i_like, p13[:3000])
+
+
+def test_tpch_join_agg_family_never_nested_loops(spark):
+    """The TPC-H join+aggregate family: every quantifier and dimension hop
+    must reach the executor as an equi-join — BroadcastNestedLoopJoin or
+    CartesianProduct anywhere in these thirteen plans means a predicate
+    leaked out of a join condition. Named quantifier pins: q4's EXISTS is
+    a LeftSemi, q16's NOT IN and q22's NOT EXISTS are LeftAnti; q10's
+    top-20 is TakeOrderedAndProject."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    qs = entry_mod.queries()
+    plans = {}
+    for n in ("q2", "q4", "q5", "q7", "q8", "q9", "q10", "q11", "q12", "q14", "q16", "q19", "q22"):
+        p = qs[n](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in p, (n, p[:3000])
+        assert "CartesianProduct" not in p, (n, p[:3000])
+        plans[n] = p
+    assert "LeftSemi" in plans["q4"], plans["q4"][:3000]
+    assert "LeftAnti" in plans["q16"], plans["q16"][:3000]
+    assert "LeftAnti" in plans["q22"], plans["q22"][:3000]
+    assert "TakeOrderedAndProject" in plans["q10"], plans["q10"][:3000]
+
+
+def test_adhoc_sql_family_shapes(spark):
+    """Ad-hoc SQL corpus shapes: single-scan partial/final aggregates for
+    the rollup family, ROLLUP as ONE Expand (never one pass per grouping
+    set), INTERSECT/EXCEPT as LeftSemi/LeftAnti equi-joins, and exactly
+    one Window operator for each analytic query."""
+    import re as _re
+
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    qs = entry_mod.queries()
+
+    def plan(n):
+        return qs[n](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+    for n in ("events_agg_count", "events_daily", "events_median", "q1_decimal"):
+        p = plan(n)
+        assert "partial_" in p and "Join" not in p, (n, p[:2500])
+        assert p.count("FileScan parquet") == 1, (n, p[:2500])
+    p = plan("events_rollup")
+    assert p.count("Expand") == 1 and "Join" not in p, p[:2500]
+    p = plan("events_setops")
+    assert "LeftSemi" in p and "LeftAnti" in p, p[:2500]
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p[:2500]
+    for n in ("events_rolling", "events_topk", "events_latest"):
+        p = plan(n)
+        assert len(_re.findall(r"\bWindow \[", p)) == 1, (n, p[:2500])
+        assert "Join" not in p, (n, p[:2500])
+
+
+def test_map_only_curation_and_text_family(spark):
+    """The map-only contract across the curation/text/quantize tier: zero
+    joins, zero aggregates, zero windows — one scan plus at most the
+    rebalance and presentation exchanges. chunk_documents additionally
+    pins its ONE Generate (posexplode of chunk bounds)."""
+    import re as _re
+
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    qs = entry_mod.queries()
+    for n in ("pii_scrub", "embedding_quantize", "chunk_documents", "text_stats", "lang_id", "fingerprint"):
+        df = qs[n](spark, SF_DIR)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        s = stage_summary(df)
+        assert "Join" not in p and s["aggregates"] == 0, (n, s, p[:2500])
+        assert not _re.search(r"\bWindow \[", p), (n, p[:2500])
+    p = qs["chunk_documents"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Generate") == 1, p[:2500]
+
+
+def test_sampler_windows_stay_partitioned(spark):
+    """stratified_sample and shuffle_shards each carry exactly ONE window,
+    and it is PARTITIONED (per-stratum / per-shard) — an unpartitioned
+    window here would funnel the corpus through one task."""
+    import re as _re
+
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    qs = entry_mod.queries()
+    for n in ("stratified_sample", "shuffle_shards"):
+        p = qs[n](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        wins = _re.findall(r"\bWindow \[[^\n]*", p)
+        assert len(wins) == 1, (n, p[:2500])
+        assert "windowspecdefinition(" in wins[0] and not wins[0].startswith(
+            "Window [windowspecdefinition()"
+        ), (n, wins[0][:300])
+        assert "Join" not in p, (n, p[:2500])
+
+
+def test_media_dedup_shuffles_digest_only(spark):
+    """The media dedup groupBy keys on (modality, md5 digest): the digest
+    computes map-side and only it crosses the exchange — the payload column
+    never appears above the partial aggregate."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["media_dedup"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in p or "partial_count" in p, p[:2500]
+    assert "Join" not in p, p[:2500]
+    s = stage_summary(df)
+    assert s["scans"] == 1 and s["aggregates"] == 2, (s, p[:2500])
+
+
+def test_embedding_topk_bnlj_is_the_brute_force_contract(spark):
+    """The brute-force baseline DOES use a BroadcastNestedLoopJoin — by
+    contract: all-pairs scoring of a K-row broadcast query side against one
+    map-side corpus scan (the ANN variants are the scale path). The
+    broadcast must be the query side (tiny), and ranking is one per-query
+    window."""
+    import re as _re
+
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["embedding_topk"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in p and "BroadcastExchange" in p, p[:2500]
+    assert len(_re.findall(r"\bWindow \[", p)) == 1, p[:2500]
+
+
+def test_decontaminate_probes_with_broadcast_semi_join(spark):
+    """Eval n-grams must reach the corpus as a BROADCAST LeftSemi probe —
+    the corpus is filtered before any wide work; a shuffle-side semi join
+    or a cartesian n-gram comparison dies at corpus scale."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["decontaminate"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p and "Broadcast" in p, p[:2500]
+    assert "CartesianProduct" not in p, p[:2500]
+
+
+def test_domain_mix_totals_join_is_scalar_broadcast(spark):
+    """domain_mix's only nested-loop join is the 1-row corpus totals
+    broadcast (the scalar-join spelling); everything else is partial/final
+    aggregates."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["domain_mix"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastNestedLoopJoin") == 1, p[:2500]
+    s = stage_summary(df)
+    assert s["aggregates"] >= 4, (s, p[:2500])
+
+
+def test_cdc_snapshot_never_shuffles(spark):
+    """The CDC merge broadcasts the CHANGES onto the snapshot (BuildRight)
+    — the snapshot side crosses no exchange; the plan's only exchange is
+    the presentation sort."""
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["cdc_apply_changes"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "BuildRight" in p, p[:2500]
+    s = stage_summary(df)
+    assert s["exchanges"] == 1, (s, p[:2500])
+
+
+def test_pack_sequences_is_one_running_sum_window(spark):
+    """Greedy packing = ONE running-sum window + integer DIV bin ids + a
+    per-bin aggregate — no iterative loop, no join."""
+    import re as _re
+
+    import __spark_entry__ as entry_mod
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["pack_sequences"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert len(_re.findall(r"\bWindow \[", p)) == 1, p[:2500]
+    assert "Join" not in p, p[:2500]
+    s = stage_summary(df)
+    assert s["aggregates"] == 2, (s, p[:2500])
