@@ -49,6 +49,11 @@ SPILL_QUERIES = (
     # its verdict through a collect_set aggregate — prove the new shape
     # still hash-matches when the join buffers are forced to disk
     "span_scrub",
+    # round-10 staged: both bottom-k levels sort through WindowExec buffers
+    # (k=512 retained rows per group > the 128-row forced threshold), and
+    # the rank-selection window holds the full sample — the sketch must
+    # hash-match with every one of those buffers forced to disk
+    "events_quantile_sketch",
 )
 FORCE_SPILL_ROWS = "128"
 
