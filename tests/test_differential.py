@@ -123,3 +123,51 @@ def test_shuffle_partitions_do_not_change_results(name, spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert single == distributed
+
+
+def _already_differential_tested() -> set[str]:
+    import re
+
+    text = open(__file__).read()
+    sample = set(re.findall(r'"([a-z0-9_]+)"', text.split("_SAMPLE = [")[1].split("]")[0]))
+    staged_block = text.split("test_staged_ops_are_partition_count_independent")[0]
+    promoted = set(
+        re.findall(r'"([a-z0-9_]+)"', staged_block.rsplit("@pytest.mark.parametrize", 1)[1])
+    )
+    return sample | promoted
+
+
+def _full_surface_rest() -> list[str]:
+    from datafusion_distributed_experiment_spark.operators import staged_queries
+
+    covered = _already_differential_tested()
+    names = list(entry_mod.queries()) + list(staged_queries())
+    return [n for n in names if n not in covered]
+
+
+@pytest.mark.parametrize("name", _full_surface_rest())
+def test_full_surface_partition_count_independence(name, spark):
+    """The reference's core differential strategy applied to the WHOLE
+    remaining surface (the two lists above cover the rest): every declared
+    and staged query must produce identical results at 1 vs 8 shuffle
+    partitions. Cross-query operator memos (the dedup pair graph) are
+    evicted between topologies so a cached result cannot fake
+    independence; streaming queries re-drain their bounded replay under
+    each topology (their STATE partitioning is fixed by _stream_session —
+    what this checks is the batch half and the drain plumbing)."""
+    from datafusion_distributed_experiment_spark.bench import _evict_query_state
+    from datafusion_distributed_experiment_spark.operators import staged_queries
+
+    fn = {**entry_mod.queries(), **staged_queries()}[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        _evict_query_state(spark)
+        single = canonical(fn(spark, SF_DIR).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        _evict_query_state(spark)
+        distributed = canonical(fn(spark, SF_DIR).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _evict_query_state(spark)
+    assert single == distributed
