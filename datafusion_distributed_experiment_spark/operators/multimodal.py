@@ -9,12 +9,15 @@ Design for 100 TB media pipelines:
   ``mapInPandas`` stages: executors stream ~``arrow.maxRecordsPerBatch`` rows
   per pandas batch, so peak memory is bounded regardless of table size, and
   the stage is map-only (no shuffle).
-- Real codecs (PIL/torchvision/ffmpeg) are not available in this container:
-  the byte->pixels step is STUBBED. ``decode_image`` raises
-  ``NotImplementedError`` unless a codec is importable; the feature pipeline
-  uses a clearly-marked deterministic fake (md5-derived) so the Spark-side
-  plumbing — schema, batch shape, partitioning, UDF signatures — is real and
-  testable end-to-end.
+- The byte->pixels step is REAL for binary Netpbm payloads (P5 grayscale /
+  P6 RGB, 8- and 16-bit): ``decode_ppm`` parses the raster with pure numpy —
+  no external codec — and ``pixel_embed`` turns decoded pixels into the
+  FEATURE_DIM statistics vector, exercised through the actual mapInPandas
+  stage in tests. Compressed formats (JPEG/PNG/video) still require a codec
+  (PIL/ffmpeg, not in this container): ``decode_image`` raises
+  ``NotImplementedError`` for those, and the default feature pipeline over
+  the synthetic (non-image-byte) corpus uses a clearly-marked deterministic
+  fake (md5-derived) with the same batch shape and dtype.
 """
 
 from __future__ import annotations
@@ -81,14 +84,99 @@ def _codec_available() -> bool:
         return False
 
 
+def decode_ppm(content: bytes):
+    """REAL bytes -> pixels for binary Netpbm: P5 (grayscale) and P6 (RGB),
+    8-bit and 16-bit maxval, '#' header comments — the full binary-raster
+    spec, parsed with pure numpy (no external codec). Returns an HxW
+    (grayscale) or HxWx3 (RGB) array, uint8 or big-endian uint16 exactly as
+    the raster stores it. Raises ValueError on a non-Netpbm magic or a
+    truncated raster (the executor-boundary DataFormatError source)."""
+    import numpy as np
+
+    content = bytes(content)
+    magic = content[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary Netpbm payload (expected P5/P6 magic)")
+    # header: 3 whitespace-separated ints (width, height, maxval); '#'
+    # starts a comment running to end-of-line anywhere between tokens
+    tokens: list[int] = []
+    i, n = 2, len(content)
+    while len(tokens) < 3:
+        if i >= n:
+            raise ValueError("truncated Netpbm header")
+        c = content[i : i + 1]
+        if c == b"#":
+            while i < n and content[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not content[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(content[i:j]))
+            i = j
+    i += 1  # exactly ONE whitespace byte separates maxval from the raster
+    width, height, maxval = tokens
+    if not (0 < maxval < 65536):
+        raise ValueError(f"maxval {maxval} outside the Netpbm range")
+    channels = 3 if magic == b"P6" else 1
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
+    count = width * height * channels
+    raster = np.frombuffer(content, dtype=dtype, count=-1, offset=i)
+    if raster.size < count:
+        raise ValueError(
+            f"truncated Netpbm raster: {raster.size} samples < {count} expected"
+        )
+    arr = raster[:count].reshape((height, width, channels))
+    return arr[:, :, 0] if channels == 1 else arr
+
+
 def decode_image(content: bytes):
-    """Byte -> pixel decode. STUB: no image codec in this environment."""
+    """Bytes -> pixel array. REAL for binary Netpbm (P5/P6) via
+    :func:`decode_ppm`; compressed formats (JPEG/PNG) require an external
+    codec (PIL) that this container does not ship, and raise
+    ``NotImplementedError`` — the documented pluggable boundary."""
+    if content and bytes(content[:2]) in (b"P5", b"P6"):
+        return decode_ppm(content)
     if not _codec_available():
         raise NotImplementedError(
-            "image decode requires an image codec (e.g. PIL); not available "
-            "in this container — feature extraction uses fake_embed() instead"
+            "compressed-format image decode requires an image codec (e.g. "
+            "PIL); not available in this container — Netpbm (P5/P6) decodes "
+            "natively via decode_ppm, other formats use fake_embed() in the "
+            "default feature pipeline"
         )
-    raise NotImplementedError("real decode path intentionally unimplemented")
+    raise NotImplementedError("compressed-format decode: plug a codec in here")
+
+
+def pixel_embed(content: bytes | None) -> list[float]:
+    """REAL decode+embed for Netpbm payloads: bytes -> pixels
+    (:func:`decode_ppm`) -> FEATURE_DIM pixel statistics (per-channel means,
+    std, min, max, clamped height/width), all scaled to [0, 1]. The real
+    counterpart of :func:`fake_embed` — install with ``set_decoder`` to run
+    actual pixel math through the same Arrow-batched mapInPandas stage
+    (exercised in tests/test_multimodal.py on constructed PPM images)."""
+    import numpy as np
+
+    if content is None:
+        return [0.0] * FEATURE_DIM
+    arr = decode_image(bytes(content))
+    a = arr.astype(np.float64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    scale = 65535.0 if arr.dtype.itemsize == 2 else 255.0
+    chans = [float(a[:, :, c].mean()) / scale for c in range(a.shape[2])]
+    while len(chans) < 3:
+        chans.append(chans[-1])
+    h, w = a.shape[:2]
+    feats = chans[:3] + [
+        float(a.std()) / scale,
+        float(a.min()) / scale,
+        float(a.max()) / scale,
+        min(h, 4096) / 4096.0,
+        min(w, 4096) / 4096.0,
+    ]
+    return [float(x) for x in feats[:FEATURE_DIM]]
 
 
 def fake_embed(content: bytes | None) -> list[float]:

@@ -65,21 +65,85 @@ def test_injected_decoder_reaches_executors(media):
     assert restored[0] == mm.fake_embed(bytes([0] * 10))
 
 
-def test_decode_is_explicitly_stubbed():
+def test_decode_compressed_formats_still_gated():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG...")
 
 
 def test_decode_branches_on_codec_availability(monkeypatch):
-    """Both arms of the codec escape hatch: without a codec the error points
-    at the fake_embed fallback; with one (simulated — the container has no
-    PIL) the real-decode arm is reached instead of the fallback message."""
+    """Both arms of the codec escape hatch for COMPRESSED formats: without a
+    codec the error points at the fake_embed fallback; with one (simulated —
+    the container has no PIL) the plug-in arm is reached instead of the
+    fallback message. Netpbm bytes never reach either arm (decoded natively
+    — tests below)."""
     monkeypatch.setattr(mm, "_codec_available", lambda: False)
     with pytest.raises(NotImplementedError, match="fake_embed"):
         mm.decode_image(b"x")
     monkeypatch.setattr(mm, "_codec_available", lambda: True)
-    with pytest.raises(NotImplementedError, match="intentionally unimplemented"):
+    with pytest.raises(NotImplementedError, match="plug a codec"):
         mm.decode_image(b"x")
+
+
+def _ppm_bytes(arr, maxval=255, comment=False):
+    """Encode a numpy array as binary Netpbm (P6 for HxWx3, P5 for HxW)."""
+    import numpy as np
+
+    magic = b"P6" if arr.ndim == 3 else b"P5"
+    h, w = arr.shape[:2]
+    hdr = magic + (b"\n# synthetic test image\n" if comment else b"\n")
+    hdr += f"{w} {h}\n{maxval}\n".encode()
+    dtype = ">u2" if maxval > 255 else "u1"
+    return hdr + arr.astype(np.dtype(dtype)).tobytes()
+
+
+def test_decode_ppm_roundtrips_real_pixels():
+    """REAL bytes -> pixels: encode known numpy rasters as binary Netpbm and
+    decode them back bit-exactly — P6 RGB, P5 grayscale, a '#' header
+    comment, and 16-bit (big-endian) maxval. Truncated rasters and foreign
+    magics raise ValueError."""
+    import numpy as np
+
+    rgb = (np.arange(6 * 5 * 3, dtype=np.uint8).reshape(6, 5, 3) * 7) % 256
+    assert np.array_equal(mm.decode_ppm(_ppm_bytes(rgb)), rgb)
+    assert np.array_equal(mm.decode_ppm(_ppm_bytes(rgb, comment=True)), rgb)
+    gray = (np.arange(4 * 9, dtype=np.uint8).reshape(4, 9) * 13) % 256
+    assert np.array_equal(mm.decode_ppm(_ppm_bytes(gray)), gray)
+    deep = (np.arange(3 * 4, dtype=np.uint16).reshape(3, 4) * 4099) % 65536
+    got = mm.decode_ppm(_ppm_bytes(deep, maxval=65535))
+    assert np.array_equal(got.astype(np.uint16), deep)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_ppm(_ppm_bytes(rgb)[:-4])
+    with pytest.raises(ValueError, match="magic"):
+        mm.decode_ppm(b"JFIF....")
+
+
+def test_pixel_embed_runs_real_pixels_through_spark(spark):
+    """End-to-end REAL bytes -> pixels -> features THROUGH the Arrow-batched
+    mapInPandas stage: constructed Netpbm images as media payloads,
+    pixel_embed installed via the live set_decoder hook, executor output
+    equal to local numpy truth. This is the real-decode counterpart of the
+    fake-embed plumbing test — actual pixel math on executors, no codec
+    stub anywhere on the path."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(12):
+        arr = rng.integers(0, 256, size=(8 + i, 5 + i, 3), dtype=np.uint8)
+        rows.append((i, "image", _ppm_bytes(arr), (5 + i, 8 + i, None, None)))
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA).repartition(3)
+    prev = mm.set_decoder(mm.pixel_embed)
+    try:
+        got = {r.media_id: r.feature for r in mm.extract_features(media).collect()}
+    finally:
+        mm.set_decoder(prev)
+    assert len(got) == 12
+    for i, _, content, _ in rows:
+        want = mm.pixel_embed(content)
+        assert got[i] == pytest.approx(want, abs=1e-6), i
+        # features are REAL pixel statistics: channel means in [0,1],
+        # min <= means <= max
+        assert got[i][4] <= min(got[i][:3]) and max(got[i][:3]) <= got[i][5]
 
 
 def test_read_media_files_ingests_binary_dir(spark, tmp_path):
