@@ -23,6 +23,50 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _parse_cli_into_env(argv: list[str]) -> None:
+    """Reference CLI parity (benchmarks/src/util/options.rs:36-59,90-115 and
+    benchmarks/src/tpch/run.rs:140-143): the reference drives its harness
+    with flags; this repo's knobs are env vars so the grading driver's bare
+    ``python bench.py`` stays the canonical invocation. Each flag simply
+    sets the matching env var (explicit env wins — flags never override an
+    externally-set value, so wrappers composing both behave predictably)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    flag_to_env = {
+        "iterations": "SPARK_GRAFT_BENCH_ITERATIONS",  # --iterations N
+        "query": "SPARK_GRAFT_BENCH_ONLY",  # --query q9,bm25_topk
+        "mem_table": "SPARK_GRAFT_BENCH_MEM",  # --mem-table
+        "sorted": "SPARK_GRAFT_BENCH_SORTED",  # --sorted
+        "memory_fraction": "SPARK_GRAFT_BENCH_MEM_FRACTION",
+        "force_spill_rows": "SPARK_GRAFT_BENCH_FORCE_SPILL_ROWS",
+        "sf_dir": "SPARK_GRAFT_SF_DIR",
+        "cpus": "SPARK_GRAFT_CPUS",
+    }
+    p.add_argument("--iterations", type=int, help="timed iterations per query")
+    p.add_argument("--query", help="comma-separated query subset (partial run)")
+    p.add_argument(
+        "--mem-table", action="store_true", help="preload tables into memory"
+    )
+    p.add_argument(
+        "--sorted", action="store_true", help="bench against key-sorted table copies"
+    )
+    p.add_argument(
+        "--memory-fraction", help="spark.memory.fraction (spill-pressure mode)"
+    )
+    p.add_argument(
+        "--force-spill-rows", help="row threshold forcing shuffle/sort/window spills"
+    )
+    p.add_argument("--sf-dir", help="scale-factor data directory")
+    p.add_argument("--cpus", help="local[N] parallelism")
+    args = p.parse_args(argv)
+    for flag, env in flag_to_env.items():
+        val = getattr(args, flag)
+        if val in (None, False):
+            continue
+        os.environ.setdefault(env, "1" if val is True else str(val))
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -233,4 +277,5 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    _parse_cli_into_env(sys.argv[1:])
     raise SystemExit(main())
