@@ -179,3 +179,33 @@ def test_read_media_files_ingests_binary_dir(spark, tmp_path):
     imgs = mm.read_media_files(spark, str(tmp_path), glob="*.jpg")
     feats = mm.extract_features(imgs.select("media_id", "modality", "content")).collect()
     assert len(feats) == 1 and len(feats[0].feature) == mm.FEATURE_DIM
+
+
+def test_decode_ppm_roundtrip_property():
+    """Hypothesis property: ANY uint8 raster (1-32 px sides, gray or RGB,
+    with or without a header comment) encodes to binary Netpbm and decodes
+    back bit-exactly — the decoder is total over the format, not just over
+    the handful of fixtures above."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    shapes = st.one_of(
+        st.tuples(st.integers(1, 32), st.integers(1, 32)),
+        st.tuples(st.integers(1, 32), st.integers(1, 32), st.just(3)),
+    )
+
+    @given(
+        arr=shapes.flatmap(
+            lambda s: arrays(dtype=np.uint8, shape=s)
+        ),
+        comment=st.booleans(),
+    )
+    @settings(max_examples=150, deadline=None)
+    def check(arr, comment):
+        got = mm.decode_ppm(_ppm_bytes(arr, comment=comment))
+        assert got.shape == arr.shape
+        assert (got == arr).all()
+
+    check()
