@@ -12,12 +12,12 @@ plus the training-data pipeline operators. SQL-corpus queries share one ANSI
 text between Spark and the DuckDB oracle; DataFrame-native operators carry a
 semantically-equivalent hand-written oracle.
 
-All 119 queries are declared as of round 10 (the round-9 staged operator
-``domain_token_profile`` was promoted at the round-10 rotation). The staged
-tier (``operators.staged_queries()`` / ``staged_oracles()`` +
+All 120 queries are declared as of round 11 (the round-10 staged operator
+``events_quantile_sketch`` was promoted at the round-11 rotation). The
+staged tier (``operators.staged_queries()`` / ``staged_oracles()`` +
 ``tests/test_staged_oracle.py`` + ``scripts/verify_staged.py``) holds at
-most the one new operator each round's VERDICT budgets; the 119-query
-surface cycles the 50-slot gate window every ceil(119/50) = 3 rounds —
+most the one new operator each round's VERDICT budgets; the 120-query
+surface cycles the 50-slot gate window every ceil(120/50) = 3 rounds —
 see ``query_tiers``.
 """
 
@@ -124,8 +124,8 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     """Queries grouped by tier, gate-ordered: the driver oracle-checks the
     FIRST 50 entries, so the window rotates round-over-round.
 
-    STALE BUDGET (119-query surface): 119 queries over a 50-slot window
-    means the full surface cycles every ceil(119/50) = 3 rounds. The real
+    STALE BUDGET (120-query surface): 120 queries over a 50-slot window
+    means the full surface cycles every ceil(120/50) = 3 rounds. The real
     guarantee, pinned by tests/test_corpus_oracle.py: (a) never-verified
     count = 0 — every declared query holds a green row in SOME committed
     CORRECTNESS_r*.json before it may sit outside the window; (b) every
@@ -134,43 +134,40 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     every commit point, mid-rotation included); (c) the queries left to
     age furthest are chosen deepest-evidence-first.
 
-    ROUND 10 — the window (50):
-    * slot 1: domain_token_profile — the round-9 staged operator,
-      PROMOTED this rotation (never driver-verified; leads the window).
-    * slots 2-19: the 18 queries whose last green row is CORRECTNESS_r07
-      (the round-9 sacrifice cohort — the rotation contract's re-entry
-      point): quality_score, dedup_exact, minhash_signatures,
-      token_count, and the 14 map-only analytics shapes (anomaly_days,
-      basket_pairs, event_sequences, events_json, events_percentiles,
-      events_percentiles_hist, events_pivot, events_unpivot, funnel,
-      retention, salted_events_enrich, top_terms, ngram_top,
-      table_profile).
-    * slots 20-50: the 31 SHALLOWEST of the 50 r08-green queries by
-      total green-row depth across all committed artifacts: the three
-      single-green promoted-at-r8 ops (bpe_apply, hll_distinct,
-      weighted_sample), the seven twice-green (chunk_overlap,
-      events_window_funcs, kmeans_lloyd_t3, minhash_pairs_skew,
-      ngram_span_dedup, semantic_dedup, split_assign), the twelve
-      thrice-green (events_asof, events_cube, events_kmv_distinct,
-      events_range_join, media_frames, media_meta_stats, sessionize,
-      user_sessions + the four micro-batch streaming queries in a
-      "streaming"-named tier so the bench measures them last), the two
-      4x-green CC/incremental dedups (dedup_clusters, dedup_incremental),
-      and seven risk-weighted picks from the 5x-green band — the pairs
-      miners and ANN ops sharing the round-9-rewritten _with_signature
-      fold and the hash-bucketing code paths (minhash_dedup_pairs,
-      ngram_jaccard_pairs, simhash_dedup_pairs, simhash_signatures,
-      ann_ivf, ann_lsh, embedding_dedup).
+    ROUND 11 — the window (50):
+    * slot 1: events_quantile_sketch — the round-10 staged operator
+      (mergeable bottom-k-by-hash rank sketch), PROMOTED this rotation
+      (never driver-verified; leads the window).
+    * slots 2-20: the 19 queries whose last green row is CORRECTNESS_r08
+      (the round-10 sacrifice cohort — the rotation contract's re-entry
+      point): the nine ad-hoc SQL aggregates (events_agg_count,
+      events_cte_join, events_daily, events_latest, events_median,
+      events_rolling, events_rollup, events_setops, events_topk), the
+      seven TPC-H re-runs q2/q13/q15/q17/q20/q21/q22, q1_decimal, and
+      the two operator queries embedding_topk and media_features.
+    * slots 21-50: the 30 SHALLOWEST of the 50 r09-green queries by
+      total green-row depth across all committed artifacts: the ten
+      twice-green (bfs_hops_t3, bm25_topk, bpe_merges_t2,
+      cms_heavy_hitters, dsir_weights, lpa_communities_t3, span_scrub,
+      triangle_count, winnow_fingerprints, plus stream_topk in a
+      "streaming"-named tier so the bench measures it last) and twenty
+      of the twenty-two thrice-green (bloom_semi_agg, cdc_apply_changes,
+      chunk_documents, corpus_pipeline, custom_source_scan,
+      decontaminate, dedup_clusters_star, domain_mix, domain_resample,
+      embedding_quantize, kmeans_assign, media_dedup, pack_sequences,
+      pagerank_nations, pii_scrub, repetition_stats, rollup_incremental,
+      sessionize_native, shuffle_shards, token_budget_select).
 
-    SACRIFICED this round (19, deepest-evidence-first; they re-enter at
-    round 11 alongside ~31 of the 50 r09-green): all 5x-green, lowest
-    risk — the nine ad-hoc SQL aggregates (events_agg_count,
-    events_cte_join, events_daily, events_latest, events_median,
-    events_rolling, events_rollup, events_setops, events_topk), the
-    seven plain-shape TPC-H re-runs (q2, q13, q15, q17, q20, q21, q22),
-    q1_decimal, and the two battle-tested ops embedding_topk and
-    media_features. The 50 r09-green queries sit behind the window as
-    the freshest cohort.
+    SACRIFICED this round (20, deepest-evidence-first; they re-enter at
+    round 12 alongside ~30 of the 50 r10-green): the fifteen 5x-green
+    plain-shape TPC-H re-runs (q1, q3-q12, q14, q16, q18, q19), the
+    three 6x-green text ops (fingerprint, lang_id, text_stats), and the
+    two thrice-green family-covered picks stratified_sample (the
+    md5-slice sampler core stays window-covered by domain_resample +
+    shuffle_shards and the weight-proportionality property suite) and
+    media_resize (the multimodal mapInPandas plumbing stays
+    window-covered by media_dedup + media_features). The 50 r10-green
+    queries sit behind the window as the freshest cohort.
 
     The bench re-orders tiers for measurement isolation ("streaming"-named
     tiers run last); see ``operators.pipeline_tiers``."""
@@ -191,65 +188,72 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     def _pop_sql(*names: str) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return {n: sql.pop(n) for n in names}
 
-    # --- slot 1: the promoted round-9 staged operator -------------------
-    promoted = _pop("sketches", "domain_token_profile")
-    # --- slots 2-19: last green r07, the round-9 sacrifice cohort -------
-    stale_r07 = {
-        **_pop("text", "quality_score", "token_count"),
-        **_pop("dedup", "dedup_exact", "minhash_signatures"),
-        **_pop("curation", "ngram_top"),
-        **_pop("joins", "salted_events_enrich"),
-        **_pop("profile", "table_profile"),
-        **_pop(
-            "analytics",
-            "anomaly_days",
-            "basket_pairs",
-            "event_sequences",
-            "events_json",
-            "events_percentiles",
-            "events_percentiles_hist",
-            "events_pivot",
-            "events_unpivot",
-            "funnel",
-            "retention",
-            "top_terms",
+    # --- slot 1: the promoted round-10 staged operator ------------------
+    promoted = _pop("sketches", "events_quantile_sketch")
+    # --- slots 2-20: last green r08, the round-10 sacrifice cohort ------
+    stale_r08 = {
+        **_pop_sql(
+            "events_agg_count",
+            "events_cte_join",
+            "events_daily",
+            "events_latest",
+            "events_median",
+            "events_rolling",
+            "events_rollup",
+            "events_setops",
+            "events_topk",
+            "q2",
+            "q13",
+            "q15",
+            "q17",
+            "q20",
+            "q21",
+            "q22",
+            "q1_decimal",
         ),
+        **_pop("similarity", "embedding_topk"),
+        **_pop("multimodal", "media_features"),
     }
-    # --- slots 20-29: r08-green with one or two green rows --------------
-    shallow_r08 = {
-        **_pop("bpe", "bpe_apply"),
-        **_pop("sketches", "hll_distinct"),
-        **_pop("curation", "weighted_sample", "split_assign"),
-        **_pop("dedup", "chunk_overlap", "ngram_span_dedup", "minhash_pairs_skew"),
-        **_pop("selection", "kmeans_lloyd_t3"),
-        **_pop("similarity", "semantic_dedup"),
-        **_pop_sql("events_window_funcs"),
+    # --- slots 21-29: r09-green with two green rows ----------------------
+    shallow_r09 = {
+        **_pop("graph", "bfs_hops_t3", "lpa_communities_t3", "triangle_count"),
+        **_pop("retrieval", "bm25_topk"),
+        **_pop("bpe", "bpe_merges_t2"),
+        **_pop("sketches", "cms_heavy_hitters"),
+        **_pop("selection", "dsir_weights"),
+        **_pop("dedup", "span_scrub", "winnow_fingerprints"),
     }
-    # --- slots 30-46: r08-green, three/four green rows + the seven
-    # risk-weighted 5x-green picks (see docstring) ------------------------
-    mid_r08 = {
-        **_pop("temporal", "events_asof", "events_kmv_distinct", "events_range_join"),
-        **_pop_sql("events_cube"),
-        **_pop("multimodal", "media_frames", "media_meta_stats"),
-        **_pop("stateful", "sessionize", "user_sessions"),
+    # --- slots 30-49: twenty of the twenty-two thrice-green r09 queries
+    # (stratified_sample and media_resize sacrificed family-covered;
+    # see docstring) ------------------------------------------------------
+    mid_r09 = {
+        **_pop("joins", "bloom_semi_agg"),
+        **_pop("cdc", "cdc_apply_changes"),
         **_pop(
-            "dedup",
-            "dedup_clusters",
-            "dedup_incremental",
-            "minhash_dedup_pairs",
-            "ngram_jaccard_pairs",
-            "simhash_dedup_pairs",
-            "simhash_signatures",
+            "curation",
+            "chunk_documents",
+            "decontaminate",
+            "domain_mix",
+            "domain_resample",
+            "pack_sequences",
+            "pii_scrub",
+            "repetition_stats",
+            "shuffle_shards",
         ),
-        **_pop("similarity", "ann_ivf", "ann_lsh", "embedding_dedup"),
+        **_pop("pipeline", "corpus_pipeline"),
+        **_pop("custom", "custom_source_scan"),
+        **_pop("dedup", "dedup_clusters_star"),
+        **_pop("similarity", "embedding_quantize"),
+        **_pop("selection", "kmeans_assign", "token_budget_select"),
+        **_pop("multimodal", "media_dedup"),
+        **_pop("graph", "pagerank_nations"),
+        **_pop("analytics", "rollup_incremental", "sessionize_native"),
     }
-    # --- slots 47-50: r08-green micro-batch streaming; "streaming"-named
-    # tier so the bench still measures them last (RocksDB maintenance-
+    # --- slot 50: r09-green micro-batch streaming; "streaming"-named
+    # tier so the bench still measures it last (RocksDB maintenance-
     # thread isolation)
-    streaming_window = _pop(
-        "streaming", "stream_click_attr", "stream_dedup", "stream_enrich", "stream_sliding"
-    )
-    # `sql` now holds the sacrificed 5x-green SQL cohort (behind the window)
+    streaming_window = _pop("streaming", "stream_topk")
+    # `sql` now holds the sacrificed 5x-green TPC-H cohort (behind the window)
     tail_tiers = (
         "selection",
         "dedup",
@@ -273,9 +277,9 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     )
     out = [
         ("promoted", promoted),
-        ("stale-r07", stale_r07),
-        ("shallow-r08", shallow_r08),
-        ("mid-r08", mid_r08),
+        ("stale-r08", stale_r08),
+        ("shallow-r09", shallow_r09),
+        ("mid-r09", mid_r09),
         ("streaming-window", streaming_window),
         # ---- window boundary: exactly 50 entries above this line ----
         ("sql", sql),

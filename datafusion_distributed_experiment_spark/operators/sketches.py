@@ -282,6 +282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": cms_heavy_hitters,
         "hll_distinct": hll_distinct,
         "domain_token_profile": domain_token_profile,
+        # staged at round 10, promoted into the gate window at round 11
+        "events_quantile_sketch": events_quantile_sketch,
     }
 
 
@@ -641,15 +643,14 @@ def _quantile_sketch_oracle() -> dict[str, str]:
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Round 10 stages :func:`events_quantile_sketch` (the one staged slot
-    the round-9 VERDICT budgeted — the mergeable rank sketch completing the
-    percentile family); it awaits a gate-window slot at the round-11
-    rotation."""
-    return {"events_quantile_sketch": events_quantile_sketch}
+    """Round 10 staged :func:`events_quantile_sketch`; it was promoted into
+    the gate window at the round-11 rotation (lead slot), so this tier is
+    empty again — the machinery stays for the next round's budgeted +1."""
+    return {}
 
 
 def staged_oracles() -> dict[str, str]:
-    return _quantile_sketch_oracle()
+    return {}
 
 
 def _hll_oracle() -> dict[str, str]:
@@ -697,6 +698,7 @@ def _duck_bucket(d: int) -> str:
 def oracles() -> dict[str, str]:
     out = _hll_oracle()
     out.update(_domain_profile_oracle())
+    out.update(_quantile_sketch_oracle())
     cell_rows = " UNION ALL ".join(
         f"SELECT {d} AS d, {_duck_bucket(d)} AS bucket FROM events"
         for d in range(CMS_D)

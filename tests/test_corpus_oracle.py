@@ -104,39 +104,46 @@ def test_gate_window_rotation_leaves_no_query_unverified():
     )
 
 
-def test_round10_window_composition():
-    """Round-10 rotation, pinned by name: the promoted round-9 staged
-    operator (domain_token_profile — never driver-verified) leads, then
-    the 18 queries whose last green row is CORRECTNESS_r07 (the round-9
+def test_round11_window_composition():
+    """Round-11 rotation, pinned by name: the promoted round-10 staged
+    operator (events_quantile_sketch — never driver-verified) leads, then
+    the 19 queries whose last green row is CORRECTNESS_r08 (the round-10
     sacrifice cohort — the rotation contract's re-entry point), then the
-    31 shallowest r08-green by total green-row depth (ties in the
-    5x-green band broken risk-weighted toward the pairs-miner/ANN ops
-    sharing the r9-rewritten signature fold). Nothing r09-green occupies
-    a window slot, and the 19 sacrificed r08-green queries re-enter at
-    round 11."""
+    30 shallowest r09-green by total green-row depth (the ten twice-green
+    and twenty of the twenty-two thrice-green; stratified_sample and
+    media_resize are sacrificed family-covered — their md5-slice sampler
+    core and mapInPandas plumbing stay window-covered by in-window
+    siblings). Nothing r10-green occupies a window slot, and the 20
+    sacrificed queries re-enter at round 12.
+
+    STALE BUDGET restated at the 120-query surface: 120 queries over a
+    50-slot window is a ceil(120/50) = 3-round full cycle, so the bound
+    remains "outside-window queries green within the THREE most recent
+    committed CORRECTNESS artifacts" — at this round that is r08 ∪ r09 ∪
+    r10, with the r08-only cohort occupying window slots (re-entering)
+    rather than sitting outside."""
     names = list(entry_mod.queries())
     gated = set(names[:50])
-    assert names[0] == "domain_token_profile", (
+    assert names[0] == "events_quantile_sketch", (
         f"the promoted staged operator must lead the window; head is {names[0]}"
     )
-    stale_r07 = {
-        "quality_score", "dedup_exact", "minhash_signatures", "token_count",
-        "anomaly_days", "basket_pairs", "event_sequences", "events_json",
-        "events_percentiles", "events_percentiles_hist", "events_pivot",
-        "events_unpivot", "funnel", "retention", "salted_events_enrich",
-        "top_terms", "ngram_top", "table_profile",
+    stale_r08 = {
+        "events_agg_count", "events_cte_join", "events_daily",
+        "events_latest", "events_median", "events_rolling", "events_rollup",
+        "events_setops", "events_topk", "q2", "q13", "q15", "q17", "q20",
+        "q21", "q22", "q1_decimal", "embedding_topk", "media_features",
     }
-    assert set(names[1:19]) == stale_r07, (
-        f"the 18 r07-stale re-entries must follow the promoted op; slots "
-        f"2-19 are {names[1:19]}"
+    assert set(names[1:20]) == stale_r08, (
+        f"the 19 r08-stale re-entries must follow the promoted op; slots "
+        f"2-20 are {names[1:20]}"
     )
-    shallow_r08 = {
-        "bpe_apply", "hll_distinct", "weighted_sample", "chunk_overlap",
-        "events_window_funcs", "kmeans_lloyd_t3", "minhash_pairs_skew",
-        "ngram_span_dedup", "semantic_dedup", "split_assign",
+    shallow_r09 = {
+        "bfs_hops_t3", "bm25_topk", "bpe_merges_t2", "cms_heavy_hitters",
+        "dsir_weights", "lpa_communities_t3", "span_scrub", "stream_topk",
+        "triangle_count", "winnow_fingerprints",
     }
-    assert shallow_r08 <= gated, (
-        f"one/two-green r08 ops not all in window: {shallow_r08 - gated}"
+    assert shallow_r09 <= gated, (
+        f"twice-green r09 ops not all in window: {shallow_r09 - gated}"
     )
     by_round = _green_rows_by_round()
     # nothing verified in the freshest committed artifact wastes a slot
@@ -145,16 +152,17 @@ def test_round10_window_composition():
     assert not fresh_in_window, (
         f"freshest-round-verified queries occupying window slots: {fresh_in_window}"
     )
-    # the sacrificed r08 cohort is exactly the documented 19
+    # the sacrificed cohort is exactly the documented 20: the fifteen
+    # 5x-green TPC-H, the three 6x-green text ops, and the two
+    # family-covered thrice-green picks
     sacrificed = {
-        "events_agg_count", "events_cte_join", "events_daily",
-        "events_latest", "events_median", "events_rolling", "events_rollup",
-        "events_setops", "events_topk", "q2", "q13", "q15", "q17", "q20",
-        "q21", "q22", "q1_decimal", "embedding_topk", "media_features",
+        "q1", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
+        "q12", "q14", "q16", "q18", "q19", "fingerprint", "lang_id",
+        "text_stats", "stratified_sample", "media_resize",
     }
     outside = set(names[50:])
-    r08_outside = outside & by_round[8] - by_round[9]
-    assert r08_outside == sacrificed, (
-        f"stale-budget drift: r08-green queries outside the window "
-        f"unexpected={r08_outside - sacrificed} missing={sacrificed - r08_outside}"
+    r09_outside = outside & by_round[9] - by_round[10]
+    assert r09_outside == sacrificed, (
+        f"stale-budget drift: r09-green queries outside the window "
+        f"unexpected={r09_outside - sacrificed} missing={sacrificed - r09_outside}"
     )
