@@ -62,7 +62,9 @@ def _parse_cli_into_env(argv: list[str]) -> None:
     args = p.parse_args(argv)
     for flag, env in flag_to_env.items():
         val = getattr(args, flag)
-        if val in (None, False):
+        # identity checks, not `in (None, False)`: 0 == False in Python, so
+        # a membership test would silently drop a legitimate 0-valued flag
+        if val is None or val is False:
             continue
         os.environ.setdefault(env, "1" if val is True else str(val))
 

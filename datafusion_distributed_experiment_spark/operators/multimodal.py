@@ -84,13 +84,17 @@ def _codec_available() -> bool:
         return False
 
 
-def decode_ppm(content: bytes):
+def decode_ppm_with_maxval(content: bytes):
     """REAL bytes -> pixels for binary Netpbm: P5 (grayscale) and P6 (RGB),
     8-bit and 16-bit maxval, '#' header comments — the full binary-raster
-    spec, parsed with pure numpy (no external codec). Returns an HxW
-    (grayscale) or HxWx3 (RGB) array, uint8 or big-endian uint16 exactly as
-    the raster stores it. Raises ValueError on a non-Netpbm magic or a
-    truncated raster (the executor-boundary DataFormatError source)."""
+    spec, parsed with pure numpy (no external codec). Returns ``(array,
+    maxval)``: an HxW (grayscale) or HxWx3 (RGB) array, uint8 or big-endian
+    uint16 exactly as the raster stores it, plus the header's declared
+    maxval (the sample full-scale value — NOT necessarily the dtype width:
+    maxval 1023 is a valid 16-bit-container raster whose samples top out at
+    1023). Raises ValueError on a non-Netpbm magic, non-positive
+    dimensions, or a truncated raster (the executor-boundary
+    DataFormatError source)."""
     import numpy as np
 
     content = bytes(content)
@@ -118,18 +122,31 @@ def decode_ppm(content: bytes):
             i = j
     i += 1  # exactly ONE whitespace byte separates maxval from the raster
     width, height, maxval = tokens
+    if width <= 0 or height <= 0:
+        raise ValueError(f"Netpbm dimensions must be positive: {width}x{height}")
     if not (0 < maxval < 65536):
         raise ValueError(f"maxval {maxval} outside the Netpbm range")
     channels = 3 if magic == b"P6" else 1
     dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
     count = width * height * channels
-    raster = np.frombuffer(content, dtype=dtype, count=-1, offset=i)
-    if raster.size < count:
+    # byte-level check BEFORE frombuffer: a 16-bit raster whose tail byte
+    # count is odd would otherwise surface numpy's generic "buffer size
+    # must be a multiple of element size" instead of the truncation message
+    avail = n - i
+    if avail < count * dtype.itemsize:
         raise ValueError(
-            f"truncated Netpbm raster: {raster.size} samples < {count} expected"
+            f"truncated Netpbm raster: {avail // dtype.itemsize} samples "
+            f"< {count} expected"
         )
-    arr = raster[:count].reshape((height, width, channels))
-    return arr[:, :, 0] if channels == 1 else arr
+    raster = np.frombuffer(content, dtype=dtype, count=count, offset=i)
+    arr = raster.reshape((height, width, channels))
+    return (arr[:, :, 0] if channels == 1 else arr), maxval
+
+
+def decode_ppm(content: bytes):
+    """:func:`decode_ppm_with_maxval` without the maxval — the pixel-array
+    convenience used where full-scale normalization is not needed."""
+    return decode_ppm_with_maxval(content)[0]
 
 
 def decode_image(content: bytes):
@@ -160,11 +177,20 @@ def pixel_embed(content: bytes | None) -> list[float]:
 
     if content is None:
         return [0.0] * FEATURE_DIM
-    arr = decode_image(bytes(content))
+    content = bytes(content)
+    if content[:2] in (b"P5", b"P6"):
+        # normalize by the header's DECLARED full-scale value, not the dtype
+        # width: a maxval-1023 raster rides in a 16-bit container but its
+        # samples top out at 1023, and dividing by 65535 would compress
+        # every feature toward 0 and break cross-image comparability
+        arr, maxval = decode_ppm_with_maxval(content)
+    else:
+        arr = decode_image(content)
+        maxval = 65535 if arr.dtype.itemsize == 2 else 255
     a = arr.astype(np.float64)
     if a.ndim == 2:
         a = a[:, :, None]
-    scale = 65535.0 if arr.dtype.itemsize == 2 else 255.0
+    scale = float(maxval)
     chans = [float(a[:, :, c].mean()) / scale for c in range(a.shape[2])]
     while len(chans) < 3:
         chans.append(chans[-1])

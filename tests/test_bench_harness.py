@@ -300,3 +300,8 @@ def test_bench_cli_flags_map_to_env(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_ITERATIONS", "9")
     bench_mod._parse_cli_into_env(["--iterations", "3"])
     assert os.environ["SPARK_GRAFT_BENCH_ITERATIONS"] == "9"  # env wins
+    # 0 is a legitimate flag value, not an unset flag: 0 == False in
+    # Python, so a membership test against (None, False) would drop it
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ITERATIONS", raising=False)
+    bench_mod._parse_cli_into_env(["--iterations", "0"])
+    assert os.environ["SPARK_GRAFT_BENCH_ITERATIONS"] == "0"

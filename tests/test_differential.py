@@ -71,24 +71,26 @@ _SAMPLE = [
 ]
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "triangle_count",
-        "bm25_topk",
-        "dsir_weights",
-        "bpe_merges_t2",
-        "winnow_fingerprints",
-        "cms_heavy_hitters",
-        "span_scrub",
-        "lpa_communities_t3",
-        "bfs_hops_t3",
-        "stream_topk",
-        # round-7 staged: the encode's trained-model argmaxes and per-doc
-        # position window must be partition-count blind
-        "bpe_apply",
-    ],
-)
+# Bound to a named constant so _already_differential_tested() can read the
+# coverage from the live object instead of re-parsing this file's source
+_PROMOTED_SAMPLE = [
+    "triangle_count",
+    "bm25_topk",
+    "dsir_weights",
+    "bpe_merges_t2",
+    "winnow_fingerprints",
+    "cms_heavy_hitters",
+    "span_scrub",
+    "lpa_communities_t3",
+    "bfs_hops_t3",
+    "stream_topk",
+    # round-7 staged: the encode's trained-model argmaxes and per-doc
+    # position window must be partition-count blind
+    "bpe_apply",
+]
+
+
+@pytest.mark.parametrize("name", _PROMOTED_SAMPLE)
 def test_staged_ops_are_partition_count_independent(name, spark):
     """Same cross-topology claim for the operators promoted at round 7
     plus the round-7 staged tier (checkpointed oriented edges,
@@ -126,15 +128,11 @@ def test_shuffle_partitions_do_not_change_results(name, spark):
 
 
 def _already_differential_tested() -> set[str]:
-    import re
-
-    text = open(__file__).read()
-    sample = set(re.findall(r'"([a-z0-9_]+)"', text.split("_SAMPLE = [")[1].split("]")[0]))
-    staged_block = text.split("test_staged_ops_are_partition_count_independent")[0]
-    promoted = set(
-        re.findall(r'"([a-z0-9_]+)"', staged_block.rsplit("@pytest.mark.parametrize", 1)[1])
-    )
-    return sample | promoted
+    # The live objects, not a source-text regex: a re-parse keyed on literal
+    # markers silently dropped queries from the full-surface sweep whenever
+    # an edit moved the markers (it even captured the stray token "name"
+    # from the parametrize decorators)
+    return set(_SAMPLE) | set(_PROMOTED_SAMPLE)
 
 
 def _full_surface_rest() -> list[str]:

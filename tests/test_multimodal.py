@@ -117,6 +117,44 @@ def test_decode_ppm_roundtrips_real_pixels():
         mm.decode_ppm(b"JFIF....")
 
 
+def test_decode_ppm_validates_dimensions_and_odd_16bit_truncation():
+    """Non-positive dimensions raise the explicit dimension message, and a
+    16-bit raster cut to an ODD byte count still raises the documented
+    'truncated Netpbm raster' ValueError instead of numpy's generic
+    'buffer size must be a multiple of element size'."""
+    import numpy as np
+
+    for bad_hdr in (b"P5\n0 4\n255\n", b"P5\n4 0\n255\n", b"P6\n-3 4\n255\n"):
+        with pytest.raises(ValueError, match="dimensions must be positive"):
+            mm.decode_ppm(bad_hdr + b"\x00" * 64)
+    deep = (np.arange(3 * 4, dtype=np.uint16).reshape(3, 4) * 4099) % 65536
+    payload = _ppm_bytes(deep, maxval=65535)
+    with pytest.raises(ValueError, match="truncated Netpbm raster"):
+        mm.decode_ppm(payload[:-3])  # odd tail: (len - header) % 2 == 1
+
+
+def test_pixel_embed_normalizes_by_declared_maxval():
+    """The header's declared maxval — not the dtype container width — is the
+    full-scale value: a uniform image whose samples equal its maxval must
+    embed with channel means ~1.0 for ANY legal maxval (e.g. 1023, a valid
+    16-bit-container raster). Dividing by 65535 would compress the same
+    image to ~0.0156 and break cross-image comparability."""
+    import numpy as np
+
+    for maxval in (100, 1023, 4095, 65535):
+        arr = np.full((6, 7), maxval, dtype=np.uint16)
+        feats = mm.pixel_embed(_ppm_bytes(arr, maxval=maxval))
+        assert feats[0] == pytest.approx(1.0), maxval  # channel mean
+        assert feats[5] == pytest.approx(1.0), maxval  # max
+        # and a half-scale image lands at ~0.5 regardless of container
+        half = np.full((6, 7), maxval // 2, dtype=np.uint16)
+        f2 = mm.pixel_embed(_ppm_bytes(half, maxval=maxval))
+        assert f2[0] == pytest.approx((maxval // 2) / maxval), maxval
+    # 8-bit path unchanged
+    arr8 = np.full((4, 4), 255, dtype=np.uint8)
+    assert mm.pixel_embed(_ppm_bytes(arr8))[0] == pytest.approx(1.0)
+
+
 def test_pixel_embed_runs_real_pixels_through_spark(spark):
     """End-to-end REAL bytes -> pixels -> features THROUGH the Arrow-batched
     mapInPandas stage: constructed Netpbm images as media payloads,
