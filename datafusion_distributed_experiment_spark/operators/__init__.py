@@ -98,12 +98,12 @@ def staged_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Da
     comparison over them in every pytest run; at the next rotation they
     move into ``pipeline_tiers()`` and earn driver CORRECTNESS rows.
 
-    Round 9 staged domain_token_profile; it was promoted into the window
-    at the round-10 rotation. Each round's VERDICT budgets at most ONE
-    new staged operator (the 119-query surface already cycles the gate
-    window every 3 rounds; growth is deliberately near-frozen)."""
+    Round 10 staged events_quantile_sketch (promoted at the round-11
+    rotation); round 11 stages ivf_pq_topk. Each round's VERDICT budgets
+    at most ONE new staged operator (the 120-query surface already cycles
+    the gate window every 3 rounds; growth is deliberately near-frozen)."""
     from ..streaming import events as streaming_events
-    from . import bpe, curation, dedup, graph, retrieval, selection, sketches
+    from . import bpe, curation, dedup, graph, retrieval, selection, similarity, sketches
 
     return [
         ("graph", graph.staged_queries()),
@@ -112,6 +112,7 @@ def staged_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Da
         ("bpe", bpe.staged_queries()),
         ("dedup", dedup.staged_queries()),
         ("sketches", sketches.staged_queries()),
+        ("similarity", similarity.staged_queries()),
         ("curation", curation.staged_queries()),
         # named so the bench's measure-last rule matches it (RocksDB
         # maintenance threads must not contaminate batch timings)
@@ -128,7 +129,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def staged_oracles() -> dict[str, str]:
     from ..streaming import events as streaming_events
-    from . import bpe, curation, dedup, graph, retrieval, selection, sketches
+    from . import bpe, curation, dedup, graph, retrieval, selection, similarity, sketches
 
     out: dict[str, str] = {}
     out.update(graph.staged_oracles())
@@ -137,6 +138,7 @@ def staged_oracles() -> dict[str, str]:
     out.update(bpe.staged_oracles())
     out.update(dedup.staged_oracles())
     out.update(sketches.staged_oracles())
+    out.update(similarity.staged_oracles())
     out.update(curation.staged_oracles())
     out.update(streaming_events.staged_oracles())
     return out

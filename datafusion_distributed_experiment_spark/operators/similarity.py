@@ -68,6 +68,44 @@ IVF_K_MIN = 16
 IVF_PROBE = 4
 IVF_QUERIES = 30
 IVF_TOP_K = 3
+# Product-quantization parameters (ivf_pq_topk, staged round 11): the
+# DIM=64 vector splits into PQ_M subspaces of PQ_SUB dims; each subspace
+# gets a PQ_CODES-entry codebook taken from the first PQ_CODES corpus
+# vectors' subvectors (deterministic "training" — the same
+# seed-not-iterated doctrine as the IVF coarse centroids, so the DuckDB
+# oracle replays the index bit-for-bit). Codes are argmin of INTEGER
+# squared L2 distance in ppm space; query scoring is asymmetric-distance
+# computation (ADC, Jegou et al. 2011): per-query lookup tables of
+# integer dot products, summed over subspaces — all BIGINT, so both
+# engines agree exactly.
+PQ_M = 8
+PQ_SUB = DIM // PQ_M
+PQ_CODES = 16
+PQ_QUERIES = 30
+PQ_TOP_K = 3
+
+
+def check_adc_headroom(max_abs_ppm: int) -> None:
+    """Raise PlanningError when the PQ integer arithmetic could exceed
+    int64 (overflow-guard family; see retrieval.check_score_headroom).
+    The largest intermediates are a per-subspace squared-distance sum
+    (PQ_SUB * (2*max)^2 = 4*PQ_SUB*max^2) and the full ADC fold
+    (PQ_M * PQ_SUB * max^2 = DIM * max^2); the bound uses whichever unit
+    count is larger. Pure so the trip condition is unit-testable without
+    a pathological corpus."""
+    import math
+
+    i64 = 2**63 - 1
+    worst_units = max(4 * PQ_SUB, PQ_M * PQ_SUB)
+    if max_abs_ppm > math.isqrt(i64 // worst_units):
+        from ..errors import PlanningError
+
+        raise PlanningError(
+            f"PQ integer arithmetic would exceed int64 headroom at "
+            f"max |x_ppm| = {max_abs_ppm} (bound "
+            f"{math.isqrt(i64 // worst_units)}); rescale the embedding "
+            "space or switch the distance arithmetic to decimal(38,0)"
+        )
 
 
 def _ivf_k(n: int) -> int:
@@ -430,6 +468,141 @@ def quantize_frame(emb: DataFrame) -> DataFrame:
     )
 
 
+def _pq_codebook(seed_xp: list[list[int]]) -> list[list[list[int]]]:
+    """PQ_M x PQ_CODES x PQ_SUB integer codebook: entry [m][c] is seed
+    vector c's m-th subspace slice, in ppm ints. Deterministic by
+    construction (seed vectors = the PQ_CODES smallest vec_ids), so the
+    DuckDB oracle rebuilds the identical codebook from the same rows."""
+    return [
+        [xp[m * PQ_SUB : (m + 1) * PQ_SUB] for xp in seed_xp] for m in range(PQ_M)
+    ]
+
+
+def _pq_code_expr(m: int, cbm: list[list[int]]) -> str:
+    """SQL for subspace m's code: argmin over the PQ_CODES codebook entries
+    of the INTEGER squared L2 distance between the vector's m-th ppm
+    subslice and the entry, ties toward the smaller code. The codebook is
+    a literal array<array<bigint>> (model state shipped in the expression
+    tree, the _centroid_scores pattern); the distance is a
+    zip_with/aggregate fold over exactly PQ_SUB elements. Codes are
+    1-based so ADC can element_at straight into the lookup table."""
+    lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"CAST({v} AS BIGINT)" for v in code) + ")"
+            for code in cbm
+        )
+        + ")"
+    )
+    dist = (
+        f"aggregate(zip_with(slice(xp, {m * PQ_SUB + 1}, {PQ_SUB}), "
+        f"element_at({lit}, c), (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    return (
+        f"(array_min(transform(sequence(1, {PQ_CODES}), "
+        f"c -> named_struct('d', {dist}, 'c', c)))).c"
+    )
+
+
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k (Jegou et al. 2011, the billion-vector
+    scale path between brute-force ``embedding_topk`` and exact-rerank):
+    vectors live in K = max(16, ceil(sqrt(N))) coarse IVF lists and are
+    compressed to PQ_M 1-byte codes; queries probe IVF_PROBE lists and
+    rank candidates by asymmetric-distance computation — a per-query
+    PQ_M x PQ_CODES lookup table of INTEGER dot products in ppm space, so
+    scoring never touches the original vectors and the DuckDB oracle
+    replays it exactly.
+
+    Scale shape: the codebook and coarse centroids are KB-scale model
+    state (literal arrays / a broadcast 30-row LUT frame — the
+    ``embedding_quantize`` + ``ann_ivf`` composition the round-10 VERDICT
+    ordered); encode + assignment are ONE map-only projection over the
+    corpus (zero pre-join exchanges, plan-pinned); the probe join
+    BROADCASTS the (query x probe) side so the corpus never shuffles —
+    per-vector traffic is PQ_M bytes of codes, 1/32nd of the float
+    vector, which is the entire point of PQ at 100 TB. The only exchange
+    is the final per-query top-k window over candidate rows
+    (~PQ_QUERIES * IVF_PROBE * sqrt(N), not N)."""
+    vecs = (
+        _vectors(spark, sf_dir)
+        .withColumn("xp", F.expr("transform(v, x -> CAST(FLOOR(1e6 * x) AS BIGINT))"))
+        .localCheckpoint()  # fit (count/max + seed collect) + encode share the scan
+    )
+    head = vecs.agg(
+        F.count("*").alias("n"),
+        F.max(F.expr("array_max(transform(xp, a -> abs(a)))")).alias("mx"),
+    ).collect()[0]
+    n = int(head["n"])
+    check_adc_headroom(int(head["mx"] or 0))
+    k = _ivf_k(n)
+    # One KB-scale model-state collect: coarse centroids (vec_id < k),
+    # PQ codebook seeds (vec_id < PQ_CODES), query vectors (vec_id <
+    # PQ_QUERIES) — exactly the KMeansModel.fit contract, never the corpus.
+    lim = max(k, PQ_CODES, PQ_QUERIES)
+    seed_rows = (
+        vecs.filter(F.col("vec_id") < lim)
+        .select("vec_id", "v", "xp")
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [
+        (int(r["vec_id"]), list(r["v"])) for r in seed_rows if r["vec_id"] < k
+    ]
+    cb = _pq_codebook([list(r["xp"]) for r in seed_rows if r["vec_id"] < PQ_CODES])
+    # Per-query ADC lookup tables: lut[m][c] = <query subslice m, codebook
+    # entry c> in exact integer arithmetic (associative — Python, Spark
+    # and DuckDB cannot disagree). 30 queries x 8 x 16 BIGINTs: KB state.
+    luts = [
+        (
+            int(r["vec_id"]),
+            [
+                [
+                    sum(
+                        int(r["xp"][m * PQ_SUB + j]) * cb[m][c][j]
+                        for j in range(PQ_SUB)
+                    )
+                    for c in range(PQ_CODES)
+                ]
+                for m in range(PQ_M)
+            ],
+        )
+        for r in seed_rows
+        if r["vec_id"] < PQ_QUERIES
+    ]
+    lut_df = spark.createDataFrame(luts, schema="query_id bigint, lut array<array<bigint>>")
+    # Encode + coarse-assign: one map-only projection (codes are literal-
+    # codebook argmins, list_id the literal-centroid argmax) — the corpus
+    # is scanned once and never exchanged before the probe join.
+    enc = _ivf_assign(vecs, centroids).select(
+        "vec_id",
+        "list_id",
+        F.array(*[F.expr(_pq_code_expr(m, cb[m])) for m in range(PQ_M)]).alias("codes"),
+    )
+    probes = _ivf_probes(vecs.filter(F.col("vec_id") < PQ_QUERIES), centroids).select(
+        "query_id", "list_id"
+    )
+    probe_lut = probes.join(lut_df, "query_id")  # 120 x 30 rows, both tiny
+    pairs = F.broadcast(probe_lut).join(enc, "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            f"aggregate(sequence(1, {PQ_M}), CAST(0 AS BIGINT), "
+            "(acc, m) -> acc + element_at(element_at(lut, m), element_at(codes, m)))"
+        ).alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "embedding_topk": embedding_topk,
@@ -439,6 +612,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": semantic_dedup,
         "embedding_quantize": embedding_quantize,
     }
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Round 11 stages :func:`ivf_pq_topk` (the one staged slot the
+    round-10 VERDICT budgeted — PQ-ANN composing the verified
+    embedding_quantize integer pipeline with ann_ivf's sqrt(N) lists); it
+    awaits a gate-window slot at the round-12 rotation."""
+    return {"ivf_pq_topk": ivf_pq_topk}
+
+
+def staged_oracles() -> dict[str, str]:
+    return {"ivf_pq_topk": _ivf_pq_oracle()}
 
 
 _DOT_QV = DUCK_DOT.format(a="qv", b="v", n=DIM)
@@ -453,6 +638,81 @@ _DUCK_VECS = f"""vecs AS (
 _DUCK_BUCKET = " + ".join(
     f"(CASE WHEN v[{i}] >= 0 THEN {1 << (i - 1)} ELSE 0 END)" for i in range(1, 9)
 )
+
+
+def _ivf_pq_oracle() -> str:
+    """DuckDB replay of the full IVF-PQ pipeline — independent SQL, not an
+    unrolled copy of the Spark dataflow: codes come from a cross-join
+    argmin (vs Spark's literal-array fold), ADC from an 8-term integer dot
+    re-derived per (neighbor, subspace) row (vs Spark's Python-built
+    broadcast LUT). Integer arithmetic is associative, so the two
+    derivations must agree bit-for-bit."""
+    # squared L2 between vector x and codebook seed cb on subspace mm.m
+    dist = " + ".join(
+        f"(x.xp[mm.m*{PQ_SUB}+{j}] - cb.cxp[mm.m*{PQ_SUB}+{j}])"
+        f" * (x.xp[mm.m*{PQ_SUB}+{j}] - cb.cxp[mm.m*{PQ_SUB}+{j}])"
+        for j in range(1, PQ_SUB + 1)
+    )
+    # integer dot between query subslice and codebook entry on subspace c.m
+    adc_dot = " + ".join(
+        f"p.qxp[c.m*{PQ_SUB}+{j}] * cb.cxp[c.m*{PQ_SUB}+{j}]"
+        for j in range(1, PQ_SUB + 1)
+    )
+    coarse = DUCK_DOT.format(a="x.v", b="cent.cv", n=DIM)
+    return f"""
+        WITH {_DUCK_VECS}, xpt AS (
+            SELECT vec_id, v, nrm,
+                   list_transform(v, x -> CAST(FLOOR(1e6 * x) AS BIGINT)) AS xp
+            FROM vecs
+        ), cent AS (
+            SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs
+            WHERE vec_id < (SELECT GREATEST({IVF_K_MIN}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM vecs)
+        ), cb AS (
+            SELECT vec_id AS seed, xp AS cxp FROM xpt WHERE vec_id < {PQ_CODES}
+        ), assign AS (
+            SELECT vec_id, cid AS list_id FROM (
+                SELECT x.vec_id, cent.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY x.vec_id
+                           ORDER BY {coarse} / (x.nrm * cent.cnrm) DESC, cent.cid ASC
+                       ) AS rn
+                FROM xpt x CROSS JOIN cent
+            ) WHERE rn = 1
+        ), codes AS (
+            SELECT vec_id, m, seed AS code0 FROM (
+                SELECT x.vec_id, mm.m, cb.seed,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY x.vec_id, mm.m
+                           ORDER BY {dist} ASC, cb.seed ASC
+                       ) AS rn
+                FROM xpt x CROSS JOIN range({PQ_M}) mm(m) CROSS JOIN cb
+            ) WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, qxp, cid AS list_id FROM (
+                SELECT x.vec_id, x.xp AS qxp, cent.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY x.vec_id
+                           ORDER BY {coarse} / (x.nrm * cent.cnrm) DESC, cent.cid ASC
+                       ) AS rn
+                FROM xpt x CROSS JOIN cent WHERE x.vec_id < {PQ_QUERIES}
+            ) WHERE rn <= {IVF_PROBE}
+        ), scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   CAST(SUM({adc_dot}) AS BIGINT) AS adc_score
+            FROM probes p
+            JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+            JOIN codes c ON c.vec_id = a.vec_id
+            JOIN cb ON cb.seed = c.code0
+            GROUP BY p.query_id, a.vec_id
+        ), ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC
+            ) AS BIGINT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, adc_score, rank FROM ranked
+        WHERE rank <= {PQ_TOP_K} ORDER BY query_id, rank
+    """
 
 
 def oracles() -> dict[str, str]:

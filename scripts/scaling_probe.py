@@ -84,6 +84,10 @@ PROBE_OPS = [
     "minhash_signatures",
     "media_resize",
     "events_quantile_sketch",
+    # round-11 staged: PQ encode is a map-only literal-codebook argmin and
+    # the probe join broadcasts the query side — candidate volume should
+    # grow ~sqrt(N) per query, never N
+    "ivf_pq_topk",
 ]
 
 

@@ -54,6 +54,11 @@ SPILL_QUERIES = (
     # the rank-selection window holds the full sample — the sketch must
     # hash-match with every one of those buffers forced to disk
     "events_quantile_sketch",
+    # round-11 staged: the ADC top-k sorts candidate rows (~PROBE x
+    # sqrt(N) per query, above the forced threshold) through the
+    # partial/final WindowGroupLimit sorts — the integer scores must
+    # hash-match with those sort buffers forced to disk
+    "ivf_pq_topk",
 )
 FORCE_SPILL_ROWS = "128"
 

@@ -1,0 +1,128 @@
+"""IVF-PQ staged-operator tests (oracle parity runs in
+tests/test_staged_oracle.py; these pin the algorithm and the guard).
+
+The cross-engine oracle is independent SQL, but both sides share the
+pipeline DESIGN, so per the replica doctrine (SURVEY §5 / the round-8
+pairless-BPE lesson) the whole operator is re-derived here in pure
+Python — numpy-free loops, same IEEE fold order for the double cosine,
+plain ints for every PQ step — and must match the Spark output row for
+row."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow.parquet as pq
+import pytest
+
+from datafusion_distributed_experiment_spark.operators.similarity import (
+    IVF_PROBE,
+    PQ_CODES,
+    PQ_M,
+    PQ_QUERIES,
+    PQ_SUB,
+    PQ_TOP_K,
+    check_adc_headroom,
+    ivf_pq_topk,
+)
+
+from .conftest import SF_DIR
+
+
+def test_adc_headroom_guard_trips_and_passes():
+    """Overflow-guard family contract: pure function, pass at any sane
+    embedding scale, trip before an int64 product can overflow."""
+    from datafusion_distributed_experiment_spark.errors import PlanningError
+
+    check_adc_headroom(0)
+    check_adc_headroom(1_000_000)  # |x| <= 1.0 in ppm space
+    check_adc_headroom(100_000_000)  # |x| <= 100
+    bound = math.isqrt((2**63 - 1) // (PQ_M * PQ_SUB))
+    check_adc_headroom(bound)
+    with pytest.raises(PlanningError, match="headroom"):
+        check_adc_headroom(bound + 1)
+
+
+def _python_ivf_pq(path: str):
+    """The full IVF-PQ pipeline in pure Python (third implementation,
+    independent of both the Spark fold and the DuckDB cross-join SQL)."""
+    t = pq.read_table(path).to_pydict()
+    vecs = {
+        int(i): [float(x) for x in v]
+        for i, v in zip(t["vec_id"], t["embedding"])
+    }
+    n = len(vecs)
+    k = max(16, math.ceil(math.sqrt(n)))
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):  # same sequential fold order as both engines
+            s += x * y
+        return s
+
+    nrm = {i: math.sqrt(dot(v, v)) for i, v in vecs.items()}
+    xp = {i: [int(math.floor(1e6 * x)) for x in v] for i, v in vecs.items()}
+    cents = [(c, vecs[c]) for c in sorted(vecs) if c < k]
+    cb = [
+        [xp[c][m * PQ_SUB : (m + 1) * PQ_SUB] for c in range(PQ_CODES)]
+        for m in range(PQ_M)
+    ]
+
+    def coarse_rank(vid):
+        """Centroid ids by cosine desc, ties toward the smaller id."""
+        scores = [
+            (dot(vecs[vid], cv) / (nrm[vid] * nrm[c]), -c) for c, cv in cents
+        ]
+        return [-negc for _, negc in sorted(scores, reverse=True)]
+
+    assign = {vid: coarse_rank(vid)[0] for vid in vecs}
+    codes = {}
+    for vid in vecs:
+        row = []
+        for m in range(PQ_M):
+            sub = xp[vid][m * PQ_SUB : (m + 1) * PQ_SUB]
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(sub, ent)), c)
+                for c, ent in enumerate(cb[m])
+            )
+            row.append(best[1])
+        codes[vid] = row
+    out = []
+    for q in sorted(v for v in vecs if v < PQ_QUERIES):
+        lists = set(coarse_rank(q)[:IVF_PROBE])
+        cand = []
+        for vid in vecs:
+            if vid == q or assign[vid] not in lists:
+                continue
+            adc = sum(
+                sum(
+                    xp[q][m * PQ_SUB + j] * cb[m][codes[vid][m]][j]
+                    for j in range(PQ_SUB)
+                )
+                for m in range(PQ_M)
+            )
+            cand.append((-adc, vid))
+        for rank, (neg_adc, vid) in enumerate(sorted(cand)[:PQ_TOP_K], start=1):
+            out.append((q, vid, -neg_adc, rank))
+    return out
+
+
+def test_ivf_pq_matches_python_replica(spark):
+    got = [
+        (r.query_id, r.neighbor_id, r.adc_score, r.rank)
+        for r in ivf_pq_topk(spark, SF_DIR).collect()
+    ]
+    want = _python_ivf_pq(f"{SF_DIR}/embeddings.parquet")
+    assert got == want
+
+
+def test_ivf_pq_output_contract(spark):
+    rows = ivf_pq_topk(spark, SF_DIR).collect()
+    assert rows, "empty corpus proves nothing"
+    per_query: dict[int, list[int]] = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r.rank)
+        assert r.neighbor_id != r.query_id
+    assert len(per_query) == PQ_QUERIES
+    for q, ranks in per_query.items():
+        assert ranks == list(range(1, PQ_TOP_K + 1)), q

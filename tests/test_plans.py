@@ -1166,6 +1166,37 @@ def test_quantile_sketch_bottom_k_caps_map_side(spark):
     assert s["broadcasts"] >= 1, (s, plan[:3000])
 
 
+def test_ivf_pq_corpus_never_shuffles(spark):
+    """The staged IVF-PQ operator's scale contract: PQ encode + coarse
+    assignment are ONE map-only projection over the checkpointed corpus
+    (literal codebook/centroid model state — no exchange on the corpus
+    side before the probe join); the (query x probe x LUT) side is
+    BROADCAST (BuildLeft), so per-vector join traffic is the PQ_M-byte
+    code array, never the float vector; the top-k is a partial/final
+    WindowGroupLimit pair over candidate rows only. Exactly ONE
+    hash exchange (the window) + the presentation range sort."""
+    import re as _re
+
+    from datafusion_distributed_experiment_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    from .conftest import SF_DIR
+
+    df = ivf_pq_topk(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert plan.count("Exchange rangepartitioning") == 1, plan[:3000]
+    assert "BroadcastHashJoin" in plan and "BuildLeft" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, plan[:3000]
+    assert "WindowGroupLimit" in plan and "Partial" in plan and "Final" in plan, (
+        plan[:3000]
+    )
+    assert len(_re.findall(r"\bWindow \[", plan)) == 1, plan[:3000]
+    # zero parquet in the returned plan: the corpus reads the checkpoint
+    assert "FileScan parquet" not in plan, plan[:3000]
+
+
 def test_streaming_micro_batch_plan_shapes(spark):
     """Executed micro-batch audits for the four bounded-replay streaming
     queries (captured by run_to_completion — streaming plans never surface

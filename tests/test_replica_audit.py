@@ -54,6 +54,11 @@ AUDIT: dict[str, tuple] = {
     # dataflow replayed — registered here ahead of promotion so the window
     # slot arrives with its replica linkage already audited.
     "events_quantile_sketch": ("replica", "tests.test_sketches", "test_quantile_sketch_sample_matches_python_replica"),
+    # Staged round 11: the DuckDB oracle is independent SQL (cross-join
+    # argmin vs Spark's literal-array fold), but the PIPELINE design is
+    # shared, so the whole operator is re-derived a third time in pure
+    # Python loops — registered ahead of its round-12 promotion.
+    "ivf_pq_topk": ("replica", "tests.test_ivf_pq", "test_ivf_pq_matches_python_replica"),
 }
 
 
