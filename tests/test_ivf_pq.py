@@ -116,6 +116,45 @@ def test_ivf_pq_matches_python_replica(spark):
     assert got == want
 
 
+def test_pq_code_expr_breaks_distance_ties_toward_smaller_code(spark):
+    """The determinism claim hinges on tie handling: when several codebook
+    entries are equidistant from a subvector, BOTH engines and the replica
+    must pick the smallest code. Constructed codebooks force exact ties
+    (duplicate entries; symmetric +/- offsets around the probe point) and
+    the Spark expression must agree with a plain Python argmin."""
+    from datafusion_distributed_experiment_spark.operators.similarity import (
+        _pq_code_expr,
+    )
+
+    # codebook for subspace 0: entries 2 and 3 are identical; entries 4/5
+    # sit symmetrically around the probe so their distances tie too
+    cbm = [
+        [100] * PQ_SUB,          # code 1
+        [7, 7, 7, 7, 0, 0, 0, 0],  # code 2
+        [7, 7, 7, 7, 0, 0, 0, 0],  # code 3 (exact duplicate of 2)
+        [10] * PQ_SUB,           # code 4: probe 8 -> dist 8*4
+        [6] * PQ_SUB,            # code 5: probe 8 -> dist 8*4 (tie with 4)
+    ] + [[10**6] * PQ_SUB for _ in range(PQ_CODES - 5)]
+    rows = [
+        (1, [7, 7, 7, 7, 0, 0, 0, 0] + [0] * (64 - PQ_SUB)),  # ties 2 vs 3
+        (2, [8] * PQ_SUB + [0] * (64 - PQ_SUB)),              # ties 4 vs 5
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, xp array<bigint>")
+    got = {
+        r.vec_id: r.code
+        for r in df.selectExpr("vec_id", f"{_pq_code_expr(0, cbm)} AS code").collect()
+    }
+
+    def py_code(xp):
+        return min(
+            (sum((a - b) * (a - b) for a, b in zip(xp[:PQ_SUB], ent)), c + 1)
+            for c, ent in enumerate(cbm)
+        )[1]
+
+    assert got[1] == py_code(rows[0][1]) == 2  # duplicate -> smaller code
+    assert got[2] == py_code(rows[1][1]) == 4  # symmetric tie -> smaller code
+
+
 def test_ivf_pq_output_contract(spark):
     rows = ivf_pq_topk(spark, SF_DIR).collect()
     assert rows, "empty corpus proves nothing"
