@@ -247,3 +247,34 @@ def test_decode_ppm_roundtrip_property():
         assert (got == arr).all()
 
     check()
+
+
+def test_decode_ppm_maxval_roundtrip_property():
+    """Hypothesis property over the MAXVAL dimension (where the round-10
+    pixel_embed scaling bug lived): for ANY declared maxval in the legal
+    1..65535 range, a raster of samples within [0, maxval] round-trips
+    bit-exactly AND decode_ppm_with_maxval reports the header's declared
+    maxval — not the dtype container width."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        maxval=st.integers(1, 65535),
+        rgb=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=120, deadline=None)
+    def check(h, w, maxval, rgb, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        dtype = np.uint16 if maxval > 255 else np.uint8
+        arr = rng.integers(0, maxval + 1, size=shape).astype(dtype)
+        got, got_maxval = mm.decode_ppm_with_maxval(_ppm_bytes(arr, maxval=maxval))
+        assert got_maxval == maxval
+        assert got.shape == arr.shape
+        assert (got.astype(dtype) == arr).all()
+
+    check()
