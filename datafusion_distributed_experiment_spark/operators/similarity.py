@@ -499,8 +499,11 @@ def _pq_code_expr(m: int, cbm: list[list[int]]) -> str:
         f"element_at({lit}, c), (x, y) -> (x - y) * (x - y)), "
         "CAST(0 AS BIGINT), (a, b) -> a + b)"
     )
+    # len(cbm), not PQ_CODES: a corpus smaller than PQ_CODES yields a
+    # shorter codebook, and sequencing past it would element_at out of
+    # bounds (ANSI error); the oracle's cb CTE shrinks identically
     return (
-        f"(array_min(transform(sequence(1, {PQ_CODES}), "
+        f"(array_min(transform(sequence(1, {len(cbm)}), "
         f"c -> named_struct('d', {dist}, 'c', c)))).c"
     )
 
@@ -563,7 +566,7 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         int(r["xp"][m * PQ_SUB + j]) * cb[m][c][j]
                         for j in range(PQ_SUB)
                     )
-                    for c in range(PQ_CODES)
+                    for c in range(len(cb[m]))  # tracks a sub-PQ_CODES corpus
                 ]
                 for m in range(PQ_M)
             ],

@@ -63,8 +63,9 @@ def _python_ivf_pq(path: str):
     nrm = {i: math.sqrt(dot(v, v)) for i, v in vecs.items()}
     xp = {i: [int(math.floor(1e6 * x)) for x in v] for i, v in vecs.items()}
     cents = [(c, vecs[c]) for c in sorted(vecs) if c < k]
+    seeds = [c for c in sorted(vecs) if c < PQ_CODES]  # may be < PQ_CODES
     cb = [
-        [xp[c][m * PQ_SUB : (m + 1) * PQ_SUB] for c in range(PQ_CODES)]
+        [xp[c][m * PQ_SUB : (m + 1) * PQ_SUB] for c in seeds]
         for m in range(PQ_M)
     ]
 
@@ -153,6 +154,28 @@ def test_pq_code_expr_breaks_distance_ties_toward_smaller_code(spark):
 
     assert got[1] == py_code(rows[0][1]) == 2  # duplicate -> smaller code
     assert got[2] == py_code(rows[1][1]) == 4  # symmetric tie -> smaller code
+
+
+def test_ivf_pq_survives_corpus_smaller_than_codebook(spark, tmp_path):
+    """A corpus with fewer vectors than PQ_CODES yields a SHORT codebook;
+    the code expression must sequence over the actual codebook length (an
+    out-of-bounds element_at is an ANSI runtime error), the LUTs must
+    shrink with it, and the result must still match the Python replica —
+    the DuckDB oracle's cb CTE shrinks identically by construction."""
+    import random
+
+    rng = random.Random(11)
+    path = str(tmp_path / "embeddings.parquet")
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(9)]
+    spark.createDataFrame(rows, schema="vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.parquet(path)
+    got = [
+        (r.query_id, r.neighbor_id, r.adc_score, r.rank)
+        for r in ivf_pq_topk(spark, str(tmp_path)).collect()
+    ]
+    assert got == _python_ivf_pq(path)
+    assert got, "9 mutually-probing vectors must produce neighbors"
 
 
 def test_ivf_pq_output_contract(spark):
