@@ -540,6 +540,57 @@ def test_quantile_sketch_estimates_within_rank_envelope(spark):
             assert abs(true_rank_pct - p) <= 10.0, (r["event_type"], p, r[f"p{p}"])
 
 
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_quantile_sketch_rank_envelope_on_data(spark, sf_dir):
+    """Accuracy envelope ON DATA at both scales where the approximation
+    path is live (groups of ~2k / ~20k rows >> k=512, so estimates come
+    from the sampled regime, unlike sf0.001's exact-below-k groups) — the
+    hll_relative_error companion for the rank sketch, added at its
+    round-11 promotion. Each estimate's TRUE rank bracket (ties handled
+    exactly: [count(< est), count(<= est)] as percentages) must overlap
+    the target within +-10 ppt — ~4.5 sigma at p50 for k=512. A breach is
+    an algorithm break (biased hash, broken merge), not sampling noise."""
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        QSKETCH_PERCENTILES,
+        events_quantile_sketch,
+    )
+    from datafusion_distributed_experiment_spark.sources.events import read_events
+
+    est = events_quantile_sketch(spark, sf_dir)
+    ev = read_events(spark, sf_dir).select("event_type", "value_cents")
+    joined = ev.join(F.broadcast(est), "event_type")
+    brackets = joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        *[
+            agg
+            for p in QSKETCH_PERCENTILES
+            for agg in (
+                F.sum(
+                    (F.col("value_cents") < F.col(f"p{p}_est_cents")).cast("long")
+                ).alias(f"lo{p}"),
+                F.sum(
+                    (F.col("value_cents") <= F.col(f"p{p}_est_cents")).cast("long")
+                ).alias(f"hi{p}"),
+            )
+        ],
+    )
+    rows = brackets.collect()
+    assert rows, "no event types"
+    for r in rows:
+        assert r["n"] > 512, "approximation path not live at this scale"
+        for p in QSKETCH_PERCENTILES:
+            lo_pct = 100.0 * r[f"lo{p}"] / r["n"]
+            hi_pct = 100.0 * r[f"hi{p}"] / r["n"]
+            assert lo_pct <= p + 10.0 and hi_pct >= p - 10.0, (
+                r["event_type"],
+                p,
+                lo_pct,
+                hi_pct,
+            )
+
+
 def test_quantile_sketch_exact_below_k_and_output_contract(spark):
     """A group smaller than QSKETCH_K retains ALL its rows, so the sketch's
     estimates must EQUAL events_percentiles' exact values there — true for
