@@ -20,6 +20,7 @@ from datafusion_distributed_experiment_spark.operators.similarity import (
     PQ_CODES,
     PQ_M,
     PQ_QUERIES,
+    PQ_RERANK,
     PQ_SUB,
     PQ_TOP_K,
     check_adc_headroom,
@@ -103,14 +104,21 @@ def _python_ivf_pq(path: str):
                 for m in range(PQ_M)
             )
             cand.append((-adc, vid))
-        for rank, (neg_adc, vid) in enumerate(sorted(cand)[:PQ_TOP_K], start=1):
-            out.append((q, vid, -neg_adc, rank))
+        short = sorted(cand)[:PQ_RERANK]
+        rer = []
+        for neg_adc, vid in short:
+            cos_ppm = math.floor(
+                1e6 * dot(vecs[q], vecs[vid]) / (nrm[q] * nrm[vid])
+            )
+            rer.append((-cos_ppm, vid, -neg_adc))
+        for rank, (neg_cos, vid, adc) in enumerate(sorted(rer)[:PQ_TOP_K], start=1):
+            out.append((q, vid, adc, -neg_cos, rank))
     return out
 
 
 def test_ivf_pq_matches_python_replica(spark):
     got = [
-        (r.query_id, r.neighbor_id, r.adc_score, r.rank)
+        (r.query_id, r.neighbor_id, r.adc_score, r.cos_ppm, r.rank)
         for r in ivf_pq_topk(spark, SF_DIR).collect()
     ]
     want = _python_ivf_pq(f"{SF_DIR}/embeddings.parquet")
@@ -171,7 +179,7 @@ def test_ivf_pq_survives_corpus_smaller_than_codebook(spark, tmp_path):
         1
     ).write.parquet(path)
     got = [
-        (r.query_id, r.neighbor_id, r.adc_score, r.rank)
+        (r.query_id, r.neighbor_id, r.adc_score, r.cos_ppm, r.rank)
         for r in ivf_pq_topk(spark, str(tmp_path)).collect()
     ]
     assert got == _python_ivf_pq(path)

@@ -1167,14 +1167,17 @@ def test_quantile_sketch_bottom_k_caps_map_side(spark):
 
 
 def test_ivf_pq_corpus_never_shuffles(spark):
-    """The staged IVF-PQ operator's scale contract: PQ encode + coarse
-    assignment are ONE map-only projection over the checkpointed corpus
-    (literal codebook/centroid model state — no exchange on the corpus
-    side before the probe join); the (query x probe x LUT) side is
-    BROADCAST (BuildLeft), so per-vector join traffic is the PQ_M-byte
-    code array, never the float vector; the top-k is a partial/final
-    WindowGroupLimit pair over candidate rows only. Exactly ONE
-    hash exchange (the window) + the presentation range sort."""
+    """The staged IVF-PQ+refine operator's scale contract: PQ encode +
+    coarse assignment are ONE map-only projection over the checkpointed
+    corpus (literal codebook/centroid model state — no exchange on the
+    corpus side before the probe join); the (query x probe x LUT) side is
+    BROADCAST (BuildLeft), so ADC's per-vector join traffic is the
+    PQ_M-byte code array, never the float vector; the refine stage
+    broadcasts the shortlist back onto a second map-side corpus pass
+    (never a corpus shuffle, never an SMJ); both top-k stages are
+    partial/final WindowGroupLimit pairs over candidate rows only.
+    Exactly TWO hash exchanges (the two candidate windows) + the
+    presentation range sort."""
     import re as _re
 
     from datafusion_distributed_experiment_spark.operators.similarity import (
@@ -1185,14 +1188,13 @@ def test_ivf_pq_corpus_never_shuffles(spark):
 
     df = ivf_pq_topk(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
     assert plan.count("Exchange rangepartitioning") == 1, plan[:3000]
-    assert "BroadcastHashJoin" in plan and "BuildLeft" in plan, plan[:3000]
+    assert plan.count("BroadcastHashJoin") >= 3 and "BuildLeft" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, plan[:3000]
-    assert "WindowGroupLimit" in plan and "Partial" in plan and "Final" in plan, (
-        plan[:3000]
-    )
-    assert len(_re.findall(r"\bWindow \[", plan)) == 1, plan[:3000]
+    assert plan.count("WindowGroupLimit") == 4, plan[:3000]
+    assert "Partial" in plan and "Final" in plan, plan[:3000]
+    assert len(_re.findall(r"\bWindow \[", plan)) == 2, plan[:3000]
     # zero parquet in the returned plan: the corpus reads the checkpoint
     assert "FileScan parquet" not in plan, plan[:3000]
 
