@@ -186,6 +186,48 @@ def test_ivf_pq_survives_corpus_smaller_than_codebook(spark, tmp_path):
     assert got, "9 mutually-probing vectors must produce neighbors"
 
 
+def test_ivf_pq_recall_floor_vs_exact():
+    """Pin the staged operator's accuracy envelope on real data before its
+    promotion (the events_quantile_sketch doctrine): recall@PQ_TOP_K of the
+    IVF-PQ+refine pipeline against brute-force exact cosine over ALL
+    PQ_QUERIES queries. Runs on the REPLICA (pure Python, no Spark) —
+    test_ivf_pq_matches_python_replica pins Spark == replica row-for-row,
+    so this floor transitively binds the Spark operator. Measured 0.867 at
+    sf0.001 / 0.822 at sf0.01 (SCALING.md); ADC-only (refine disabled)
+    collapses to ~0.19 on this structureless random corpus, and a broken
+    index (wrong list assignment, bad probe selection) collapses toward
+    zero — 0.6 separates working from broken with margin for testdata
+    drift."""
+    path = f"{SF_DIR}/embeddings.parquet"
+    t = pq.read_table(path).to_pydict()
+    vecs = {
+        int(i): [float(x) for x in v]
+        for i, v in zip(t["vec_id"], t["embedding"])
+    }
+
+    def cos(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    truth = {}
+    for q in range(PQ_QUERIES):
+        best = sorted(
+            ((cos(vecs[q], v), -i) for i, v in vecs.items() if i != q),
+            reverse=True,
+        )[:PQ_TOP_K]
+        truth[q] = {-negi for _, negi in best}
+    approx: dict[int, set[int]] = {}
+    for q, vid, _adc, _cos, _rank in _python_ivf_pq(path):
+        approx.setdefault(q, set()).add(vid)
+    assert set(approx) == set(truth)
+    hits = sum(len(truth[q] & approx[q]) for q in truth)
+    total = sum(len(truth[q]) for q in truth)
+    recall = hits / total
+    assert recall >= 0.6, f"IVF-PQ recall collapsed: {recall:.2f} ({hits}/{total})"
+
+
 def test_ivf_pq_output_contract(spark):
     rows = ivf_pq_topk(spark, SF_DIR).collect()
     assert rows, "empty corpus proves nothing"
