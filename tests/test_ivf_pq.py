@@ -14,6 +14,8 @@ import math
 
 import pyarrow.parquet as pq
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from datafusion_distributed_experiment_spark.operators.similarity import (
     IVF_PROBE,
@@ -184,6 +186,57 @@ def test_ivf_pq_survives_corpus_smaller_than_codebook(spark, tmp_path):
     ]
     assert got == _python_ivf_pq(path)
     assert got, "9 mutually-probing vectors must produce neighbors"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(1, PQ_CODES).flatmap(
+        lambda ncodes: st.tuples(
+            st.lists(  # codebook: ncodes entries of PQ_SUB ppm ints
+                st.lists(
+                    st.integers(-1_000_000, 1_000_000),
+                    min_size=PQ_SUB,
+                    max_size=PQ_SUB,
+                ),
+                min_size=ncodes,
+                max_size=ncodes,
+            ),
+            st.lists(  # batch of subvectors to encode
+                st.lists(
+                    st.integers(-1_000_000, 1_000_000),
+                    min_size=PQ_SUB,
+                    max_size=PQ_SUB,
+                ),
+                min_size=1,
+                max_size=6,
+            ),
+        )
+    )
+)
+def test_pq_code_expr_matches_python_argmin(spark, cb_and_vecs):
+    """Property pin for the generated SQL at the heart of PQ encode: over
+    ARBITRARY ppm-scale codebooks (including short, sub-PQ_CODES ones —
+    the small-corpus branch) and arbitrary subvectors, the Spark
+    expression's argmin must equal a plain Python argmin with the
+    smaller-code tie rule. The constructed-tie test pins the known tricky
+    cases; this pins everything else."""
+    from datafusion_distributed_experiment_spark.operators.similarity import (
+        _pq_code_expr,
+    )
+
+    cbm, subs = cb_and_vecs
+    rows = [(i, sub + [0] * (64 - PQ_SUB)) for i, sub in enumerate(subs)]
+    df = spark.createDataFrame(rows, schema="vec_id long, xp array<bigint>")
+    got = {
+        r.vec_id: r.code
+        for r in df.selectExpr("vec_id", f"{_pq_code_expr(0, cbm)} AS code").collect()
+    }
+    for i, sub in enumerate(subs):
+        want = min(
+            (sum((a - b) * (a - b) for a, b in zip(sub, ent)), c + 1)
+            for c, ent in enumerate(cbm)
+        )[1]
+        assert got[i] == want, (i, sub)
 
 
 def test_ivf_pq_recall_floor_vs_exact():
