@@ -149,13 +149,18 @@ def decode_ppm(content: bytes):
     return decode_ppm_with_maxval(content)[0]
 
 
-def decode_image(content: bytes):
-    """Bytes -> pixel array. REAL for binary Netpbm (P5/P6) via
-    :func:`decode_ppm`; compressed formats (JPEG/PNG) require an external
-    codec (PIL) that this container does not ship, and raise
-    ``NotImplementedError`` — the documented pluggable boundary."""
+def decode_image_with_maxval(content: bytes):
+    """Bytes -> ``(pixel array, declared full-scale value)``. REAL for
+    binary Netpbm (P5/P6) via :func:`decode_ppm_with_maxval`; compressed
+    formats (JPEG/PNG) require an external codec (PIL) that this container
+    does not ship, and raise ``NotImplementedError`` — the documented
+    pluggable boundary. A plugged codec MUST return the image's declared
+    full scale alongside the array: 12-bit imagery (PNG/DICOM/RAW) rides
+    in uint16 containers, and guessing the dtype width would compress its
+    features ~16x toward 0 — the same defect class the Netpbm path fixes
+    by reading the header's maxval."""
     if content and bytes(content[:2]) in (b"P5", b"P6"):
-        return decode_ppm(content)
+        return decode_ppm_with_maxval(content)
     if not _codec_available():
         raise NotImplementedError(
             "compressed-format image decode requires an image codec (e.g. "
@@ -163,7 +168,16 @@ def decode_image(content: bytes):
             "natively via decode_ppm, other formats use fake_embed() in the "
             "default feature pipeline"
         )
-    raise NotImplementedError("compressed-format decode: plug a codec in here")
+    raise NotImplementedError(
+        "compressed-format decode: plug a codec in here, returning "
+        "(array, declared full-scale value)"
+    )
+
+
+def decode_image(content: bytes):
+    """:func:`decode_image_with_maxval` without the full-scale value — the
+    pixel-array convenience used where normalization is not needed."""
+    return decode_image_with_maxval(content)[0]
 
 
 def pixel_embed(content: bytes | None) -> list[float]:
@@ -177,16 +191,12 @@ def pixel_embed(content: bytes | None) -> list[float]:
 
     if content is None:
         return [0.0] * FEATURE_DIM
-    content = bytes(content)
-    if content[:2] in (b"P5", b"P6"):
-        # normalize by the header's DECLARED full-scale value, not the dtype
-        # width: a maxval-1023 raster rides in a 16-bit container but its
-        # samples top out at 1023, and dividing by 65535 would compress
-        # every feature toward 0 and break cross-image comparability
-        arr, maxval = decode_ppm_with_maxval(content)
-    else:
-        arr = decode_image(content)
-        maxval = 65535 if arr.dtype.itemsize == 2 else 255
+    # normalize by the image's DECLARED full-scale value, not the dtype
+    # width: a maxval-1023 raster rides in a 16-bit container but its
+    # samples top out at 1023, and dividing by 65535 would compress every
+    # feature toward 0 and break cross-image comparability — the decode
+    # boundary carries the full scale for plugged codecs too
+    arr, maxval = decode_image_with_maxval(bytes(content))
     a = arr.astype(np.float64)
     if a.ndim == 2:
         a = a[:, :, None]

@@ -123,6 +123,39 @@ def _ivf_k(n: int) -> int:
     return max(IVF_K_MIN, math.ceil(math.sqrt(n)))
 
 
+def _ivf_fit(
+    corpus: DataFrame,
+    n: int | None = None,
+    extra_lim: int = 0,
+    extra_cols: tuple[str, ...] = (),
+) -> tuple[int, list, list[tuple[int, list[float]]]]:
+    """The shared IVF model-fit step — ONE statement of the seed-centroid
+    contract all three IVF operators (``ann_ivf``, ``semantic_dedup``,
+    ``ivf_pq_topk``) and their DuckDB oracles must agree on, so a future
+    change to the seeding doctrine cannot silently diverge per operator.
+
+    Sizes K = max(IVF_K_MIN, ceil(sqrt(N))) from the corpus count (pass a
+    precomputed ``n`` to fold the count into a caller's existing fit
+    aggregate), collects the seed rows (``vec_id < max(K, extra_lim)``,
+    ordered by vec_id — a few KB of model state, exactly the
+    ``KMeansModel.fit`` contract, never a data collect), and returns
+    ``(k, seed_rows, centroids)`` with centroids = the first K
+    ``(vec_id, v)`` pairs. ``extra_cols`` rides extra model columns (e.g.
+    the ppm-integer ``xp`` the PQ codebook seeds need) on the same
+    collect."""
+    k = _ivf_k(corpus.count() if n is None else n)
+    seed_rows = (
+        corpus.filter(F.col("vec_id") < max(k, extra_lim))
+        .select("vec_id", "v", *extra_cols)
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [
+        (int(r["vec_id"]), list(r["v"])) for r in seed_rows if r["vec_id"] < k
+    ]
+    return k, seed_rows, centroids
+
+
 def _base_rows(path: str) -> int | None:
     """Parquet-footer row count — one driver-side metadata read, no Spark
     job (the same footer-probe pattern as ``sources.events.probe_ts_type``).
@@ -294,14 +327,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan+norm once instead of re-running it per job. (At 100 TB the
     # build pipelines the index once the same way, against durable storage.)
     vecs = _vectors(spark, sf_dir).localCheckpoint()
-    # Model-fit step: corpus count (one parquet-footer-served aggregate)
-    # sizes K ~ sqrt(N); the K seed vectors are a few KB — collecting them
-    # is model state (exactly what KMeansModel.fit does), not a data collect.
-    k = _ivf_k(vecs.count())
-    seed_rows = (
-        vecs.filter(F.col("vec_id") < k).select("vec_id", "v").orderBy("vec_id").collect()
-    )
-    centroids = [(int(r["vec_id"]), list(r["v"])) for r in seed_rows]
+    _, _, centroids = _ivf_fit(vecs)
     assigned = _ivf_assign(vecs, centroids)
     probes = _ivf_probes(vecs.filter(F.col("vec_id") < IVF_QUERIES), centroids)
     pairs = probes.join(assigned, on="list_id").filter(F.col("vec_id") != F.col("query_id"))
@@ -390,11 +416,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Eager checkpoint: count + seed collect + main job all read this frame.
     corpus = vecs.unionAll(aug).localCheckpoint()
-    k = _ivf_k(corpus.count())
-    seed_rows = (
-        corpus.filter(F.col("vec_id") < k).select("vec_id", "v").orderBy("vec_id").collect()
-    )
-    centroids = [(int(r["vec_id"]), list(r["v"])) for r in seed_rows]
+    _, _, centroids = _ivf_fit(corpus)
     # Checkpoint the built index: three consumers (the cap's bucket count
     # and both sides of the pair self-join) would otherwise each recompute
     # the K-way distance projection — at scale this materialization is the
@@ -554,22 +576,17 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.max(F.expr("array_max(transform(xp, a -> abs(a)))")).alias("mx"),
     ).collect()[0]
-    n = int(head["n"])
     check_adc_headroom(int(head["mx"] or 0))
-    k = _ivf_k(n)
-    # One KB-scale model-state collect: coarse centroids (vec_id < k),
-    # PQ codebook seeds (vec_id < PQ_CODES), query vectors (vec_id <
-    # PQ_QUERIES) — exactly the KMeansModel.fit contract, never the corpus.
-    lim = max(k, PQ_CODES, PQ_QUERIES)
-    seed_rows = (
-        vecs.filter(F.col("vec_id") < lim)
-        .select("vec_id", "v", "xp")
-        .orderBy("vec_id")
-        .collect()
+    # One KB-scale model-state collect via the shared fit step: coarse
+    # centroids (vec_id < k), PQ codebook seeds (vec_id < PQ_CODES), query
+    # vectors (vec_id < PQ_QUERIES) — the count rides the headroom
+    # aggregate above, so the fit stays one pass + one collect.
+    _, seed_rows, centroids = _ivf_fit(
+        vecs,
+        n=int(head["n"]),
+        extra_lim=max(PQ_CODES, PQ_QUERIES),
+        extra_cols=("xp",),
     )
-    centroids = [
-        (int(r["vec_id"]), list(r["v"])) for r in seed_rows if r["vec_id"] < k
-    ]
     cb = _pq_codebook([list(r["xp"]) for r in seed_rows if r["vec_id"] < PQ_CODES])
     # Per-query ADC lookup tables: lut[m][c] = <query subslice m, codebook
     # entry c> in exact integer arithmetic (associative — Python, Spark

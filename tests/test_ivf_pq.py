@@ -40,7 +40,9 @@ def test_adc_headroom_guard_trips_and_passes():
     check_adc_headroom(0)
     check_adc_headroom(1_000_000)  # |x| <= 1.0 in ppm space
     check_adc_headroom(100_000_000)  # |x| <= 100
-    bound = math.isqrt((2**63 - 1) // (PQ_M * PQ_SUB))
+    # same worst_units formula as the guard (max of the LUT-build and the
+    # squared-distance unit counts) so a PQ_M < 4 retune can't desync them
+    bound = math.isqrt((2**63 - 1) // max(4 * PQ_SUB, PQ_M * PQ_SUB))
     check_adc_headroom(bound)
     with pytest.raises(PlanningError, match="headroom"):
         check_adc_headroom(bound + 1)
