@@ -244,12 +244,16 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap check is a broadcast semi-join against a distinct eval-shingle
     table — the corpus is scanned once, map-side, with no corpus shuffle.
     Shingle explode fans out per token, which is inherent to n-gram overlap
-    (same cost class as the MinHash signature pass)."""
+    (same cost class as the MinHash signature pass). The tokenized base is
+    ``localCheckpoint``ed because THREE consumers read it (the eval-shingle
+    build, the corpus probe branch, and the final doc list) — without it
+    the dominant map stage (scan + tokenize) executes once per consumer,
+    the dsir_weights two-consumer lesson (``selection.py``)."""
     base = _docs(spark, sf_dir).select(
         "doc_id",
         tokens(F.col("text")).alias("toks"),
         (_doc_hash() % EVAL_MOD == 0).alias("is_eval"),
-    )
+    ).localCheckpoint()
     sh = base.select(
         "doc_id",
         "is_eval",
@@ -333,7 +337,16 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-source aggregate (one shuffle on source), then a broadcast cross
     join against the single-row corpus total — never a driver-side collect
     and never a global window (an empty-frame window would funnel the whole
-    result through one partition)."""
+    result through one partition).
+
+    The weight divisor clamps the share at 1 ppm (``greatest(share, 1)``,
+    identically in the oracle): a long-tail source under 1 ppm of corpus
+    tokens floors to ``share_ppm = 0``, and dividing by it yields NULL on
+    both engines (non-ANSI Spark and DuckDB both return NULL for x/0) —
+    which ``domain_resample``'s ``n_copies > 0`` filter would then silently
+    drop, erasing exactly the most under-represented domain the resampler
+    exists to upsample. Clamped, such a source gets the maximum upsample
+    weight (target/1 ppm); ``share_ppm`` itself still reports the true 0."""
     per_src = (
         _docs(spark, sf_dir)
         .select("source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"))
@@ -353,7 +366,9 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "src_tokens",
             share.alias("share_ppm"),
-            F.floor(F.lit(1e6) * target / share).cast("long").alias("weight_ppm"),
+            F.floor(F.lit(1e6) * target / F.greatest(share, F.lit(1)))
+            .cast("long")
+            .alias("weight_ppm"),
         )
         .orderBy("source")
     )
@@ -744,7 +759,7 @@ def oracles() -> dict[str, str]:
             SELECT source, n_docs, src_tokens,
                    CAST(FLOOR(1e6 * src_tokens / total_tokens) AS BIGINT) AS share_ppm,
                    CAST(FLOOR(1e6 * CAST(FLOOR(1e6 / n_sources) AS BIGINT)
-                              / CAST(FLOOR(1e6 * src_tokens / total_tokens) AS BIGINT)) AS BIGINT) AS weight_ppm
+                              / GREATEST(CAST(FLOOR(1e6 * src_tokens / total_tokens) AS BIGINT), 1)) AS BIGINT) AS weight_ppm
             FROM per_src CROSS JOIN totals
             ORDER BY source
         """,
@@ -757,7 +772,7 @@ def oracles() -> dict[str, str]:
             ), w AS (
                 SELECT source,
                        CAST(FLOOR(1e6 * CAST(FLOOR(1e6 / n_sources) AS BIGINT)
-                                  / CAST(FLOOR(1e6 * src_tokens / total_tokens) AS BIGINT)) AS BIGINT) AS weight_ppm
+                                  / GREATEST(CAST(FLOOR(1e6 * src_tokens / total_tokens) AS BIGINT), 1)) AS BIGINT) AS weight_ppm
                 FROM per_src CROSS JOIN totals
             ), d AS (
                 SELECT doc_id, source, ({_DUCK_DOC_HASH32}) % 1000000 AS hh FROM documents

@@ -74,7 +74,14 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_ids) and the tie-break are both deterministic. A full Lloyd
     iteration would alternate this operator with a ``groupBy(cluster)``
     mean — the M-step is one more shuffle on the cluster key."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    from ..sources.tables import rebalance_narrow_scan
+
+    path = f"{sf_dir}/embeddings.parquet"
+    # narrow-scan rebalance: the per-vector distance fold below is the
+    # expensive stage, and a single-row-group file would run it one-task
+    emb = rebalance_narrow_scan(
+        spark.read.parquet(path).select("vec_id", "embedding"), path
+    )
     qcol = F.expr(_QUANT)
     cents_row = (
         emb.orderBy("vec_id")
@@ -125,7 +132,11 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``score DIV width``, band-descending + in-band score-descending order
     IS the global score order, so the result is byte-identical to the
     global window the oracle runs."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..sources.tables import rebalance_narrow_scan
+
+    path = f"{sf_dir}/documents.parquet"
+    # narrow-scan rebalance: tokens() per document is the expensive stage
+    docs = rebalance_narrow_scan(spark.read.parquet(path), path)
     base = (
         docs.select(
             "doc_id",
@@ -157,7 +168,9 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cum_tokens") <= SELECT_BUDGET_TOKENS)
         .select("doc_id", "score", "n_tokens", "cum_tokens")
-        .orderBy("cum_tokens")
+        # doc_id tiebreak: zero-token documents tie on cum_tokens, so
+        # cum_tokens alone is not a total order (review nit, round 11)
+        .orderBy("cum_tokens", "doc_id")
     )
 
 
@@ -267,7 +280,12 @@ def kmeans_lloyd_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration unrolled as CTEs (the ``pagerank_nations`` pattern,
     ``operators/graph.py``), which is exactly what the all-int64
     ppm-quantized arithmetic was designed to make possible."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    from ..sources.tables import rebalance_narrow_scan
+
+    path = f"{sf_dir}/embeddings.parquet"
+    emb = rebalance_narrow_scan(
+        spark.read.parquet(path).select("vec_id", "embedding"), path
+    )
     assigned, _ = kmeans_lloyd(emb, k=KMEANS_K, iters=KMEANS_ITERS)
     return assigned.orderBy("vec_id")
 
@@ -546,6 +564,6 @@ def oracles() -> dict[str, str]:
             )
             SELECT doc_id, score, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
             FROM c WHERE cum_tokens <= {SELECT_BUDGET_TOKENS}
-            ORDER BY cum_tokens
+            ORDER BY cum_tokens, doc_id
         """,
     }

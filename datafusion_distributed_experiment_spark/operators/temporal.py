@@ -66,33 +66,48 @@ def asof_join(
 
     ``right`` must be unique per (on, ts); pre-aggregate if it isn't (ties
     would otherwise be resolved by arrival order). Implementation: union the
-    sides with a sort tag, one window pass of ``last(payload, ignorenulls)``
-    per key. Right rows sort before left at equal ts (tag 0 < 1) so equal-ts
-    rows are visible under non-strict semantics; under ``strict`` the tags
-    flip. Single shuffle on ``on`` — no inequality join, no fan-out.
+    sides with a sort tag, one window pass of ``last(matched_row_struct,
+    ignorenulls)`` per key. The matched row travels as ONE struct — not as
+    per-column ``last(payload, ignorenulls)`` — so every output payload
+    comes from the SAME right row as ``ts_asof``, and a matched row whose
+    payload is NULL stays NULL instead of leaking an older row's value
+    (the DuckDB ``ASOF LEFT JOIN`` semantics). Right rows with a NULL
+    ``ts`` are dropped before the union: an unknown timestamp can never be
+    the latest-prior row (NULL fails the ASOF comparison on both engines),
+    and under the nulls-first window order it would otherwise shadow the
+    no-match case for every left row. Right rows sort before left at equal
+    ts (tag 0 < 1) so equal-ts rows are visible under non-strict
+    semantics; under ``strict`` the tags flip. Single shuffle on ``on`` —
+    no inequality join, no fan-out.
     """
+    from pyspark.sql.types import StructField, StructType
+
     on = list(on)
     payloads = list(payloads)
     r_types = {p: right.schema[p].dataType for p in payloads}
     ts_type = right.schema[ts].dataType
     extras = [c for c in left.columns if c not in on and c != ts]
-    e_types = {c: left.schema[c].dataType for c in extras}
+    match_type = StructType(
+        [StructField("__asof_ts", ts_type)]
+        + [StructField(f"__p_{p}", r_types[p]) for p in payloads]
+    )
 
     l2 = left.select(
         *on,
         F.col(ts),
         F.lit(1 if not strict else 0).alias("__side"),
-        F.lit(None).cast(ts_type).alias("__asof_ts"),
-        *[F.lit(None).cast(r_types[p]).alias(f"__p_{p}") for p in payloads],
+        F.lit(None).cast(match_type).alias("__m"),
         *extras,
     )
-    r2 = right.select(
+    r2 = right.filter(F.col(ts).isNotNull()).select(
         *on,
         F.col(ts),
         F.lit(0 if not strict else 1).alias("__side"),
-        F.col(ts).alias("__asof_ts"),
-        *[F.col(p).alias(f"__p_{p}") for p in payloads],
-        *[F.lit(None).cast(e_types[c]).alias(c) for c in extras],
+        F.struct(
+            F.col(ts).alias("__asof_ts"),
+            *[F.col(p).alias(f"__p_{p}") for p in payloads],
+        ).alias("__m"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in extras],
     )
     w = (
         Window.partitionBy(*on)
@@ -100,19 +115,24 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tagged = l2.unionByName(r2)
-    out = tagged.select(
+    matched = tagged.select(
         *on,
         F.col(ts),
         F.col("__side"),
-        F.last("__asof_ts", ignorenulls=True).over(w).alias(f"{ts}_asof"),
-        *[
-            F.last(f"__p_{p}", ignorenulls=True).over(w).alias(p)
-            for p in payloads
-        ],
+        F.last("__m", ignorenulls=True).over(w).alias("__m"),
         *extras,
     )
     left_tag = 1 if not strict else 0
-    return out.filter(F.col("__side") == left_tag).drop("__side")
+    return (
+        matched.filter(F.col("__side") == left_tag)
+        .select(
+            *on,
+            F.col(ts),
+            F.col("__m.__asof_ts").alias(f"{ts}_asof"),
+            *[F.col(f"__m.__p_{p}").alias(p) for p in payloads],
+            *extras,
+        )
+    )
 
 
 def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,8 +287,18 @@ def kmv_distinct(
     global k smallest. Identical to the flat answer (min-k is associative),
     but no aggregation state ever exceeds max(bucket_distincts, n_salt * k)
     values — the flat window-rank plan would funnel every distinct hash of a
-    group through one task."""
-    h = df.select(F.col(group), key.alias("__h")).distinct()
+    group through one task.
+
+    NULL keys are excluded EXPLICITLY (``COUNT(DISTINCT)`` semantics — a
+    NULL key is unknown, not a distinct value): without the filter the two
+    levels disagree between engines, because Spark's ``collect_list``
+    silently skips NULLs while a SQL ``ROW_NUMBER ... ORDER BY h`` ranks
+    the NULL row NULLS-LAST into the kept set of any group under k keys."""
+    h = (
+        df.select(F.col(group), key.alias("__h"))
+        .filter(F.col("__h").isNotNull())
+        .distinct()
+    )
     l1 = (
         h.groupBy(group, F.pmod("__h", F.lit(n_salt)).alias("__salt"))
         .agg(F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("hs"))
@@ -302,6 +332,7 @@ _KMV_ORACLE = f"""
         SELECT DISTINCT event_type,
                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, {HASH_HEX_DIGITS})) AS BIGINT) AS h
         FROM events
+        WHERE user_id IS NOT NULL
     ),
     r AS (
         SELECT event_type, h,

@@ -192,3 +192,30 @@ def test_parquet_column_max_walks_nested_layouts(tmp_path):
 
     (nested / "data.orc").write_bytes(b"ORC")  # unlistable data file
     assert _parquet_column_max(str(tmp_path), "documents", "n_chars") is None
+
+
+def test_domain_mix_sub_ppm_source_survives(spark, tmp_path):
+    """Review-found latent drop (round 11): a source under 1 ppm of corpus
+    tokens floors to share_ppm = 0, and an unclamped weight division by it
+    is NULL on both engines — domain_resample's n_copies > 0 filter then
+    silently erased exactly the long-tail domain temperature resampling
+    exists to upsample. The clamped divisor (greatest(share, 1)) gives it
+    the maximum upsample weight instead; share_ppm still reports 0."""
+    from datafusion_distributed_experiment_spark.operators.curation import (
+        domain_mix,
+        domain_resample,
+    )
+
+    big = "tok " * 2_000_000  # 2e6 tokens => the 1-token source is 0.49 ppm
+    spark.createDataFrame(
+        [(1, big, "en", "head", len(big)), (2, "solo", "en", "tail", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    mix = {r["source"]: r for r in domain_mix(spark, str(tmp_path)).collect()}
+    assert mix["tail"]["share_ppm"] == 0, "true share still reported"
+    target = 500_000  # floor(1e6 / 2 sources)
+    assert mix["tail"]["weight_ppm"] == 1_000_000 * target, "clamped divisor"
+    assert mix["head"]["weight_ppm"] is not None
+    res = {r["doc_id"]: r["n_copies"] for r in domain_resample(spark, str(tmp_path)).collect()}
+    assert res.get(2, 0) > 0, "the sub-ppm source's document must survive"

@@ -83,6 +83,30 @@ def test_asof_join_strict_excludes_equal_ts(spark):
     assert _rows(got, cols) != _rows(non_strict, cols)
 
 
+def test_asof_join_null_payload_and_null_ts_rows(spark):
+    """Review-found latent divergences vs the DuckDB ASOF semantics
+    (round 11): (a) a matched right row whose payload is NULL must yield a
+    NULL payload — the old per-column ``last(payload, ignorenulls)``
+    leaked the PREVIOUS row's payload while ``ts_asof`` came from the
+    matched row; (b) a right row with a NULL ts can never match, and under
+    the window's nulls-first order it must not shadow the no-match case."""
+    left = spark.createDataFrame(
+        [(1, 25, 100), (1, 5, 101)], "k long, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 5), (1, 20, None), (1, None, 777)],
+        "k long, ts long, payload long",
+    )
+    got = {
+        r["lid"]: (r["ts_asof"], r["payload"])
+        for r in asof_join(
+            left, right, on=["k"], ts="ts", payloads=["payload"]
+        ).collect()
+    }
+    assert got[100] == (20, None), "payload must come from the MATCHED row"
+    assert got[101] == (None, None), "NULL-ts right rows can never match"
+
+
 def test_asof_join_is_single_shuffle(spark):
     """The whole point of the union+window plan: ONE exchange (on the join
     key), versus the inequality join's per-key quadratic fan-out."""
@@ -134,6 +158,21 @@ def test_kmv_tree_equals_flat_kmin(spark):
     # ~12.5% stderr — accept a generous ±3.5σ band around 700
     for r in got.collect():
         assert 400 <= r.est_distinct <= 1200, r
+
+
+def test_kmv_excludes_null_keys(spark):
+    """COUNT(DISTINCT) semantics, pinned after a review-found engine
+    divergence (round 11): a NULL key must not count as a distinct value
+    (collect_list skipped it on Spark while the oracle's ROW_NUMBER ranked
+    it NULLS-LAST into any under-k group), and a group holding ONLY NULL
+    keys must emit no row on either engine."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", None), ("b", None)],
+        "g string, key long",
+    )
+    rows = {r.g: r for r in kmv_distinct(df, "g", hash48(F.col("key"))).collect()}
+    assert set(rows) == {"a"}, "all-NULL group must vanish"
+    assert rows["a"].n_kept == 2 and rows["a"].est_distinct == 2
 
 
 def test_kmv_exact_below_k(spark):
