@@ -22,7 +22,9 @@ tests/custom_extension_codec.rs:160-264).
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -89,11 +91,18 @@ def _corpus(spark: SparkSession, sf_dir: str, rebalance: bool = True) -> DataFra
     docs = spark.read.parquet(path).select("doc_id", "text")
     if rebalance:
         docs = rebalance_narrow_scan(docs, path)
-    aug = docs.filter(F.col("doc_id") % 10 == 0).select(
+    return docs.unionAll(_augment(docs))
+
+
+def _augment(docs: DataFrame) -> DataFrame:
+    """Near-duplicate copies of every 10th document — ONE statement of the
+    observability augmentation both ``_corpus`` and ``_incremental_sides``
+    must apply identically (cross-engine parity rides on it matching the
+    ``_DUCK_CORPUS`` / incremental oracles' UNION branch exactly)."""
+    return docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + AUG_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(AUG_SUFFIX)).alias("text"),
     )
-    return docs.unionAll(aug)
 
 
 _DUCK_CORPUS = f"""corpus AS (
@@ -636,11 +645,7 @@ def _incremental_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
                duplicates, same augmentation rule as ``_corpus``)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     index = docs.filter(F.col("doc_id") % 2 == 0)
-    aug = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + AUG_OFFSET).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(AUG_SUFFIX)).alias("text"),
-    )
-    incoming = docs.filter(F.col("doc_id") % 2 == 1).unionAll(aug)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).unionAll(_augment(docs))
     return index, incoming
 
 
@@ -856,8 +861,56 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Near-dup clusters have tiny graph diameter (pairs share content, so the
 # similarity graph is locally dense); min-label propagation converges in
-# O(diameter) rounds. The cap is a safety valve, not an expected bound.
-MAX_CC_ITERS = 16
+# O(diameter) rounds. The cap is a LOUD safety valve, not an expected
+# bound: hitting it raises ExecutionError instead of returning silently
+# wrong labels (review fix, round 11 — a diameter-17 path under the old
+# cap of 16 exited one hop short with no error). 64 covers any graph the
+# property suite can draw (diameter <= node count <= 41) with margin;
+# genuinely high-diameter graphs belong on connected_components_star.
+MAX_CC_ITERS = 64
+
+
+@contextmanager
+def _cc_scope(pairs: DataFrame):
+    """Shared setup for both connected-components variants: checkpoint the
+    pair graph, scope the loop's shuffle width to the GRAPH's volume, and
+    re-bind the frame into the width-scoped sibling session.
+
+    Width: the label/edge tables are pairs-sized (far smaller than the
+    corpus that produced them), and every round pays per-task scheduling on
+    every shuffle partition — 32-wide rounds over a few thousand edges
+    measured ~2x slower than 4-wide. Grows back toward the session width as
+    the edge count grows (100k edges per partition). The width lives in a
+    SIBLING session (shared context/cache, own SQLConf) so concurrent
+    queries on the caller's session never observe it; the checkpointed
+    pairs cross sessions via a global temp view whose lifetime is this
+    scope. Yields ``(pairs_in_scope, scoped_spark)``."""
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+    spark = pairs.sparkSession
+    n_edges = pairs.count()
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cc_width = max(4, min(session_width, n_edges // 100_000 + 1))
+    from ..session import scoped_session
+
+    cc_spark = scoped_session(spark, {"spark.sql.shuffle.partitions": str(cc_width)})
+    import uuid
+
+    view = f"cc_pairs_{uuid.uuid4().hex}"
+    pairs.createGlobalTempView(view)
+    try:
+        yield cc_spark.table(f"global_temp.{view}"), cc_spark
+    finally:
+        spark.catalog.dropGlobalTempView(view)
+
+
+def _unconverged(kind: str, iters: int):
+    from ..errors import ExecutionError
+
+    return ExecutionError(
+        f"{kind} did not converge within {iters} rounds — the result would "
+        "be silently wrong cluster labels; raise the round cap, or use "
+        "connected_components_star for high-diameter graphs"
+    )
 
 
 def connected_components(pairs: DataFrame) -> DataFrame:
@@ -878,32 +931,10 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     labels one row per *duplicated* doc — both far smaller than the corpus);
     graphs with large diameter should use :func:`connected_components_star`
     (the O(log n)-round large-star/small-star variant, same join
-    primitive)."""
-    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
-    spark = pairs.sparkSession
-    # Size the loop's shuffle width to the GRAPH's volume, not the corpus
-    # session default: the label/edge tables are pairs-sized (far smaller
-    # than the corpus that produced them), and every round pays per-task
-    # scheduling on every shuffle partition — 32-wide rounds over a few
-    # thousand edges measured ~2x slower than 4-wide. Grows back toward the
-    # session width as the edge count grows (100k edges per partition).
-    n_edges = pairs.count()
-    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    cc_width = max(4, min(session_width, n_edges // 100_000 + 1))
-    # The width is scoped to a SIBLING session (shared context/cache, own
-    # SQLConf) instead of set/restored on the shared session — concurrent
-    # queries on the caller's session never observe the override. The
-    # checkpointed pairs cross sessions via a global temp view (the public
-    # cross-session handle; its lifetime is this function).
-    from ..session import scoped_session
-
-    cc_spark = scoped_session(spark, {"spark.sql.shuffle.partitions": str(cc_width)})
-    import uuid
-
-    view = f"cc_pairs_{uuid.uuid4().hex}"
-    pairs.createGlobalTempView(view)
-    try:
-        pairs_cc = cc_spark.table(f"global_temp.{view}")
+    primitive). Setup (checkpoint, graph-volume-scoped shuffle width,
+    sibling session) is the shared :func:`_cc_scope`; non-convergence at
+    :data:`MAX_CC_ITERS` raises instead of returning wrong labels."""
+    with _cc_scope(pairs) as (pairs_cc, _):
         edges = pairs_cc.unionAll(
             pairs_cc.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
@@ -914,8 +945,9 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             .localCheckpoint()
         )
         prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        converged = prev_sum is None  # empty graph is trivially converged
         for _ in range(MAX_CC_ITERS):
-            if prev_sum is None:  # empty graph
+            if converged:
                 break
             nbr_min = (
                 edges.join(labels.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -934,10 +966,10 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             )
             new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
             if new_sum == prev_sum:
-                break
+                converged = True
             prev_sum = new_sum
-    finally:
-        spark.catalog.dropGlobalTempView(view)
+        if not converged:
+            raise _unconverged("connected_components (min-label propagation)", MAX_CC_ITERS)
     return labels
 
 
@@ -962,21 +994,12 @@ def connected_components_star(pairs: DataFrame, max_iters: int = 32) -> DataFram
     shuffle width. Convergence is an O(1)-row checksum fixpoint (edge count +
     order-insensitive xxhash bit-xor), not a diffing join. Same output contract
     as :func:`connected_components`: (doc_id, cluster_id = min reachable
-    doc_id) for every node of the input pair graph."""
-    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
-    spark = pairs.sparkSession
-    n_edges = pairs.count()
-    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    cc_width = max(4, min(session_width, n_edges // 100_000 + 1))
-    from ..session import scoped_session
-
-    cc_spark = scoped_session(spark, {"spark.sql.shuffle.partitions": str(cc_width)})
-    import uuid
-
-    view = f"cc_star_pairs_{uuid.uuid4().hex}"
-    pairs.createGlobalTempView(view)
-    try:
-        base = cc_spark.table(f"global_temp.{view}")
+    doc_id) for every node of the input pair graph. Setup is the shared
+    :func:`_cc_scope`; exhausting ``max_iters`` before the checksum
+    fixpoint raises — at that point L is not yet a set of stars, and the
+    final nodes-join would emit duplicate doc_ids with conflicting
+    cluster_ids."""
+    with _cc_scope(pairs) as (base, _):
         nodes = (
             base.select(F.col("doc_a").alias("doc_id"))
             .unionAll(base.select(F.col("doc_b").alias("doc_id")))
@@ -1002,8 +1025,9 @@ def connected_components_star(pairs: DataFrame, max_iters: int = 32) -> DataFram
             return (row["n"], row["h"])
 
         prev = _checksum(L)
+        converged = prev[0] == 0  # edgeless graph is trivially converged
         for _ in range(max_iters):
-            if prev[0] == 0:  # edgeless graph
+            if converged:
                 break
             # ---- large-star: neighbors v > u attach to min(Γ(u) ∪ {u})
             nbrs = L.unionAll(L.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -1030,8 +1054,10 @@ def connected_components_star(pairs: DataFrame, max_iters: int = 32) -> DataFram
             )
             cur = _checksum(L)
             if cur == prev:
-                break
+                converged = True
             prev = cur
+        if not converged:
+            raise _unconverged("connected_components_star", max_iters)
         # at fixpoint L is a set of stars (node -> component minimum);
         # isolated nodes (only ever in self-pairs) label themselves
         return nodes.join(
@@ -1041,8 +1067,6 @@ def connected_components_star(pairs: DataFrame, max_iters: int = 32) -> DataFram
         ).select(
             "doc_id", F.coalesce("parent", "doc_id").alias("cluster_id")
         )
-    finally:
-        spark.catalog.dropGlobalTempView(view)
 
 
 # Both clustering queries consume the IDENTICAL mined pair graph; in a
@@ -1051,12 +1075,17 @@ def connected_components_star(pairs: DataFrame, max_iters: int = 32) -> DataFram
 # dominant cost. Memoized per (application, sf_dir): localCheckpoint blocks
 # live outside the catalog cache and die with the SparkContext (the
 # applicationId key can never go stale). State is the near-dup PAIR set —
-# graph-sized, not corpus-sized; only one sf_dir's graph is retained per
-# application (switching dirs evicts, so long-lived sessions cannot
-# accumulate). Keys assume the parquet under sf_dir is immutable for the
-# application's lifetime (true for the read-only testdata dirs); a path
-# whose contents are rewritten in-process must call
-# :func:`clear_pair_graph_memo` first.
+# graph-sized, not corpus-sized; one entry per sf_dir the process touches
+# (a handful — the scaling probe's three dirs at most), each a few KB of
+# executor storage. A memo MISS deliberately does NOT evict other entries:
+# the old eviction-on-miss force-unpersisted checkpoint blocks that a
+# CONCURRENT query on another sf_dir could still be iterating over
+# (truncated lineage makes that unrecoverable — review fix, round 11);
+# explicit eviction now happens only through clear_pair_graph_memo at
+# quiesced points (between measured bench queries). Keys assume the
+# parquet under sf_dir is immutable for the application's lifetime (true
+# for the read-only testdata dirs); a path whose contents are rewritten
+# in-process must call :func:`clear_pair_graph_memo` first.
 #
 # TIMED RUNS MUST NOT REUSE THE MEMO: a measured dedup_clusters iteration
 # that skips its documented dominant cost (the LSH mine) measures a
@@ -1064,6 +1093,7 @@ def connected_components_star(pairs: DataFrame, max_iters: int = 32) -> DataFram
 # call :func:`clear_pair_graph_memo` so every measured iteration rebuilds
 # the graph (round-8 advisory fix).
 _PAIR_GRAPH_MEMO: dict[tuple[str, str], tuple[DataFrame, frozenset[int]]] = {}
+_PAIR_GRAPH_LOCK = threading.Lock()
 
 
 def _persistent_rdd_ids(spark: SparkSession) -> frozenset[int]:
@@ -1106,9 +1136,13 @@ def clear_pair_graph_memo() -> None:
     through ``getPersistentRDDs`` — storage is freed at eviction, not at
     some later GC. The evicted frame is unusable afterward (truncated
     lineage), which is fine: its memo entry is gone and the next caller
-    rebuilds."""
-    while _PAIR_GRAPH_MEMO:
-        _, (df, rdd_ids) = _PAIR_GRAPH_MEMO.popitem()
+    rebuilds. Callers must be quiesced (no in-flight query is consuming a
+    memoized graph) — the harness call sites run between measured queries."""
+    while True:
+        with _PAIR_GRAPH_LOCK:
+            if not _PAIR_GRAPH_MEMO:
+                break
+            _, (df, rdd_ids) = _PAIR_GRAPH_MEMO.popitem()
         try:
             df.unpersist()
             if rdd_ids:
@@ -1123,20 +1157,26 @@ def clear_pair_graph_memo() -> None:
 
 def _shared_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    memo = _PAIR_GRAPH_MEMO.get(key)
-    if memo is None:
-        # one retained graph per application: evict (and unpersist) any
-        # other sf_dir's entry so executor storage is bounded
-        clear_pair_graph_memo()
-        pairs = (
-            minhash_dedup_pairs(spark, sf_dir)
-            .select("doc_a", "doc_b")
-            .localCheckpoint()
-        )
-        _PAIR_GRAPH_MEMO[key] = (pairs, _checkpoint_rdd_ids(pairs))
-    else:
-        pairs = memo[0]
-    return pairs
+    with _PAIR_GRAPH_LOCK:
+        memo = _PAIR_GRAPH_MEMO.get(key)
+    if memo is not None:
+        return memo[0]
+    # build OUTSIDE the lock (the LSH mine is the expensive part); two
+    # concurrent first-callers may both build, and the loser releases its
+    # duplicate — never another entry's blocks (see the memo comment)
+    pairs = (
+        minhash_dedup_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    with _PAIR_GRAPH_LOCK:
+        memo = _PAIR_GRAPH_MEMO.setdefault(key, (pairs, _checkpoint_rdd_ids(pairs)))
+    if memo[0] is not pairs:
+        try:  # lost the build race: drop the duplicate checkpoint
+            pairs.unpersist()
+        except Exception:  # noqa: BLE001 - cleanup is best-effort
+            pass
+    return memo[0]
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -111,10 +111,13 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # localCheckpoint the 1-row corpus stats: the guard collect below AND
+    # the scoring plan's crossJoin both read it — unchecked, each re-ran
+    # the corpus-wide aggregate (one extra tokenize+scan per query)
     stats = base.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.size("toks")).cast("long").alias("total_toks"),
-    )
+    ).localCheckpoint()
     # map-side restriction to query terms BEFORE df/scoring aggregates; the
     # restricted slice feeds two consumers (document frequency + scoring),
     # so it is checkpointed — without this every consumer re-runs the

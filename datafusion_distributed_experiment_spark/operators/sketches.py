@@ -47,12 +47,15 @@ def _events_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def check_heavy_flag_headroom(n_events: int, n_users: int) -> None:
     """Raise PlanningError when the cross-multiplied heavy test
-    ``est * n_users * HH_DEN > n_events * HH_NUM`` could exceed int64
-    (est is bounded by n_events, so the left side is bounded by
-    n_events * n_users * HH_DEN). Pure so the trip condition is
-    unit-testable without a pathological stream."""
+    ``est * n_users * HH_DEN > n_events * HH_NUM`` could exceed int64 on
+    EITHER side (est is bounded by n_events, so the left side is bounded
+    by n_events * n_users * HH_DEN; the right side by n_events * HH_NUM —
+    at n_users = 1 the right side is the binding bound, and an unguarded
+    ``n_events * HH_NUM`` would wrap on Spark while DuckDB raised). Pure
+    so the trip condition is unit-testable without a pathological
+    stream."""
     i64 = 2**63 - 1
-    if n_users > 0 and n_events > i64 // (n_users * HH_DEN):
+    if n_users > 0 and n_events > i64 // max(n_users * HH_DEN, HH_NUM):
         from ..errors import PlanningError
 
         raise PlanningError(
@@ -94,10 +97,13 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("cnt"))
     )
     truth = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("true_cnt"))
+    # localCheckpoint the 1-row totals: BOTH the guard collect below and
+    # the returned plan's crossJoin read it — unchecked, each re-ran the
+    # full events-wide aggregate (one extra stream scan per query)
     total = ev.agg(
         F.count("*").cast("long").alias("n_events"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
-    )
+    ).localCheckpoint()
     probes = truth.select(
         "user_id",
         "true_cnt",

@@ -172,12 +172,14 @@ def test_star_cc_matches_union_find_on_random_graphs(spark):
 
 
 def test_star_cc_handles_high_diameter_beyond_label_prop_budget(spark):
-    """A path of length 40 has diameter > MAX_CC_ITERS (the label-prop
-    round budget); the star variant's pointer-doubling contracts it within
-    its O(log n) rounds — the exact case the variant exists for."""
+    """A path longer than MAX_CC_ITERS (the label-prop round budget, which
+    now raises loudly instead of returning wrong labels) is contracted by
+    the star variant's pointer-doubling within its O(log n) rounds — the
+    exact case the variant exists for. The path length derives from the
+    constant so a budget retune keeps the premise true."""
     from datafusion_distributed_experiment_spark.operators.dedup import MAX_CC_ITERS
 
-    n = 41
+    n = MAX_CC_ITERS + 2
     assert n - 1 > MAX_CC_ITERS
     edges = [(i, i + 1) for i in range(n - 1)]
     got = _star_cc(spark, edges)
@@ -244,3 +246,26 @@ def test_pair_graph_memo_eviction_releases_checkpoint_blocks(spark):
     )
     assert bystander.count() == 10  # still usable after eviction
     bystander.unpersist()
+
+
+def test_cc_raises_loudly_when_round_budget_exhausted(spark, monkeypatch):
+    """Review fix (round 11): exhausting the round cap must raise, never
+    return silently wrong labels — a diameter-d path needs d label-prop
+    rounds, so a shrunken budget trips on a short chain. The star variant
+    has the same contract via its max_iters parameter."""
+    import pytest
+
+    from datafusion_distributed_experiment_spark.errors import ExecutionError
+    from datafusion_distributed_experiment_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "MAX_CC_ITERS", 3)
+    path = [(i, i + 1) for i in range(8)]  # diameter 8 > 3 rounds
+    pairs = spark.createDataFrame(path, "doc_a: long, doc_b: long")
+    with pytest.raises(ExecutionError, match="did not converge"):
+        dedup.connected_components(pairs)
+    with pytest.raises(ExecutionError, match="did not converge"):
+        # a 257-node path needs ~log2 rounds > 1 alternating-star round
+        long_path = spark.createDataFrame(
+            [(i, i + 1) for i in range(256)], "doc_a: long, doc_b: long"
+        )
+        dedup.connected_components_star(long_path, max_iters=1)

@@ -459,11 +459,12 @@ def test_ngram_span_dedup_checkpoints_positions_once(spark):
 def test_bm25_scoring_broadcasts_every_small_side(spark):
     """Inverted-index scoring: query terms, document frequencies and the
     1-row corpus stats must all BROADCAST onto the postings slice (three
-    broadcast exchanges); the checkpointed qpost slice is read twice
-    instead of re-running the corpus tokenize chain. The postings slice is
-    checkpointed, so the returned plan carries TWO parquet scans (query
-    build + stats; the postings scan ran at construction) — not the
-    scan-per-consumer pre-checkpoint shape."""
+    broadcast exchanges); the checkpointed qpost slice is read twice and
+    the checkpointed 1-row stats once, instead of re-running the corpus
+    tokenize chain per consumer. The returned plan carries ONE parquet
+    scan (the query build; postings and stats ran at construction) and
+    ZERO single-partition exchanges (the stats aggregate no longer
+    replays inside the query)."""
     from datafusion_distributed_experiment_spark.operators.retrieval import bm25_topk
 
     from .conftest import SF_DIR
@@ -472,10 +473,9 @@ def test_bm25_scoring_broadcasts_every_small_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     s = stage_summary(df)
     assert s["broadcasts"] == 3, (s, plan[:3000])
-    assert s["scans"] == 2, (s, plan[:3000])
-    assert plan.count("ExistingRDD") == 2, plan[:3000]
-    # the only single-partition exchange is the 1-row stats aggregate
-    assert plan.count("Exchange SinglePartition") <= 1, plan[:3000]
+    assert s["scans"] == 1, (s, plan[:3000])
+    assert plan.count("ExistingRDD") == 3, plan[:3000]
+    assert plan.count("Exchange SinglePartition") == 0, plan[:3000]
 
 
 def test_dsir_weight_table_broadcasts_onto_bigrams(spark):

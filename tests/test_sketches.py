@@ -304,6 +304,14 @@ def test_cms_heavy_flag_headroom_guard():
     check_heavy_flag_headroom(10**12, 10**6)  # 1T events, 1M users: fine
     with pytest.raises(PlanningError, match="int64 headroom"):
         check_heavy_flag_headroom(10**12, 10**9)
+    # n_users = 1: the RIGHT side (n_events * HH_NUM) is the binding bound
+    # — the old left-side-only guard passed this and Spark would wrap
+    from datafusion_distributed_experiment_spark.operators.sketches import HH_NUM
+
+    i64 = 2**63 - 1
+    check_heavy_flag_headroom(i64 // HH_NUM, 1)
+    with pytest.raises(PlanningError, match="int64 headroom"):
+        check_heavy_flag_headroom(i64 // HH_NUM + 1, 1)
 
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
