@@ -42,6 +42,11 @@ from pyspark.sql import functions as F
 from ..functions.text import DUCK_TOKENS, tokens
 from ..sources.events import DUCK_EVENTS_MS, read_events
 
+# Imported, not re-hardcoded: the batch/stream session-boundary
+# equivalence (pinned by the Hypothesis boundary suite) is structural —
+# tuning the stateful sessionizer's gap cannot silently strand this side.
+from ..streaming.stateful import DEFAULT_GAP_MS as SESSION_GAP_MS
+
 MS_PER_DAY = 86_400_000
 
 #: Funnel stage sequence: a later stage only counts when it happens strictly
@@ -422,7 +427,8 @@ def event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SESSION_GAP_MS = 60 * 60 * 1000  # 1 hour, matches streaming.stateful.DEFAULT_GAP_MS
+# SESSION_GAP_MS is imported from streaming.stateful at the top of this
+# module (one source of truth for the batch/stream gap).
 
 
 def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,6 +532,10 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.expr(f"ts_ms DIV {MS_PER_DAY}"))
     ).collect()[0][0]  # the "new" day (1 scalar)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if cutoff is None:
+        # empty (or all-null-ts) stream: an empty rollup, not a TypeError
+        # from None * MS_PER_DAY below (review fix, round 11)
+        cutoff = 0
     boundary = ts_cutoff_literal(raw, cutoff * MS_PER_DAY)
 
     def _partial(df: DataFrame) -> DataFrame:

@@ -98,6 +98,11 @@ def pagerank_frame(
     arithmetic (see :func:`pagerank_nations`); the property suite drives
     this against a pure-Python replica on arbitrary graphs."""
     n = nodes.count()
+    if n == 0:
+        # empty graph: an empty result, not ZeroDivisionError from the
+        # PPB // n base-rank below (the lpa/bfs/triangle kernels all
+        # handle the empty graph cleanly; review fix, round 11)
+        return nodes.select("v", F.lit(0).cast("long").alias("rank_ppb"))
     # "out_w", not "W": Spark resolves case-insensitively, so w/W would be
     # an ambiguous pair.
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
@@ -167,35 +172,64 @@ def check_threshold_headroom(n_pairs: int, max_w: int) -> None:
         )
 
 
-def _kept_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected (u, v) edges above :data:`TRIANGLE_W_PCT`% of the mean
-    weight — the collapsed, noise-pruned trade graph shared by the
-    triangle/traversal family. Checkpointed once (<= |V|^2 rows)."""
-    e = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    und = (
-        e.select(
+def check_orientation_key_headroom(max_node_id: int) -> None:
+    """Raise PlanningError when a node id would collide in the degree-
+    ordered orientation key ``deg * ORIENT_KEY_BASE + id`` (ids must stay
+    below :data:`ORIENT_KEY_BASE`; e.g. deg-2/id-5 and deg-1/id-1000005
+    both key to 2000005, silently dropping triangles). Pure so the trip
+    condition is unit-testable without a million-node graph (the
+    check_threshold_headroom pattern)."""
+    if max_node_id >= ORIENT_KEY_BASE:
+        from ..errors import PlanningError
+
+        raise PlanningError(
+            f"triangle orientation key collides at node id {max_node_id} >= "
+            f"ORIENT_KEY_BASE={ORIENT_KEY_BASE}; rescale ORIENT_KEY_BASE "
+            "above the id space (key headroom: deg * BASE + id must fit "
+            "int64) or densify node ids before counting"
+        )
+
+
+def _undirected_collapse(e: DataFrame) -> DataFrame:
+    """least/greatest collapse of directed ``(src, dst, w)`` edges to one
+    weighted undirected row per pair — ONE statement of the
+    canonicalization :func:`_kept_undirected` and
+    :func:`lpa_communities_t3` must apply identically (the oracles'
+    ``LEAST/GREATEST ... GROUP BY`` twin rides on it matching exactly)."""
+    return (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
             F.least("src", "dst").alias("u"),
             F.greatest("src", "dst").alias("v"),
             "w",
         )
         .groupBy("u", "v")
         .agg(F.sum("w").alias("w"))
-        .localCheckpoint()  # collapsed graph; reused by stats + threshold
     )
-    stats = und.agg(F.count("*").alias("n_pairs"), F.sum("w").alias("total_w"))
-    # one extra MAX over the checkpointed |pairs|-row graph guards the
-    # cross-multiplication below (KB-scale model state, not a data collect)
-    head = und.agg(F.count("*").alias("n"), F.max("w").alias("mw")).collect()[0]
+
+
+def _kept_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (u, v) edges above :data:`TRIANGLE_W_PCT`% of the mean
+    weight — the collapsed, noise-pruned trade graph shared by the
+    triangle/traversal family. Checkpointed once (<= |V|^2 rows)."""
+    und = _undirected_collapse(_trade_edges(spark, sf_dir)).localCheckpoint()
+    # collapsed graph; reused by the guard/threshold aggregate + the filter
+    # ONE aggregate over the checkpointed |pairs|-row graph serves both the
+    # overflow guard and the pruning threshold (KB-scale model state, not a
+    # data collect); the collected scalars filter as folded literals — the
+    # previous shape re-ran a second (count, sum) aggregate inside a
+    # crossJoin for values the driver already held (review fix, round 11)
+    head = und.agg(
+        F.count("*").alias("n"),
+        F.sum("w").alias("tw"),
+        F.max("w").alias("mw"),
+    ).collect()[0]
     if head["mw"] is not None:
         check_threshold_headroom(head["n"], head["mw"])
-    return (
-        und.crossJoin(F.broadcast(stats))
-        .filter(
-            100 * F.col("n_pairs") * F.col("w")
-            > TRIANGLE_W_PCT * F.col("total_w")
-        )
-        .select("u", "v")
-    )
+    n_pairs, total_w = int(head["n"]), int(head["tw"] or 0)
+    return und.filter(
+        100 * n_pairs * F.col("w") > TRIANGLE_W_PCT * total_w
+    ).select("u", "v")
 
 
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,7 +259,18 @@ def triangle_frame(kept: DataFrame) -> DataFrame:
     — see :func:`triangle_count`. Exposed separately so the counting
     semantics (orientation, each triangle owned once, isolated-in-graph
     nodes reporting 0) are testable on constructed graphs against a
-    brute-force replica."""
+    brute-force replica.
+
+    The ``deg * ORIENT_KEY_BASE + id`` orientation key requires node ids
+    below :data:`ORIENT_KEY_BASE`; the precondition is GUARDED (one
+    KB-scale aggregate over the collapsed graph) because a violation does
+    not crash — colliding keys break the total order, edges orient
+    arbitrarily, and the strict wedge join silently drops triangles."""
+    head = kept.agg(
+        F.greatest(F.max("u"), F.max("v")).alias("mx")
+    ).collect()[0]
+    if head["mx"] is not None:
+        check_orientation_key_headroom(int(head["mx"]))
     deg = (
         kept.select(F.col("u").alias("node"))
         .unionAll(kept.select(F.col("v").alias("node")))
@@ -320,17 +365,7 @@ def lpa_communities_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate + one per-node top-1 window — per-task window state is one
     node's distinct neighbor labels, and round cost is independent of fact
     volume."""
-    und = (
-        _trade_edges(spark, sf_dir)
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("u"),
-            F.greatest("src", "dst").alias("v"),
-            "w",
-        )
-        .groupBy("u", "v")
-        .agg(F.sum("w").alias("w"))
-    )
+    und = _undirected_collapse(_trade_edges(spark, sf_dir))
     nodes = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
         F.col("n_nationkey").alias("v")
     )
@@ -539,22 +574,7 @@ def _t3_oracles() -> dict[str, str]:
         "bfs_hops_t3": bfs_sql,
         "lpa_communities_t3": lpa_sql,
         "triangle_count": f"""
-            WITH pairs AS (
-                SELECT LEAST(c.c_nationkey, s.s_nationkey) AS u,
-                       GREATEST(c.c_nationkey, s.s_nationkey) AS v,
-                       CAST(COUNT(*) AS BIGINT) AS w
-                FROM lineitem l
-                JOIN orders o ON l.l_orderkey = o.o_orderkey
-                JOIN customer c ON o.o_custkey = c.c_custkey
-                JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                WHERE c.c_nationkey <> s.s_nationkey
-                GROUP BY 1, 2
-            ), stats AS (
-                SELECT COUNT(*) AS n_pairs, SUM(w) AS total_w FROM pairs
-            ), kept AS (
-                SELECT u, v FROM pairs, stats
-                WHERE 100 * n_pairs * w > {TRIANGLE_W_PCT} * total_w
-            ), deg AS (
+            WITH {_DUCK_KEPT}, deg AS (
                 SELECT node, COUNT(*) AS deg
                 FROM (SELECT u AS node FROM kept UNION ALL SELECT v FROM kept)
                 GROUP BY node

@@ -136,10 +136,18 @@ def ts_ms_expr(df: DataFrame, col: str = "ts") -> Column:
 
 def ts_event_time_expr(df: DataFrame, col: str = "ts") -> Column:
     """Watermark-capable TIMESTAMP (with local timezone; session tz is UTC so
-    wall-clock values match the NTZ batch path)."""
+    wall-clock values match the NTZ batch path).
+
+    The UTC guard fires on BOTH branches: ``timestamp_micros`` itself is
+    timezone-independent, but every consumer of the returned LTZ column
+    renders it back to wall-clock in the SESSION timezone (``window.start``
+    cast to NTZ, ``date_trunc`` day keys in the streaming queries) — so a
+    nanos-encoded file on a non-UTC session would shift every day boundary
+    against the oracle just as silently as the NTZ branch would (review
+    fix, round 11: the guard previously covered only the NTZ branch)."""
+    _require_utc_session(df, f"ts_event_time_expr({col!r})")
     if dict(df.dtypes).get(col) == "bigint":  # raw nanoseconds -> microseconds
         return F.expr(f"timestamp_micros({col} DIV 1000)")
-    _require_utc_session(df, f"ts_event_time_expr({col!r})")
     return F.col(col).cast("timestamp")
 
 

@@ -9,7 +9,7 @@ by (window, event_type), the same hash shuffle a batch groupBy would use.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.events import events_raw_schema, ts_event_time_expr
@@ -42,6 +42,22 @@ def read_events_stream(
     return df.withColumn("ts", ts_event_time_expr(df))
 
 
+def _total_value() -> Column:
+    """The order-insensitive fixed-point money aggregate — ONE statement of
+    the spelling every streaming query and its oracle twin
+    (``SUM(CAST(ROUND(value * 1e4) AS BIGINT)) / 1e4``,
+    :data:`_DUCK_TOTAL_VALUE`) must share: a plain double SUM is
+    fold-order-dependent and would hash-mismatch across engines, and a
+    precision retune edited in one site but not the others silently breaks
+    a query's oracle."""
+    return (F.sum(F.round(F.col("value") * 1e4).cast("long")) / F.lit(1e4)).alias(
+        "total_value"
+    )
+
+
+_DUCK_TOTAL_VALUE = "SUM(CAST(ROUND(value * 1e4) AS BIGINT)) / 1e4 AS total_value"
+
+
 def windowed_counts(
     events: DataFrame, window: str = "1 day", watermark: str = "1 day"
 ) -> DataFrame:
@@ -54,9 +70,7 @@ def windowed_counts(
         .groupBy(F.window("ts", window), F.col("event_type"))
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            (
-                F.sum(F.round(F.col("value") * 1e4).cast("long")) / F.lit(1e4)
-            ).alias("total_value"),
+            _total_value(),
         )
         .select(
             F.col("window.start").cast("timestamp_ntz").alias("day"),
@@ -86,9 +100,7 @@ def sliding_counts(
         .groupBy(F.window("ts", window, slide), F.col("event_type"))
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            (
-                F.sum(F.round(F.col("value") * 1e4).cast("long")) / F.lit(1e4)
-            ).alias("total_value"),
+            _total_value(),
         )
         .select(
             F.col("window.start").cast("timestamp_ntz").alias("win_start"),
@@ -264,9 +276,7 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            (F.sum(F.round(F.col("value") * 1e4).cast("long")) / F.lit(1e4)).alias(
-                "total_value"
-            ),
+            _total_value(),
         )
     )
     result = run_to_completion(agg, query_name="stream_enrich", output_mode="complete")
@@ -382,10 +392,10 @@ def oracles() -> dict[str, str]:
             FROM events
             ORDER BY user_bucket, event_type, day
         """,
-        "stream_enrich": """
+        "stream_enrich": f"""
             SELECT c_mktsegment, event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
-                   SUM(CAST(ROUND(value * 1e4) AS BIGINT)) / 1e4 AS total_value
+                   {_DUCK_TOTAL_VALUE}
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY c_mktsegment, event_type
             ORDER BY c_mktsegment, event_type
@@ -421,7 +431,7 @@ def oracles() -> dict[str, str]:
             )
             SELECT make_timestamp(win_ms * 1000) AS win_start, event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
-                   SUM(CAST(ROUND(value * 1e4) AS BIGINT)) / 1e4 AS total_value
+                   {_DUCK_TOTAL_VALUE}
             FROM exp GROUP BY win_ms, event_type
             ORDER BY win_start, event_type
         """,

@@ -159,3 +159,39 @@ def test_threshold_headroom_guard():
     check_threshold_headroom(10**10, 10**6)  # 10B pairs, 1M max weight: fine
     with pytest.raises(PlanningError, match="int64 headroom"):
         check_threshold_headroom(10**10, 2**63 // (100 * 10**10) + 1)
+
+
+def test_orientation_key_guard_trips_and_passes(spark):
+    """Round-11 review fix: node ids >= ORIENT_KEY_BASE collide in the
+    deg*BASE+id orientation key and silently DROP triangles (no crash), so
+    the precondition is now guarded loudly like every other headroom
+    check in this module."""
+    import pytest
+
+    from datafusion_distributed_experiment_spark.errors import PlanningError
+    from datafusion_distributed_experiment_spark.operators.graph import (
+        ORIENT_KEY_BASE,
+        check_orientation_key_headroom,
+        triangle_frame,
+    )
+
+    check_orientation_key_headroom(0)
+    check_orientation_key_headroom(ORIENT_KEY_BASE - 1)
+    with pytest.raises(PlanningError, match="orientation key"):
+        check_orientation_key_headroom(ORIENT_KEY_BASE)
+    big = ORIENT_KEY_BASE + 5
+    kept = spark.createDataFrame([(1, big), (big, 2), (1, 2)], "u long, v long")
+    with pytest.raises(PlanningError, match="orientation key"):
+        triangle_frame(kept)
+
+
+def test_pagerank_frame_empty_graph_returns_empty(spark):
+    """Round-11 review fix: an empty node set must yield an empty result,
+    not ZeroDivisionError from the base-rank division."""
+    from datafusion_distributed_experiment_spark.operators.graph import pagerank_frame
+
+    nodes = spark.createDataFrame([], "v long")
+    edges = spark.createDataFrame([], "src long, dst long, w long")
+    out = pagerank_frame(nodes, edges)
+    assert out.columns == ["v", "rank_ppb"]
+    assert out.collect() == []

@@ -110,16 +110,22 @@ def test_ntz_expressions_refuse_non_utc_session(spark, tmp_path):
     ts_ms_expr(df)  # UTC session: fine
     prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    ndf = spark.sql("SELECT CAST(1704164645000000000 AS BIGINT) AS ts")
     try:
         with pytest.raises(ValueError, match="timeZone=UTC"):
             ts_ms_expr(df)
         with pytest.raises(ValueError, match="timeZone=UTC"):
             ts_event_time_expr(df)
+        # the EVENT-TIME expr guards its raw-nanos branch too: its LTZ
+        # output is rendered back to wall-clock (window.start -> NTZ,
+        # date_trunc day keys) in the session tz downstream (round-11 fix)
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            ts_event_time_expr(ndf)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
-    # raw-nanos branch is timezone-independent and must stay usable anywhere
-    ndf = spark.sql("SELECT CAST(1704164645000000000 AS BIGINT) AS ts")
+    # pure integer epoch math stays timezone-independent and usable anywhere
     assert ts_ms_expr(ndf) is not None
+    assert ts_event_time_expr(ndf) is not None
 
 
 def test_parse_byte_size_accepts_spark_suffixes():
