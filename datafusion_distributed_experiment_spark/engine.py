@@ -40,33 +40,50 @@ _TPCH_TABLES = (
 
 def split_sql_script(script: str) -> list[str]:
     """Split a multi-statement SQL script on ``;`` (reference
-    ``benchmarks/src/tpch/mod.rs:148-161``). Semicolons inside single-quoted
-    strings are respected; ``--`` line comments pass through without affecting
-    quote tracking (an apostrophe in a comment must not swallow separators);
-    empty statements dropped."""
+    ``benchmarks/src/tpch/mod.rs:148-161``). Separator detection tracks
+    single-quoted strings (with both ``''`` and backslash escapes —
+    Spark's default string parsing honors backslashes), double-quoted
+    tokens (string literals on Spark, identifiers on DuckDB — a ``;``
+    inside is part of the token either way), ``--`` line comments, and
+    ``/* */`` block comments; empty statements dropped."""
     statements: list[str] = []
     buf: list[str] = []
-    in_quote = False
+    quote: str | None = None  # the active quote char, ' or "
     i = 0
     n = len(script)
     while i < n:
         ch = script[i]
-        if not in_quote and ch == "-" and i + 1 < n and script[i + 1] == "-":
+        if quote is None and ch == "-" and i + 1 < n and script[i + 1] == "-":
             # -- comment: copy to end of line verbatim
             j = script.find("\n", i)
             j = n if j == -1 else j
             buf.append(script[i:j])
             i = j
             continue
-        if ch == "'":
-            # '' is an escaped quote inside a literal
-            if in_quote and i + 1 < n and script[i + 1] == "'":
-                buf.append("''")
-                i += 2
-                continue
-            in_quote = not in_quote
+        if quote is None and ch == "/" and i + 1 < n and script[i + 1] == "*":
+            # /* block comment */: copy verbatim (unterminated -> to EOF)
+            j = script.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            buf.append(script[i:j])
+            i = j
+            continue
+        if quote is not None and ch == "\\" and i + 1 < n:
+            # backslash escape inside a literal: \' must not close it
+            buf.append(script[i : i + 2])
+            i += 2
+            continue
+        if ch in ("'", '"'):
+            if quote == ch:
+                # doubled quote is an escaped quote inside the token
+                if i + 1 < n and script[i + 1] == ch:
+                    buf.append(ch * 2)
+                    i += 2
+                    continue
+                quote = None
+            elif quote is None:
+                quote = ch
             buf.append(ch)
-        elif ch == ";" and not in_quote:
+        elif ch == ";" and quote is None:
             stmt = "".join(buf).strip()
             if stmt:
                 statements.append(stmt)
@@ -78,6 +95,28 @@ def split_sql_script(script: str) -> list[str]:
     if tail:
         statements.append(tail)
     return statements
+
+
+def _is_query_statement(stmt: str) -> bool:
+    """True for statements whose DataFrame is a RESULT (SELECT/WITH/VALUES/
+    TABLE), as opposed to commands that also return columned frames
+    (SET/SHOW/DESCRIBE/EXPLAIN) — ``sql_script``'s default-result rule.
+    Leading comments are skipped with the same scanner rules as the
+    splitter (a ``-- note`` above the SELECT must not hide it)."""
+    i, n = 0, len(stmt)
+    while i < n:
+        if stmt[i].isspace():
+            i += 1
+        elif stmt[i] == "-" and i + 1 < n and stmt[i + 1] == "-":
+            j = stmt.find("\n", i)
+            i = n if j == -1 else j + 1
+        elif stmt[i] == "/" and i + 1 < n and stmt[i + 1] == "*":
+            j = stmt.find("*/", i + 2)
+            i = n if j == -1 else j + 2
+        else:
+            break
+    head = stmt[i : i + 8].upper()
+    return any(head.startswith(k) for k in ("SELECT", "WITH", "VALUES", "TABLE"))
 
 
 class Engine:
@@ -219,7 +258,10 @@ class Engine:
         for stmt in statements:
             df = self.sql(stmt)
             results.append(df)
-            if df is not None and df.columns:
+            if df is not None and df.columns and _is_query_statement(stmt):
+                # _is_query_statement, not "has columns": commands like
+                # SET/SHOW/DESCRIBE also return columned frames, and a
+                # trailing SET would otherwise overwrite the query result
                 result = df
         if result_statement is not None:
             # Safe to return lazily even after a later DROP VIEW: Spark
@@ -333,10 +375,18 @@ class Engine:
         to dozens."""
         from pyspark.sql import functions as F
 
+        if not rules:
+            return {}  # df.agg() with zero exprs is an error, not a no-op
         aggs = [
-            F.sum(
-                F.when(F.coalesce(F.expr(pred).cast("boolean"), F.lit(False)), 0)
-                .otherwise(1)
+            # coalesce: SUM over ZERO rows is NULL, and int(None) would
+            # crash on an empty (or fully-filtered) frame — zero violations
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.coalesce(F.expr(pred).cast("boolean"), F.lit(False)), 0
+                    ).otherwise(1)
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias(name)

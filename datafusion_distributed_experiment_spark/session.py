@@ -13,6 +13,7 @@ partition coalescing on); tests override parallelism for local runs.
 from __future__ import annotations
 
 import os
+import weakref
 from typing import Mapping
 
 from pyspark.sql import SparkSession
@@ -111,7 +112,11 @@ def configure_session(
     return spark
 
 
-_scoped_cache: dict[tuple[int, frozenset], SparkSession] = {}
+# value carries a weakref to the PARENT: id() keys are recycled addresses,
+# so a cache hit must prove the parent object is still the same live
+# session — otherwise a new session allocated at a dead one's address
+# would receive a stale clone bound to a stopped SparkContext
+_scoped_cache: dict[tuple[int, frozenset], tuple["weakref.ref[SparkSession]", SparkSession]] = {}
 
 
 def scoped_session(spark: SparkSession, overrides: Mapping[str, str]) -> SparkSession:
@@ -135,17 +140,26 @@ def scoped_session(spark: SparkSession, overrides: Mapping[str, str]) -> SparkSe
     overrides are the confs callers care about."""
     key = (id(spark), frozenset(overrides.items()))
     cached = _scoped_cache.get(key)
-    if cached is not None:
-        return cached
+    # identity proof, not just the id: a hit only counts when the weakly-
+    # held parent is THIS object — id() keys get recycled after GC, and a
+    # new session at a dead one's address must not get the stale clone
+    if cached is not None and cached[0]() is spark:
+        return cached[1]
     clone = spark.newSession()
     for row in spark.sql("SET").collect():
+        val = row["value"]
+        if val is not None and "(redacted)" in val:
+            # SPARK-22479: SET redacts secret-bearing values; storing the
+            # placeholder would replace real credentials in the clone —
+            # skip, and let the clone fall back to context-level conf
+            continue
         try:
-            clone.conf.set(row["key"], row["value"])
+            clone.conf.set(row["key"], val)
         except Exception:  # noqa: BLE001 - static/read-only confs
             pass
     for k, v in overrides.items():
         clone.conf.set(k, str(v))
-    _scoped_cache[key] = clone
+    _scoped_cache[key] = (weakref.ref(spark), clone)
     return clone
 
 

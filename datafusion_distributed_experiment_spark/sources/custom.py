@@ -108,7 +108,13 @@ class Int64ListPushdownReader(Int64ListReader):
                 yield f
 
 
-_registered_sessions: set[int] = set()
+# WeakSet, not a set of id()s: an id is a recycled address, and a new
+# session allocated where a dead one lived would silently skip
+# registration (DATA_SOURCE_NOT_FOUND on first use); weakly-held LIVE
+# objects cannot collide, and dead sessions fall out instead of leaking
+import weakref
+
+_registered_sessions: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def register(spark: SparkSession) -> None:
@@ -122,14 +128,14 @@ def register(spark: SparkSession) -> None:
     Register and read on the same session; the ALREADY_EXISTS swallow below
     keeps ``register`` idempotent across the sessions that can see the
     original registration."""
-    if id(spark) in _registered_sessions:
+    if spark in _registered_sessions:
         return
     try:
         spark.dataSource.register(Int64ListSource)
     except Exception as exc:  # noqa: BLE001 - narrow on the error class
         if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
             raise
-    _registered_sessions.add(id(spark))
+    _registered_sessions.add(spark)
 
 
 def _pushdown_enabled(spark: SparkSession) -> bool:

@@ -107,8 +107,12 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     dtypes = dict(df.dtypes)
     for col, is_ns in nano_timestamp_columns(path):
         if is_ns and dtypes.get(col) == "bigint":
+            # backtick-quoted: a column named "event time" (or a reserved
+            # word) would otherwise fail the whole table read at F.expr
+            q = col.replace("`", "``")
             df = df.withColumn(
-                col, F.expr(f"CAST(timestamp_micros({col} DIV 1000) AS TIMESTAMP_NTZ)")
+                col,
+                F.expr(f"CAST(timestamp_micros(`{q}` DIV 1000) AS TIMESTAMP_NTZ)"),
             )
     return df
 
@@ -292,7 +296,9 @@ def write_zordered(
     nbins = 1 << bits
 
     def _bin(col, lo, hi):
-        if hi <= lo:  # constant column: single bin
+        # None bounds (empty input, or an all-NULL dimension) degrade to a
+        # single bin like a constant column — not a TypeError on None <= None
+        if lo is None or hi is None or hi <= lo:
             return F.lit(0).cast("long")
         raw = F.width_bucket(F.col(col).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(nbins))
         return F.greatest(F.lit(0), F.least(F.lit(nbins - 1), raw - 1)).cast("long")
@@ -344,8 +350,38 @@ def compact_parquet(
     import glob as _glob
     import math
     import os
+    import re
     import shutil
 
+    backup = path.rstrip("/") + ".__compact_old__"
+    # Crash recovery BEFORE any expensive work (the swap below is two
+    # renames, and a previous run may have died between or after them):
+    #  - backup AND path exist: the swap completed but cleanup didn't —
+    #    path holds the verified compacted data, the backup is stale junk;
+    #  - backup exists, path missing: died between the renames — the
+    #    backup IS the table, restore it.
+    if os.path.exists(backup):
+        if os.path.exists(path):
+            shutil.rmtree(backup)
+        else:
+            os.rename(backup, path)
+    # Hive-partitioned layouts (key=value directories) are refused loudly:
+    # a flat rewrite would fold the partition columns into the files,
+    # destroying directory pruning and colliding with later partitioned
+    # writes — compact each partition directory instead.
+    part_dirs = [
+        d
+        for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and re.match(r"^[^.=][^=]*=", d)
+    ]
+    if part_dirs:
+        from ..errors import PlanningError
+
+        raise PlanningError(
+            f"compact_parquet: {path} is hive-partitioned "
+            f"(e.g. {part_dirs[0]!r}); a flat rewrite would destroy the "
+            "partition layout — compact each partition directory instead"
+        )
     files = [
         f
         for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
@@ -369,7 +405,6 @@ def compact_parquet(
             f"compact_parquet: rewrite of {path} produced {actual} rows, expected "
             f"{expected}; temp output discarded, original left untouched"
         )
-    backup = path.rstrip("/") + ".__compact_old__"
     os.rename(path, backup)
     os.rename(tmp, path)
     shutil.rmtree(backup)

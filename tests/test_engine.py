@@ -515,3 +515,84 @@ def test_executed_metrics_expose_operator_row_counts(engine):
     assert filt["numOutputRows"] == engine.table("lineitem").filter("l_quantity < 10").count()
     final_agg_rows = [n.get("numOutputRows") for n in by_name["HashAggregate"]]
     assert 3 in final_agg_rows  # |return flags|
+
+
+def test_split_sql_script_double_quotes_comments_and_backslash():
+    """Round-11 review fix: the splitter must not split inside
+    double-quoted tokens, /* */ block comments, or after a
+    backslash-escaped quote."""
+    from datafusion_distributed_experiment_spark.engine import split_sql_script
+
+    assert split_sql_script('SELECT * FROM t WHERE s = "a;b"') == [
+        'SELECT * FROM t WHERE s = "a;b"'
+    ]
+    assert split_sql_script("/* reset; all */ SELECT 1; SELECT 2") == [
+        "/* reset; all */ SELECT 1",
+        "SELECT 2",
+    ]
+    assert split_sql_script(r"SELECT 'it\'s; fine'; SELECT 2") == [
+        r"SELECT 'it\'s; fine'",
+        "SELECT 2",
+    ]
+    assert split_sql_script('SELECT "a""b;c"') == ['SELECT "a""b;c"']
+
+
+def test_sql_script_trailing_command_does_not_override_result(engine):
+    """Round-11 review fix: SET/SHOW also return columned frames; the
+    default result must stay the last QUERY statement."""
+    df = engine.sql_script(
+        "SELECT 42 AS x; SET spark.sql.shuffle.partitions=4"
+    )
+    assert df.columns == ["x"]
+    assert [r["x"] for r in df.collect()] == [42]
+    # leading comment must not hide the SELECT from the heuristic
+    df2 = engine.sql_script("-- pick me\nSELECT 7 AS y; SHOW TABLES")
+    assert df2.columns == ["y"]
+
+
+def test_check_constraints_empty_frame_and_empty_rules(engine):
+    """Round-11 review fix: SUM over zero rows is NULL — an empty frame
+    reports zero violations, and an empty rule set is a no-op."""
+    empty = engine.spark.range(0).selectExpr("id AS x")
+    assert engine.check_constraints(empty, {"pos": "x > 0"}) == {"pos": 0}
+    assert engine.check_constraints(empty, {}) == {}
+
+
+def test_compact_refuses_hive_partitioned_layout(engine, spark, tmp_path):
+    """Round-11 review fix: a flat rewrite of a key=value layout would
+    destroy directory pruning — refuse loudly."""
+    import pytest
+
+    from datafusion_distributed_experiment_spark.errors import PlanningError
+    from datafusion_distributed_experiment_spark.sources.tables import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(100).selectExpr("id", "id % 3 AS d").write.partitionBy(
+        "d"
+    ).parquet(path)
+    with pytest.raises(PlanningError, match="hive-partitioned"):
+        compact_parquet(spark, path)
+
+
+def test_compact_recovers_from_interrupted_swap(engine, spark, tmp_path):
+    """Round-11 review fix: a leftover .__compact_old__ from a crash mid-
+    swap is recovered before any expensive work — stale backup dropped
+    when the table exists, restored as the table when it does not."""
+    import os
+    import shutil
+
+    from datafusion_distributed_experiment_spark.sources.tables import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(1000).repartition(8).write.parquet(path)
+    backup = path + ".__compact_old__"
+    # crash shape 1: swap completed, cleanup didn't -> stale backup dropped
+    shutil.copytree(path, backup)
+    compact_parquet(spark, path)
+    assert not os.path.exists(backup)
+    assert spark.read.parquet(path).count() == 1000
+    # crash shape 2: died between renames -> backup IS the table; restore
+    os.rename(path, backup)
+    compact_parquet(spark, path)
+    assert os.path.exists(path) and not os.path.exists(backup)
+    assert spark.read.parquet(path).count() == 1000
