@@ -54,24 +54,39 @@ _SQL_QUERIES = [
 ]
 
 
-_registered: set[tuple[int, str, str]] = set()
+# WeakKeyDictionary keyed by the LIVE session (not id(spark): ids are
+# recycled addresses — the scoped_session/custom-source identity lesson),
+# mapping each session to the sf_dir its views CURRENTLY point at plus the
+# per-table registration record. Temp views are ONE per-session namespace,
+# so a session that switches sf_dirs must re-register everything — the old
+# (session, dir, table) memo kept the stale dir's keys and silently served
+# the other scale's data to any later call with the first dir.
+import weakref
+
+_registered: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _ensure_registered(spark: SparkSession, sf_dir: str) -> Engine:
-    """Register the sf_dir tables once per (session, dir, table) — schema
-    probing and view creation are driver-side overhead worth paying a single
-    time. Memoized per TABLE so a transient failure on one file is retried
-    without masking the other nine, and a half-registered catalog can't be
-    mistaken for a complete one."""
+    """Register the sf_dir tables once per session — schema probing and view
+    creation are driver-side overhead worth paying a single time. Memoized
+    per TABLE so a transient failure on one file is retried without masking
+    the other nine, and a half-registered catalog can't be mistaken for a
+    complete one; switching sf_dirs drops the whole record (the views are
+    one namespace) and registers the new dir from scratch."""
     eng = Engine(spark)
     from datafusion_distributed_experiment_spark.engine import _TPCH_TABLES
 
-    pending = [t for t in _TPCH_TABLES if (id(spark), sf_dir, t) not in _registered]
+    state = _registered.get(spark)
+    if state is None or state[0] != sf_dir:
+        state = (sf_dir, set())
+        _registered[spark] = state
+    done = state[1]
+    pending = [t for t in _TPCH_TABLES if t not in done]
     if pending:
         failures = eng.register_sf_dir(sf_dir, tables=pending)
         for t in pending:
             if t not in failures:
-                _registered.add((id(spark), sf_dir, t))
+                done.add(t)
     return eng
 
 
@@ -113,11 +128,15 @@ def preload_mem(spark: SparkSession, sf_dir: str, partitions: int | None = None)
     )
 
     eng = Engine(spark)
+    done: set = set()
     for t in _TPCH_TABLES:
         eng.register_mem(
             t, read_parquet_table(spark, f"{sf_dir}/{t}.parquet"), partitions=partitions
         )
-        _registered.add((id(spark), sf_dir, t))
+        done.add(t)
+    # pin the whole-session record in one shot: the MemTables ARE this
+    # sf_dir's views now, so any prior dir's record must not linger
+    _registered[spark] = (sf_dir, done)
 
 
 def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], DataFrame]]]]:

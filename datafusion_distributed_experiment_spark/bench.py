@@ -6,9 +6,10 @@ wall-clock per query over N iterations (reference default 3,
 (``util/run.rs:64-132,196-210``), and a comparison against the previous run
 with 1.2x faster/slower markers (``util/run.rs:212-260``).
 
-Execution is forced with the ``noop`` sink so the full plan runs (scan ->
-shuffle -> aggregate) without collecting results to the driver — the bench
-measures the engine, not driver materialization.
+Execution is forced with ``_force`` (a frozen collect-based measurement
+basis — see its docstring for why not the ``noop`` sink); state isolation
+runs between queries (cache eviction) with a full isolation boundary after
+each complete pass and after streaming floor blocks.
 """
 
 from __future__ import annotations
@@ -160,10 +161,12 @@ def run_benchmark(
 ) -> dict:
     """Time every query; returns the reference-shaped results dict.
 
-    When ``tiers`` is given, queries run grouped by tier with isolation
-    (cache eviction + forced cleanup + settle) at every tier boundary, and
-    the tiers named in :data:`MEASURE_LAST_TIERS` moved to the end so their
-    lingering background threads cannot contaminate batch timings.
+    When ``tiers`` is given, queries run grouped by tier with cache
+    eviction between queries and a full isolation boundary (forced cleanup
+    + settle) after each complete interleaved pass and after streaming
+    floor blocks; the tiers named in :data:`MEASURE_LAST_TIERS` move to
+    the end so their lingering background threads cannot contaminate batch
+    timings.
 
     ``warm_epoch`` runs EVERY query once, unmeasured, before the measured
     iterations. Measured A/B on this machine: a fresh environment runs the
@@ -229,6 +232,16 @@ def run_benchmark(
     entries: dict[str, dict] = {}
     for tier_name, tier_queries in tiers:
         for name in tier_queries:
+            if name in entries:
+                # entries are keyed by name alone: a duplicate would run one
+                # query twice per pass, merge both tiers' timings under the
+                # later tier, and leave a zero-iteration ghost row for the
+                # first — fail loudly (reachable mid-promotion if a staged
+                # name is also declared)
+                raise ValueError(
+                    f"duplicate bench query name {name!r}: tiers "
+                    f"{entries[name]['tier']!r} and {tier_name!r}"
+                )
             entries[name] = {
                 "query": name,
                 "tier": tier_name,
@@ -254,7 +267,7 @@ def run_benchmark(
                     )
                 except Exception as exc:  # noqa: BLE001
                     entry["success"] = False
-                    entry["error"] = str(exc).splitlines()[0][:200]
+                    entry["error"] = (str(exc).splitlines() or [exc.__class__.__name__])[0][:200]
                 # Operators persist() intermediates for within-query reuse
                 # (LSH signature tables, etc.). Evict between queries so
                 # cached blocks from earlier queries can't skew later
@@ -286,7 +299,7 @@ def run_benchmark(
                         )
                     except Exception as exc:  # noqa: BLE001
                         entry["success"] = False
-                        entry["error"] = str(exc).splitlines()[0][:200]
+                        entry["error"] = (str(exc).splitlines() or [exc.__class__.__name__])[0][:200]
                         break
                     # evict per iteration exactly like the main passes — the
                     # floor regime is JIT/page-cache warmth, not persisted-
@@ -400,7 +413,9 @@ def compare_runs(current: dict, previous: dict) -> list[str]:
         name = q["query"]
         cur_s = headline_seconds(q)
         prev_s = headline_seconds(prev.get(name, {}))
-        if cur_s is None or prev_s is None or cur_s == 0:
+        if cur_s is None or prev_s is None or cur_s <= 0 or prev_s <= 0:
+            # prev_s == 0 too: a zero previous floor (hand-trimmed or
+            # sub-resolution artifact) would hit 1/ratio below
             continue
         ratio = prev_s / cur_s
         if ratio >= FASTER_RATIO:

@@ -121,14 +121,6 @@ def _execution_subtype(msg: str) -> type[ExecutionError]:
     return ExecutionError
 
 
-def _first_meaningful_line(text: str) -> str:
-    for line in text.splitlines():
-        line = line.strip()
-        if line:
-            return line
-    return text
-
-
 def map_exception(exc: BaseException) -> EngineError:
     """Map a raw PySpark exception to the engine taxonomy.
 
@@ -161,4 +153,8 @@ def map_exception(exc: BaseException) -> EngineError:
     # the embedded original message, e.g. a failing UDF's text).
     if exc.__class__.__name__ == "Py4JJavaError":
         return _execution_subtype(msg)(msg, original=exc)
-    return _execution_subtype(msg)(_first_meaningful_line(msg), original=exc)
+    # Generic branch keeps the COMPLETE message too — the module contract
+    # is that callers can match on any embedded text, and truncating to
+    # the first non-empty line broke matches on later lines (the other
+    # branches never truncated). Leading blank lines are still trimmed.
+    return _execution_subtype(msg)(msg.lstrip("\r\n") or msg, original=exc)

@@ -78,14 +78,9 @@ def features_frame(docs: DataFrame) -> DataFrame:
     shuffle both sides on doc_id). ``n_ws_tokens`` ≡ ``n_tokens``; only the
     regex counters are genuinely new work."""
     low = F.lower(F.col("text"))
-    return stats_frame(
-        docs,
-        extra={
-            "n_bpe_tokens": F.regexp_count(low, F.lit(BPE_PATTERN)).cast("long"),
-            "n_word_runs": F.regexp_count(low, F.lit(r"[a-z]+")).cast("long"),
-            "n_digit_runs": F.regexp_count(low, F.lit(r"[0-9]+")).cast("long"),
-        },
-    ).withColumn("n_ws_tokens", F.col("n_tokens"))
+    return stats_frame(docs, extra=_token_counters(low)).withColumn(
+        "n_ws_tokens", F.col("n_tokens")
+    )
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,17 +127,28 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]"
 
 
+def _token_counters(low: Column) -> dict[str, Column]:
+    """The three regex counter expressions shared by :func:`token_frame`
+    and :func:`features_frame` — one spelling, so the fused pipeline path
+    and the standalone query cannot drift from each other or from their
+    common DuckDB oracle body. regexp_count, not
+    size(regexp_extract_all(...)): counting stays in the regex engine with
+    zero array materialization per row."""
+    return {
+        "n_bpe_tokens": F.regexp_count(low, F.lit(BPE_PATTERN)).cast("long"),
+        "n_word_runs": F.regexp_count(low, F.lit(r"[a-z]+")).cast("long"),
+        "n_digit_runs": F.regexp_count(low, F.lit(r"[0-9]+")).cast("long"),
+    }
+
+
 def token_frame(docs: DataFrame) -> DataFrame:
     """Frame-level form of :func:`token_count`: (doc_id, text) -> counts."""
     low = F.lower(F.col("text"))
-    # regexp_count, not size(regexp_extract_all(...)): counting stays in the
-    # regex engine with zero array materialization per row.
+    counters = _token_counters(low)
     return docs.select(
         F.col("doc_id"),
         F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
-        F.regexp_count(low, F.lit(BPE_PATTERN)).cast("long").alias("n_bpe_tokens"),
-        F.regexp_count(low, F.lit(r"[a-z]+")).cast("long").alias("n_word_runs"),
-        F.regexp_count(low, F.lit(r"[0-9]+")).cast("long").alias("n_digit_runs"),
+        *[expr.alias(name) for name, expr in counters.items()],
     )
 
 

@@ -166,3 +166,25 @@ def test_round11_window_composition():
         f"stale-budget drift: r09-green queries outside the window "
         f"unexpected={r09_outside - sacrificed} missing={sacrificed - r09_outside}"
     )
+
+
+def test_sql_corpus_reregisters_on_sf_dir_switch(spark):
+    """Round-11 review fix: temp views are ONE per-session namespace, but
+    the registration memo was keyed per (session, dir, table) — after a
+    query ran at another sf_dir, a later call with the first dir found its
+    stale keys and silently served the other scale's data. The memo now
+    tracks the session's CURRENT dir and re-registers on a switch."""
+    from pyspark.sql import functions as F
+
+    q = entry_mod.queries()["events_daily"]
+
+    def total(sf_dir):
+        # sum of per-day counts — scale-dependent even though the row
+        # count (days x types) is identical across scales
+        return q(spark, sf_dir).agg(F.sum("n_events")).collect()[0][0]
+
+    small = total("/root/testdata/sf0.001")
+    big = total("/root/testdata/sf0.01")
+    again = total("/root/testdata/sf0.001")
+    assert small == again, "switching back must re-register the first dir"
+    assert big != small, "the two scales must actually differ for this test"
