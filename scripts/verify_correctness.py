@@ -27,15 +27,16 @@ TABLES = (
 
 
 def canonical_hash(df: pd.DataFrame) -> str:
-    """Order-insensitive value hash: columns sorted by name, rows sorted by
-    their full stringified tuple, then sha256 over the CSV bytes."""
-    df = df.reindex(sorted(df.columns), axis=1)
-    as_str = df.astype(str)
-    if len(as_str):
-        order = as_str.apply(lambda r: "\x1f".join(r.values), axis=1).sort_values().index
-        as_str = as_str.loc[order]
-    payload = as_str.to_csv(index=False).encode()
-    return hashlib.sha256(payload).hexdigest()[:16]
+    """Order-insensitive value hash over tests/_compare.canonical() — ONE
+    canonicalization (columns sorted by name, values stringified, rows
+    sorted) shared with the pytest comparisons, so a future stringification
+    fix cannot make the gate scripts and the test suite disagree on the
+    same frames."""
+    from tests._compare import canonical
+
+    header = ",".join(sorted(df.columns))
+    body = "\x1e".join("\x1f".join(row) for row in canonical(df))
+    return hashlib.sha256(f"{header}\x1e{body}".encode()).hexdigest()[:16]
 
 
 def main() -> int:
@@ -76,6 +77,12 @@ def main() -> int:
     if only:
         queries.update(staged_queries())
         oracles.update(staged_oracles())
+        unknown = only - set(queries)
+        if unknown:
+            # fail LOUDLY: a renamed/dropped query silently skipped here
+            # would keep the gate green while losing its sweep coverage
+            print(f"unknown query names (renamed or dropped?): {sorted(unknown)}")
+            return 2
     failures: list[str] = []
     attempted = 0
     for name, fn in queries.items():
@@ -107,7 +114,12 @@ def main() -> int:
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
         if not problems:
-            hs, ho = canonical_hash(sdf), canonical_hash(odf)
+            try:
+                hs, ho = canonical_hash(sdf), canonical_hash(odf)
+            except Exception as exc:  # noqa: BLE001 - e.g. duplicate col labels
+                print(f"FAIL {name}: canonicalization error: {exc}")
+                failures.append(name)
+                continue
             if hs != ho:
                 problems.append(f"hash {hs} != {ho}")
                 merged = sdf.reindex(sorted(sdf.columns), axis=1).astype(str)

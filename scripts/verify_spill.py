@@ -106,12 +106,23 @@ def main() -> int:
         finally:
             spark.catalog.clearCache()
         spill = sum(m.get("spillSize") or 0 for m in executed_metrics(df))
-        odf = con.execute(oracles[name]).df()
+        try:
+            # guarded like verify_correctness: one bad oracle must record a
+            # FAIL and let the rest of the sweep run, not abort it
+            odf = con.execute(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
         problems = []
         if len(sdf) != len(odf):
             problems.append(f"rows {len(sdf)} != {len(odf)}")
-        elif canonical_hash(sdf) != canonical_hash(odf):
-            problems.append("hash mismatch")
+        else:
+            try:
+                if canonical_hash(sdf) != canonical_hash(odf):
+                    problems.append("hash mismatch")
+            except Exception as exc:  # noqa: BLE001 - duplicate col labels
+                problems.append(f"canonicalization error: {exc}")
         if spill <= 0:
             problems.append("NO spill observed (spillSize=0 in executed plan)")
         if problems:

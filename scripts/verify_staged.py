@@ -57,7 +57,16 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
             continue
-        odf = con.execute(oracles[name]).df()
+        finally:
+            spark.catalog.clearCache()  # evict per-query persist()s
+        try:
+            # guarded like verify_correctness: a missing/erroring oracle
+            # records a FAIL and lets the remaining staged ops verify
+            odf = con.execute(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
         problems = []
         if len(sdf) == 0:
             problems.append("empty result proves nothing")
