@@ -12,12 +12,12 @@ plus the training-data pipeline operators. SQL-corpus queries share one ANSI
 text between Spark and the DuckDB oracle; DataFrame-native operators carry a
 semantically-equivalent hand-written oracle.
 
-All 120 queries are declared as of round 11 (the round-10 staged operator
-``events_quantile_sketch`` was promoted at the round-11 rotation). The
+All 121 queries are declared as of round 12 (the round-11 staged operator
+``ivf_pq_topk`` was promoted at the round-12 rotation). The
 staged tier (``operators.staged_queries()`` / ``staged_oracles()`` +
 ``tests/test_staged_oracle.py`` + ``scripts/verify_staged.py``) holds at
-most the one new operator each round's VERDICT budgets; the 120-query
-surface cycles the 50-slot gate window every ceil(120/50) = 3 rounds —
+most the one new operator each round's VERDICT budgets; the 121-query
+surface cycles the 50-slot gate window every ceil(121/50) = 3 rounds —
 see ``query_tiers``.
 """
 
@@ -143,8 +143,8 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     """Queries grouped by tier, gate-ordered: the driver oracle-checks the
     FIRST 50 entries, so the window rotates round-over-round.
 
-    STALE BUDGET (120-query surface): 120 queries over a 50-slot window
-    means the full surface cycles every ceil(120/50) = 3 rounds. The real
+    STALE BUDGET (121-query surface): 121 queries over a 50-slot window
+    means the full surface cycles every ceil(121/50) = 3 rounds. The real
     guarantee, pinned by tests/test_corpus_oracle.py: (a) never-verified
     count = 0 — every declared query holds a green row in SOME committed
     CORRECTNESS_r*.json before it may sit outside the window; (b) every
@@ -153,39 +153,41 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     every commit point, mid-rotation included); (c) the queries left to
     age furthest are chosen deepest-evidence-first.
 
-    ROUND 11 — the window (50):
-    * slot 1: events_quantile_sketch — the round-10 staged operator
-      (mergeable bottom-k-by-hash rank sketch), PROMOTED this rotation
-      (never driver-verified; leads the window).
-    * slots 2-20: the 19 queries whose last green row is CORRECTNESS_r08
-      (the round-10 sacrifice cohort — the rotation contract's re-entry
-      point): the nine ad-hoc SQL aggregates (events_agg_count,
-      events_cte_join, events_daily, events_latest, events_median,
-      events_rolling, events_rollup, events_setops, events_topk), the
-      seven TPC-H re-runs q2/q13/q15/q17/q20/q21/q22, q1_decimal, and
-      the two operator queries embedding_topk and media_features.
-    * slots 21-50: the 30 SHALLOWEST of the 50 r09-green queries by
-      total green-row depth across all committed artifacts: the ten
-      twice-green (bfs_hops_t3, bm25_topk, bpe_merges_t2,
-      cms_heavy_hitters, dsir_weights, lpa_communities_t3, span_scrub,
-      triangle_count, winnow_fingerprints, plus stream_topk in a
-      "streaming"-named tier so the bench measures it last) and twenty
-      of the twenty-two thrice-green (bloom_semi_agg, cdc_apply_changes,
-      chunk_documents, corpus_pipeline, custom_source_scan,
-      decontaminate, dedup_clusters_star, domain_mix, domain_resample,
-      embedding_quantize, kmeans_assign, media_dedup, pack_sequences,
-      pagerank_nations, pii_scrub, repetition_stats, rollup_incremental,
-      sessionize_native, shuffle_shards, token_budget_select).
+    ROUND 12 — the window (50):
+    * slot 1: ivf_pq_topk — the round-11 staged operator (IVF-PQ + exact
+      integer rerank ANN), PROMOTED this rotation (never driver-verified;
+      leads the window).
+    * slots 2-21: the 20 queries whose last green row is CORRECTNESS_r09
+      (the round-11 sacrifice cohort — the rotation contract's re-entry
+      point): the fifteen TPC-H re-runs q1, q3-q12, q14, q16, q18, q19,
+      the three text ops fingerprint, lang_id, text_stats, and the two
+      family-covered picks stratified_sample and media_resize.
+    * slots 22-50: the 29 SHALLOWEST of the 50 r10-green queries by
+      total green-row depth across all committed artifacts: the
+      once-green domain_token_profile; the three twice-green (bpe_apply,
+      hll_distinct, weighted_sample); all twenty-one thrice-green
+      (anomaly_days, basket_pairs, chunk_overlap, event_sequences,
+      events_json, events_percentiles, events_percentiles_hist,
+      events_pivot, events_unpivot, events_window_funcs, funnel,
+      kmeans_lloyd_t3, minhash_pairs_skew, ngram_span_dedup, ngram_top,
+      retention, salted_events_enrich, semantic_dedup, split_assign,
+      table_profile, top_terms); and the four alphabetically-first
+      four-times-green (events_asof, events_cube, events_kmv_distinct,
+      events_range_join). No streaming query lands in this window, so no
+      "streaming"-named window tier is needed this round.
 
-    SACRIFICED this round (20, deepest-evidence-first; they re-enter at
-    round 12 alongside ~30 of the 50 r10-green): the fifteen 5x-green
-    plain-shape TPC-H re-runs (q1, q3-q12, q14, q16, q18, q19), the
-    three 6x-green text ops (fingerprint, lang_id, text_stats), and the
-    two thrice-green family-covered picks stratified_sample (the
-    md5-slice sampler core stays window-covered by domain_resample +
-    shuffle_shards and the weight-proportionality property suite) and
-    media_resize (the multimodal mapInPandas plumbing stays
-    window-covered by media_dedup + media_features). The 50 r10-green
+    SACRIFICED this round (21, deepest-evidence-first; they re-enter at
+    round 13 alongside ~29 of the 50 r11-green): the ten 6x-green dedup/
+    ANN core ops (ann_ivf, ann_lsh, dedup_exact, embedding_dedup,
+    minhash_dedup_pairs, minhash_signatures, ngram_jaccard_pairs,
+    simhash_dedup_pairs, simhash_signatures, token_count), the three
+    5x-green (dedup_clusters, dedup_incremental, quality_score), and
+    eight 4x-green whose families stay window-covered (media_frames,
+    media_meta_stats — mapInPandas plumbing covered by media_resize;
+    sessionize, user_sessions — the window-function sessionization core
+    covered by event_sequences/retention/funnel; stream_click_attr,
+    stream_dedup, stream_enrich, stream_sliding — the micro-batch
+    harness covered by the pytest streaming suite). The 50 r11-green
     queries sit behind the window as the freshest cohort.
 
     The bench re-orders tiers for measurement isolation ("streaming"-named
@@ -207,72 +209,67 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     def _pop_sql(*names: str) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return {n: sql.pop(n) for n in names}
 
-    # --- slot 1: the promoted round-10 staged operator ------------------
-    promoted = _pop("sketches", "events_quantile_sketch")
-    # --- slots 2-20: last green r08, the round-10 sacrifice cohort ------
-    stale_r08 = {
+    # --- slot 1: the promoted round-11 staged operator ------------------
+    promoted = _pop("similarity", "ivf_pq_topk")
+    # --- slots 2-21: last green r09, the round-11 sacrifice cohort ------
+    stale_r09 = {
         **_pop_sql(
-            "events_agg_count",
-            "events_cte_join",
-            "events_daily",
-            "events_latest",
-            "events_median",
-            "events_rolling",
-            "events_rollup",
-            "events_setops",
-            "events_topk",
-            "q2",
-            "q13",
-            "q15",
-            "q17",
-            "q20",
-            "q21",
-            "q22",
-            "q1_decimal",
+            "q1",
+            "q3",
+            "q4",
+            "q5",
+            "q6",
+            "q7",
+            "q8",
+            "q9",
+            "q10",
+            "q11",
+            "q12",
+            "q14",
+            "q16",
+            "q18",
+            "q19",
         ),
-        **_pop("similarity", "embedding_topk"),
-        **_pop("multimodal", "media_features"),
+        **_pop("text", "fingerprint", "lang_id", "text_stats"),
+        **_pop("curation", "stratified_sample"),
+        **_pop("multimodal", "media_resize"),
     }
-    # --- slots 21-29: r09-green with two green rows ----------------------
-    shallow_r09 = {
-        **_pop("graph", "bfs_hops_t3", "lpa_communities_t3", "triangle_count"),
-        **_pop("retrieval", "bm25_topk"),
-        **_pop("bpe", "bpe_merges_t2"),
-        **_pop("sketches", "cms_heavy_hitters"),
-        **_pop("selection", "dsir_weights"),
-        **_pop("dedup", "span_scrub", "winnow_fingerprints"),
+    # --- slots 22-25: r10-green with one or two green rows ---------------
+    shallow_r10 = {
+        **_pop("sketches", "domain_token_profile", "hll_distinct"),
+        **_pop("bpe", "bpe_apply"),
+        **_pop("curation", "weighted_sample"),
     }
-    # --- slots 30-49: twenty of the twenty-two thrice-green r09 queries
-    # (stratified_sample and media_resize sacrificed family-covered;
-    # see docstring) ------------------------------------------------------
-    mid_r09 = {
-        **_pop("joins", "bloom_semi_agg"),
-        **_pop("cdc", "cdc_apply_changes"),
+    # --- slots 26-46: all twenty-one thrice-green r10 queries ------------
+    mid_r10 = {
         **_pop(
-            "curation",
-            "chunk_documents",
-            "decontaminate",
-            "domain_mix",
-            "domain_resample",
-            "pack_sequences",
-            "pii_scrub",
-            "repetition_stats",
-            "shuffle_shards",
+            "analytics",
+            "anomaly_days",
+            "basket_pairs",
+            "event_sequences",
+            "events_json",
+            "events_percentiles",
+            "events_percentiles_hist",
+            "events_pivot",
+            "events_unpivot",
+            "funnel",
+            "retention",
+            "top_terms",
         ),
-        **_pop("pipeline", "corpus_pipeline"),
-        **_pop("custom", "custom_source_scan"),
-        **_pop("dedup", "dedup_clusters_star"),
-        **_pop("similarity", "embedding_quantize"),
-        **_pop("selection", "kmeans_assign", "token_budget_select"),
-        **_pop("multimodal", "media_dedup"),
-        **_pop("graph", "pagerank_nations"),
-        **_pop("analytics", "rollup_incremental", "sessionize_native"),
+        **_pop("dedup", "chunk_overlap", "minhash_pairs_skew", "ngram_span_dedup"),
+        **_pop_sql("events_window_funcs"),
+        **_pop("selection", "kmeans_lloyd_t3"),
+        **_pop("curation", "ngram_top", "split_assign"),
+        **_pop("joins", "salted_events_enrich"),
+        **_pop("similarity", "semantic_dedup"),
+        **_pop("profile", "table_profile"),
     }
-    # --- slot 50: r09-green micro-batch streaming; "streaming"-named
-    # tier so the bench still measures it last (RocksDB maintenance-
-    # thread isolation)
-    streaming_window = _pop("streaming", "stream_topk")
-    # `sql` now holds the sacrificed 5x-green TPC-H cohort (behind the window)
+    # --- slots 47-50: the four alphabetically-first 4x-green r10 ---------
+    deep_r10 = {
+        **_pop_sql("events_cube"),
+        **_pop("temporal", "events_asof", "events_kmv_distinct", "events_range_join"),
+    }
+    # `sql` now holds the sacrificed-behind-the-window SQL cohort
     tail_tiers = (
         "selection",
         "dedup",
@@ -296,10 +293,10 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     )
     out = [
         ("promoted", promoted),
-        ("stale-r08", stale_r08),
-        ("shallow-r09", shallow_r09),
-        ("mid-r09", mid_r09),
-        ("streaming-window", streaming_window),
+        ("stale-r09", stale_r09),
+        ("shallow-r10", shallow_r10),
+        ("mid-r10", mid_r10),
+        ("deep-r10", deep_r10),
         # ---- window boundary: exactly 50 entries above this line ----
         ("sql", sql),
         *[(n, by_name[n]) for n in tail_tiers],

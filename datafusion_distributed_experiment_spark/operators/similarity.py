@@ -678,19 +678,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": embedding_dedup,
         "semantic_dedup": semantic_dedup,
         "embedding_quantize": embedding_quantize,
+        # staged at round 11, promoted into the gate window at round 12
+        "ivf_pq_topk": ivf_pq_topk,
     }
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Round 11 stages :func:`ivf_pq_topk` (the one staged slot the
-    round-10 VERDICT budgeted — PQ-ANN composing the verified
-    embedding_quantize integer pipeline with ann_ivf's sqrt(N) lists); it
-    awaits a gate-window slot at the round-12 rotation."""
-    return {"ivf_pq_topk": ivf_pq_topk}
+    """Round 11 staged :func:`ivf_pq_topk`; it was promoted into the gate
+    window at the round-12 rotation (lead slot), so this tier is empty
+    again — the machinery stays for the next round's budgeted +1."""
+    return {}
 
 
 def staged_oracles() -> dict[str, str]:
-    return {"ivf_pq_topk": _ivf_pq_oracle()}
+    return {}
 
 
 _DOT_QV = DUCK_DOT.format(a="qv", b="v", n=DIM)
@@ -799,6 +800,7 @@ def _ivf_pq_oracle() -> str:
 
 def oracles() -> dict[str, str]:
     return {
+        "ivf_pq_topk": _ivf_pq_oracle(),
         "embedding_quantize": """
             WITH base AS (
                 SELECT vec_id,

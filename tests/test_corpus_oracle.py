@@ -104,46 +104,43 @@ def test_gate_window_rotation_leaves_no_query_unverified():
     )
 
 
-def test_round11_window_composition():
-    """Round-11 rotation, pinned by name: the promoted round-10 staged
-    operator (events_quantile_sketch — never driver-verified) leads, then
-    the 19 queries whose last green row is CORRECTNESS_r08 (the round-10
+def test_round12_window_composition():
+    """Round-12 rotation, pinned by name: the promoted round-11 staged
+    operator (ivf_pq_topk — never driver-verified) leads, then the 20
+    queries whose last green row is CORRECTNESS_r09 (the round-11
     sacrifice cohort — the rotation contract's re-entry point), then the
-    30 shallowest r09-green by total green-row depth (the ten twice-green
-    and twenty of the twenty-two thrice-green; stratified_sample and
-    media_resize are sacrificed family-covered — their md5-slice sampler
-    core and mapInPandas plumbing stay window-covered by in-window
-    siblings). Nothing r10-green occupies a window slot, and the 20
-    sacrificed queries re-enter at round 12.
+    29 shallowest r10-green by total green-row depth (the once-green
+    domain_token_profile, the three twice-green, all twenty-one
+    thrice-green, and the four alphabetically-first four-times-green).
+    Nothing r11-green occupies a window slot, and the 21 sacrificed
+    queries re-enter at round 13.
 
-    STALE BUDGET restated at the 120-query surface: 120 queries over a
-    50-slot window is a ceil(120/50) = 3-round full cycle, so the bound
+    STALE BUDGET restated at the 121-query surface: 121 queries over a
+    50-slot window is a ceil(121/50) = 3-round full cycle, so the bound
     remains "outside-window queries green within the THREE most recent
-    committed CORRECTNESS artifacts" — at this round that is r08 ∪ r09 ∪
-    r10, with the r08-only cohort occupying window slots (re-entering)
+    committed CORRECTNESS artifacts" — at this round that is r09 ∪ r10 ∪
+    r11, with the r09-only cohort occupying window slots (re-entering)
     rather than sitting outside."""
     names = list(entry_mod.queries())
     gated = set(names[:50])
-    assert names[0] == "events_quantile_sketch", (
+    assert names[0] == "ivf_pq_topk", (
         f"the promoted staged operator must lead the window; head is {names[0]}"
     )
-    stale_r08 = {
-        "events_agg_count", "events_cte_join", "events_daily",
-        "events_latest", "events_median", "events_rolling", "events_rollup",
-        "events_setops", "events_topk", "q2", "q13", "q15", "q17", "q20",
-        "q21", "q22", "q1_decimal", "embedding_topk", "media_features",
+    stale_r09 = {
+        "q1", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
+        "q12", "q14", "q16", "q18", "q19", "fingerprint", "lang_id",
+        "text_stats", "stratified_sample", "media_resize",
     }
-    assert set(names[1:20]) == stale_r08, (
-        f"the 19 r08-stale re-entries must follow the promoted op; slots "
-        f"2-20 are {names[1:20]}"
+    assert set(names[1:21]) == stale_r09, (
+        f"the 20 r09-stale re-entries must follow the promoted op; slots "
+        f"2-21 are {names[1:21]}"
     )
-    shallow_r09 = {
-        "bfs_hops_t3", "bm25_topk", "bpe_merges_t2", "cms_heavy_hitters",
-        "dsir_weights", "lpa_communities_t3", "span_scrub", "stream_topk",
-        "triangle_count", "winnow_fingerprints",
+    shallow_r10 = {
+        "domain_token_profile", "bpe_apply", "hll_distinct",
+        "weighted_sample",
     }
-    assert shallow_r09 <= gated, (
-        f"twice-green r09 ops not all in window: {shallow_r09 - gated}"
+    assert shallow_r10 <= gated, (
+        f"once/twice-green r10 ops not all in window: {shallow_r10 - gated}"
     )
     by_round = _green_rows_by_round()
     # nothing verified in the freshest committed artifact wastes a slot
@@ -152,19 +149,23 @@ def test_round11_window_composition():
     assert not fresh_in_window, (
         f"freshest-round-verified queries occupying window slots: {fresh_in_window}"
     )
-    # the sacrificed cohort is exactly the documented 20: the fifteen
-    # 5x-green TPC-H, the three 6x-green text ops, and the two
-    # family-covered thrice-green picks
+    # the sacrificed cohort is exactly the documented 21: the ten
+    # 6x-green dedup/ANN core ops, the three 5x-green, and the eight
+    # family-covered 4x-green picks
     sacrificed = {
-        "q1", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
-        "q12", "q14", "q16", "q18", "q19", "fingerprint", "lang_id",
-        "text_stats", "stratified_sample", "media_resize",
+        "ann_ivf", "ann_lsh", "dedup_exact", "embedding_dedup",
+        "minhash_dedup_pairs", "minhash_signatures", "ngram_jaccard_pairs",
+        "simhash_dedup_pairs", "simhash_signatures", "token_count",
+        "dedup_clusters", "dedup_incremental", "quality_score",
+        "media_frames", "media_meta_stats", "sessionize", "user_sessions",
+        "stream_click_attr", "stream_dedup", "stream_enrich",
+        "stream_sliding",
     }
     outside = set(names[50:])
-    r09_outside = outside & by_round[9] - by_round[10]
-    assert r09_outside == sacrificed, (
-        f"stale-budget drift: r09-green queries outside the window "
-        f"unexpected={r09_outside - sacrificed} missing={sacrificed - r09_outside}"
+    r10_outside = outside & by_round[10] - by_round[11]
+    assert r10_outside == sacrificed, (
+        f"stale-budget drift: r10-green queries outside the window "
+        f"unexpected={r10_outside - sacrificed} missing={sacrificed - r10_outside}"
     )
 
 
