@@ -45,7 +45,14 @@ def split_sql_script(script: str) -> list[str]:
     Spark's default string parsing honors backslashes), double-quoted
     tokens (string literals on Spark, identifiers on DuckDB — a ``;``
     inside is part of the token either way), ``--`` line comments, and
-    ``/* */`` block comments; empty statements dropped."""
+    ``/* */`` block comments; empty statements dropped.
+
+    ASSUMPTION: scripts target Spark's DEFAULT string semantics. Under
+    ANSI literal mode (``spark.sql.parser.escapedStringLiterals=true``,
+    or DuckDB-authored scripts) a literal ending in a backslash like
+    ``SELECT 'C:\\';`` would swallow the following ``;`` and merge two
+    statements — gate the backslash rule on the parser conf if scripts
+    ever target that mode."""
     statements: list[str] = []
     buf: list[str] = []
     quote: str | None = None  # the active quote char, ' or "
@@ -102,10 +109,12 @@ def _is_query_statement(stmt: str) -> bool:
     TABLE), as opposed to commands that also return columned frames
     (SET/SHOW/DESCRIBE/EXPLAIN) — ``sql_script``'s default-result rule.
     Leading comments are skipped with the same scanner rules as the
-    splitter (a ``-- note`` above the SELECT must not hide it)."""
+    splitter (a ``-- note`` above the SELECT must not hide it), and so are
+    leading ``(`` — ``(SELECT 1) UNION (SELECT 2)`` is a set-operation
+    query whose first keyword sits inside parentheses."""
     i, n = 0, len(stmt)
     while i < n:
-        if stmt[i].isspace():
+        if stmt[i].isspace() or stmt[i] == "(":
             i += 1
         elif stmt[i] == "-" and i + 1 < n and stmt[i + 1] == "-":
             j = stmt.find("\n", i)

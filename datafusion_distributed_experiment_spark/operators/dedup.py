@@ -946,7 +946,12 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         )
         prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         converged = prev_sum is None  # empty graph is trivially converged
-        for _ in range(MAX_CC_ITERS):
+        # +1: the sum fixpoint is OBSERVED one round after labels stabilize
+        # (equality needs a no-change round), so the cap must budget that
+        # extra observation round — MAX_CC_ITERS bounds CHANGING rounds,
+        # and a graph converging in exactly MAX_CC_ITERS of them must not
+        # raise a false non-convergence
+        for _ in range(MAX_CC_ITERS + 1):
             if converged:
                 break
             nbr_min = (
@@ -1026,7 +1031,10 @@ def connected_components_star(pairs: DataFrame, max_iters: int = 32) -> DataFram
 
         prev = _checksum(L)
         converged = prev[0] == 0  # edgeless graph is trivially converged
-        for _ in range(max_iters):
+        # +1 observation round, same as connected_components: the checksum
+        # fixpoint is seen one round after the edge set stabilizes, so
+        # max_iters bounds CHANGING rounds rather than observations
+        for _ in range(max_iters + 1):
             if converged:
                 break
             # ---- large-star: neighbors v > u attach to min(Γ(u) ∪ {u})

@@ -159,6 +159,13 @@ def scoped_session(spark: SparkSession, overrides: Mapping[str, str]) -> SparkSe
             pass
     for k, v in overrides.items():
         clone.conf.set(k, str(v))
+    # sweep dead entries before inserting: a dead parent weakref can never
+    # match again, and each stale entry would otherwise pin a cloned
+    # SparkSession's JVM session state forever across many short-lived
+    # sessions or data-derived override sets
+    dead = [k for k, (ref, _) in _scoped_cache.items() if ref() is None]
+    for k in dead:
+        del _scoped_cache[k]
     _scoped_cache[key] = (weakref.ref(spark), clone)
     return clone
 

@@ -263,6 +263,17 @@ def test_cc_raises_loudly_when_round_budget_exhausted(spark, monkeypatch):
     pairs = spark.createDataFrame(path, "doc_a: long, doc_b: long")
     with pytest.raises(ExecutionError, match="did not converge"):
         dedup.connected_components(pairs)
+    # round-12 review fix: the cap bounds CHANGING rounds, not
+    # observations — a path needing exactly MAX_CC_ITERS changing rounds
+    # converges via the budgeted extra no-change observation round instead
+    # of raising a false non-convergence
+    exact = spark.createDataFrame(
+        [(i, i + 1) for i in range(3)], "doc_a: long, doc_b: long"
+    )
+    labels = {
+        r["doc_id"]: r["cluster_id"] for r in dedup.connected_components(exact).collect()
+    }
+    assert labels == {i: 0 for i in range(4)}
     with pytest.raises(ExecutionError, match="did not converge"):
         # a 257-node path needs ~log2 rounds > 1 alternating-star round
         long_path = spark.createDataFrame(

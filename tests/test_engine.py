@@ -550,6 +550,54 @@ def test_sql_script_trailing_command_does_not_override_result(engine):
     assert df2.columns == ["y"]
 
 
+def test_sql_script_parenthesized_set_operation_is_a_result(engine):
+    """Round-12 review fix: a set-operation query whose first keyword sits
+    inside parentheses — ``(SELECT 1) UNION (SELECT 2)`` — is a RESULT
+    statement; the keyword matcher skips leading ``(`` like it skips
+    comments."""
+    df = engine.sql_script("(SELECT 1 AS z) UNION ALL (SELECT 2 AS z); SET x=1")
+    assert df is not None and df.columns == ["z"]
+    assert sorted(r["z"] for r in df.collect()) == [1, 2]
+
+
+def test_scoped_cache_sweeps_dead_parent_entries(spark):
+    """Round-12 review fix: cache entries whose parent session was GC'd can
+    never match again (the identity check requires the LIVE parent), so the
+    insert path sweeps them — otherwise each pins a cloned SparkSession's
+    JVM session state forever across short-lived parents or data-derived
+    override sets."""
+    from datafusion_distributed_experiment_spark.session import (
+        _scoped_cache,
+        scoped_session,
+    )
+
+    class FakeSession:
+        """Duck-typed parent: newSession/sql/conf are the only calls."""
+
+        def __init__(self, real):
+            self._real = real
+
+        def newSession(self):
+            return self._real.newSession()
+
+        def sql(self, q):
+            return self._real.sql(q)
+
+    fake = FakeSession(spark)
+    scoped_session(fake, {"spark.sql.shuffle.partitions": "3"})
+    dead_keys = [k for k in _scoped_cache if k[0] == id(fake)]
+    assert dead_keys, "the fake parent's clone must have been cached"
+    del fake
+    import gc
+
+    gc.collect()
+    # next insert sweeps the dead entry
+    scoped_session(spark, {"spark.sql.shuffle.partitions": "5"})
+    assert all(
+        _scoped_cache[k][0]() is not None for k in _scoped_cache
+    ), "dead-parent entries must be swept on insert"
+
+
 def test_check_constraints_empty_frame_and_empty_rules(engine):
     """Round-11 review fix: SUM over zero rows is NULL — an empty frame
     reports zero violations, and an empty rule set is a no-op."""
