@@ -572,15 +572,23 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("xp", F.expr("transform(v, x -> CAST(FLOOR(1e6 * x) AS BIGINT))"))
         .localCheckpoint()  # fit (count/max + seed collect) + encode share the scan
     )
+    centroids, cb, seed_rows = _pq_fit(vecs)
+    enc = _pq_encode(vecs, centroids, cb)
+    return _pq_serve(spark, vecs, enc, centroids, cb, seed_rows)
+
+
+def _pq_fit(vecs: DataFrame) -> tuple[list, list, list]:
+    """The PQ model fit: headroom guard + ONE KB-scale model-state collect
+    via the shared :func:`_ivf_fit` step — coarse centroids (vec_id < k),
+    PQ codebook seeds (vec_id < PQ_CODES), query vectors
+    (vec_id < PQ_QUERIES); the count rides the headroom aggregate, so the
+    fit stays one pass + one collect. Returns
+    ``(centroids, codebook, seed_rows)``."""
     head = vecs.agg(
         F.count("*").alias("n"),
         F.max(F.expr("array_max(transform(xp, a -> abs(a)))")).alias("mx"),
     ).collect()[0]
     check_adc_headroom(int(head["mx"] or 0))
-    # One KB-scale model-state collect via the shared fit step: coarse
-    # centroids (vec_id < k), PQ codebook seeds (vec_id < PQ_CODES), query
-    # vectors (vec_id < PQ_QUERIES) — the count rides the headroom
-    # aggregate above, so the fit stays one pass + one collect.
     _, seed_rows, centroids = _ivf_fit(
         vecs,
         n=int(head["n"]),
@@ -588,6 +596,36 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra_cols=("xp",),
     )
     cb = _pq_codebook([list(r["xp"]) for r in seed_rows if r["vec_id"] < PQ_CODES])
+    return centroids, cb, seed_rows
+
+
+def _pq_encode(vecs: DataFrame, centroids: list, cb: list) -> DataFrame:
+    """Encode + coarse-assign ``(vec_id, list_id, codes)``: one map-only
+    projection (codes are literal-codebook argmins, list_id the
+    literal-centroid argmax) — the corpus is scanned once and never
+    exchanged. This IS the index-build pass a production pipeline persists
+    (:func:`ivf_pq_index_build`); :func:`ivf_pq_topk` consumes it
+    in-flight."""
+    return _ivf_assign(vecs, centroids).select(
+        "vec_id",
+        "list_id",
+        F.array(*[F.expr(_pq_code_expr(m, cb[m])) for m in range(PQ_M)]).alias("codes"),
+    )
+
+
+def _pq_serve(
+    spark: SparkSession,
+    vecs: DataFrame,
+    enc: DataFrame,
+    centroids: list,
+    cb: list,
+    seed_rows: list,
+    n_queries: int = PQ_QUERIES,
+) -> DataFrame:
+    """The PQ probe/ADC/shortlist/refine pipeline over an encoded corpus
+    ``enc`` (in-flight from :func:`_pq_encode`, or the persisted index
+    read back by :func:`ivf_pq_index_build`'s serve half — pre-filtered to
+    the probed lists there, so bucket pruning applies)."""
     # Per-query ADC lookup tables: lut[m][c] = <query subslice m, codebook
     # entry c> in exact integer arithmetic (associative — Python, Spark
     # and DuckDB cannot disagree). 30 queries x 8 x 16 BIGINTs: KB state.
@@ -606,18 +644,10 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
         for r in seed_rows
-        if r["vec_id"] < PQ_QUERIES
+        if r["vec_id"] < n_queries
     ]
     lut_df = spark.createDataFrame(luts, schema="query_id bigint, lut array<array<bigint>>")
-    # Encode + coarse-assign: one map-only projection (codes are literal-
-    # codebook argmins, list_id the literal-centroid argmax) — the corpus
-    # is scanned once and never exchanged before the probe join.
-    enc = _ivf_assign(vecs, centroids).select(
-        "vec_id",
-        "list_id",
-        F.array(*[F.expr(_pq_code_expr(m, cb[m])) for m in range(PQ_M)]).alias("codes"),
-    )
-    probes = _ivf_probes(vecs.filter(F.col("vec_id") < PQ_QUERIES), centroids).select(
+    probes = _ivf_probes(vecs.filter(F.col("vec_id") < n_queries), centroids).select(
         "query_id", "list_id"
     )
     probe_lut = probes.join(lut_df, "query_id")  # 120 x 30 rows, both tiny
@@ -651,7 +681,7 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "neighbor_id",
     )
-    queries_df = vecs.filter(F.col("vec_id") < PQ_QUERIES).select(
+    queries_df = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
@@ -670,6 +700,94 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF-PQ persisted-index layout (ivf_pq_index_build, staged round 12):
+# the build-once/probe-many split of the ivf_pq_topk kernel. The index is
+# a bucketed parquet table hashed on list_id so a probe's IN-filter prunes
+# whole buckets at plan time (SelectedBucketsCount in the scan) — the
+# persistent form of the probe join's shuffle, paid once at build time.
+# Fixed location (build overwrites, serve + the DuckDB oracle read back):
+# the build/serve pair runs inside ONE invocation, so the path carries no
+# scale suffix — each invocation rebuilds at its own sf before probing.
+IVF_PQ_INDEX_BUCKETS = 32
+IVF_PQ_INDEX_TABLE = "ivf_pq_index"
+IVF_PQ_INDEX_PATH = "/root/repo/spark-warehouse/ivf_pq_index"
+
+
+def ivf_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index build/serve split — the production ANN lifecycle at
+    100 TB (FAISS on-disk IndexIVFPQ; the reference's register-tables-
+    then-query shape, reference ``benchmarks/src/tpch/run.rs:311-345``):
+    the expensive corpus pass (encode + coarse-assign, :func:`_pq_encode`)
+    is paid ONCE and persisted as a parquet table BUCKETED on ``list_id``
+    (``Engine.write_bucketed`` — the shuffle paid at write time), then the
+    serve half probes the PERSISTED index: the probed-list IN-filter
+    prunes whole buckets at plan time (``SelectedBucketsCount`` in the
+    scan — a probe touches IVF_PROBE of ~sqrt(N) lists, so at scale a
+    query batch reads a vanishing fraction of the index bytes), and the
+    ADC/shortlist/refine pipeline (:func:`_pq_serve`) is shared verbatim
+    with :func:`ivf_pq_topk`, so the result is bit-identical to the
+    in-flight operator.
+
+    Scale shape: build = one map-only corpus pass + one bucketed write
+    (the only corpus exchange, paid once); serve = bucket-pruned index
+    scan (PQ_M bytes/vector of ADC traffic) joined map-side against the
+    broadcast (query x probe x LUT) side, shortlist + refine exactly as
+    ivf_pq_topk (plan-pinned there; the serve addition pinned here is the
+    bucket pruning). The model state (centroids, codebook, query LUTs) is
+    KB-scale and deterministic from the corpus seed rows, so the DuckDB
+    oracle refits it from the embeddings table while reading
+    ``(vec_id, list_id, codes)`` from the PERSISTED index parquet — a
+    green row proves the on-disk round trip, not just the logical
+    pipeline."""
+    vecs = (
+        _vectors(spark, sf_dir)
+        .withColumn("xp", F.expr("transform(v, x -> CAST(FLOOR(1e6 * x) AS BIGINT))"))
+        .localCheckpoint()  # fit + encode + serve-side fetch share the scan
+    )
+    centroids, cb, seed_rows = _pq_fit(vecs)
+    from ..engine import Engine
+
+    index = Engine(spark).write_bucketed(
+        _pq_encode(vecs, centroids, cb),
+        IVF_PQ_INDEX_TABLE,
+        IVF_PQ_INDEX_PATH,
+        ["list_id"],
+        n_buckets=IVF_PQ_INDEX_BUCKETS,
+        sort_cols=["list_id", "vec_id"],
+    )
+    return serve_pq_index(spark, vecs, index, centroids, cb, seed_rows)
+
+
+def serve_pq_index(
+    spark: SparkSession,
+    vecs: DataFrame,
+    index: DataFrame,
+    centroids: list,
+    cb: list,
+    seed_rows: list,
+    n_queries: int = PQ_QUERIES,
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index: restrict the index scan to the
+    probed lists FIRST (the IN-filter on the bucket column is what turns
+    into bucket pruning — ``SelectedBucketsCount`` — on a bucketed table),
+    then run the shared ADC/shortlist/refine pipeline. The probed-list set
+    is model-state scale (<= PQ_QUERIES x IVF_PROBE ids, a driver-side
+    collect of ~100 longs — the centroid-collect contract, never data)."""
+    probed = sorted(
+        {
+            int(r["list_id"])
+            for r in _ivf_probes(
+                vecs.filter(F.col("vec_id") < n_queries), centroids
+            )
+            .select("list_id")
+            .distinct()
+            .collect()
+        }
+    )
+    pruned = index.filter(F.col("list_id").isin(probed))
+    return _pq_serve(spark, vecs, pruned, centroids, cb, seed_rows, n_queries=n_queries)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "embedding_topk": embedding_topk,
@@ -684,14 +802,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Round 11 staged :func:`ivf_pq_topk`; it was promoted into the gate
-    window at the round-12 rotation (lead slot), so this tier is empty
-    again — the machinery stays for the next round's budgeted +1."""
-    return {}
+    """Round 12 stages :func:`ivf_pq_index_build` (the one staged slot the
+    round-11 VERDICT budgeted — the build-once/probe-many split of the
+    promoted ivf_pq_topk kernel: persist the encoded corpus as a bucketed
+    table, then serve probes reading only the probed buckets); it awaits a
+    gate-window slot at the round-13 rotation."""
+    return {"ivf_pq_index_build": ivf_pq_index_build}
 
 
 def staged_oracles() -> dict[str, str]:
-    return {}
+    return {"ivf_pq_index_build": _ivf_pq_index_oracle()}
 
 
 _DOT_QV = DUCK_DOT.format(a="qv", b="v", n=DIM)
@@ -773,6 +893,78 @@ def _ivf_pq_oracle() -> str:
             JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
             JOIN codes c ON c.vec_id = a.vec_id
             JOIN cb ON cb.seed = c.code0
+            GROUP BY p.query_id, a.vec_id
+        ), short AS (
+            SELECT query_id, neighbor_id, adc_score FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC
+                ) AS arn FROM scored
+            ) WHERE arn <= {PQ_RERANK}
+        ), rer AS (
+            SELECT s.query_id, s.neighbor_id, s.adc_score,
+                   CAST(FLOOR(1e6 * {DUCK_DOT.format(a="q.v", b="nb.v", n=DIM)}
+                        / (q.nrm * nb.nrm)) AS BIGINT) AS cos_ppm
+            FROM short s
+            JOIN vecs q ON q.vec_id = s.query_id
+            JOIN vecs nb ON nb.vec_id = s.neighbor_id
+        ), ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id ASC
+            ) AS BIGINT) AS rank
+            FROM rer
+        )
+        SELECT query_id, neighbor_id, adc_score, cos_ppm, rank FROM ranked
+        WHERE rank <= {PQ_TOP_K} ORDER BY query_id, rank
+    """
+
+
+def _ivf_pq_index_oracle() -> str:
+    """DuckDB replay of the index-build/serve pipeline that reads
+    ``(vec_id, list_id, codes)`` from the PERSISTED index parquet — the
+    encode CTEs of :func:`_ivf_pq_oracle` are REPLACED by a scan of the
+    files :func:`ivf_pq_index_build` just wrote, so a hash match proves
+    the bucketed on-disk round trip (assignment AND codes, for every
+    probed list), not merely the logical dataflow. The KB-scale model
+    (centroids, codebook, query LUT inputs) is refit from the embeddings
+    view — deterministic from the same seed rows on both engines. The
+    codebook CTE carries the 1-based seed RANK (codes index codebook
+    positions, not seed vec_ids — they differ whenever the seed set is
+    not contiguous from 0)."""
+    adc_dot = " + ".join(
+        f"p.qxp[mm.m*{PQ_SUB}+{j}] * cb.cxp[mm.m*{PQ_SUB}+{j}]"
+        for j in range(1, PQ_SUB + 1)
+    )
+    coarse = DUCK_DOT.format(a="x.v", b="cent.cv", n=DIM)
+    return f"""
+        WITH {_DUCK_VECS}, xpt AS (
+            SELECT vec_id, v, nrm,
+                   list_transform(v, x -> CAST(FLOOR(1e6 * x) AS BIGINT)) AS xp
+            FROM vecs
+        ), idx AS (
+            SELECT vec_id, list_id, codes
+            FROM read_parquet('{IVF_PQ_INDEX_PATH}/*.parquet')
+        ), cent AS (
+            SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs
+            WHERE vec_id < (SELECT GREATEST({IVF_K_MIN}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM vecs)
+        ), cb AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS c, xp AS cxp
+            FROM xpt WHERE vec_id < {PQ_CODES}
+        ), probes AS (
+            SELECT vec_id AS query_id, qxp, cid AS list_id FROM (
+                SELECT x.vec_id, x.xp AS qxp, cent.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY x.vec_id
+                           ORDER BY {coarse} / (x.nrm * cent.cnrm) DESC, cent.cid ASC
+                       ) AS rn
+                FROM xpt x CROSS JOIN cent WHERE x.vec_id < {PQ_QUERIES}
+            ) WHERE rn <= {IVF_PROBE}
+        ), scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   CAST(SUM({adc_dot}) AS BIGINT) AS adc_score
+            FROM probes p
+            JOIN idx a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+            CROSS JOIN range({PQ_M}) mm(m)
+            JOIN cb ON cb.c = a.codes[mm.m + 1]
             GROUP BY p.query_id, a.vec_id
         ), short AS (
             SELECT query_id, neighbor_id, adc_score FROM (

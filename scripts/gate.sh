@@ -41,7 +41,8 @@ python scripts/verify_correctness.py /root/testdata/sf0.1 \
   minhash_dedup_pairs dedup_incremental dedup_clusters \
   minhash_pairs_skew kmeans_lloyd_t3 ngram_span_dedup \
   stream_topk hll_distinct weighted_sample bpe_apply \
-  domain_token_profile events_quantile_sketch ivf_pq_topk >> "$ART" 2>&1
+  domain_token_profile events_quantile_sketch ivf_pq_topk \
+  ivf_pq_index_build >> "$ART" 2>&1
 SF01_RC=$?
 
 # Spill-pressure pass: sort/window/as-of queries under 128-row force-spill

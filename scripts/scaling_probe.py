@@ -88,6 +88,10 @@ PROBE_OPS = [
     # the probe join broadcasts the query side — candidate volume should
     # grow ~sqrt(N) per query, never N
     "ivf_pq_topk",
+    # round-12 staged: the same serve kernel over a PERSISTED bucketed
+    # index — build adds one bucketed write (linear in the corpus), serve
+    # reads only probed buckets, so growth must track ivf_pq_topk's
+    "ivf_pq_index_build",
 ]
 
 

@@ -59,6 +59,12 @@ SPILL_QUERIES = (
     # partial/final WindowGroupLimit sorts — the integer scores must
     # hash-match with those sort buffers forced to disk
     "ivf_pq_topk",
+    # round-12 staged: the serve half runs the same candidate-row
+    # WindowGroupLimit sorts as ivf_pq_topk, but over codes read back
+    # from the PERSISTED bucketed index — the integer scores must
+    # hash-match with those sort buffers forced to disk AND the disk
+    # round trip in the path
+    "ivf_pq_index_build",
 )
 FORCE_SPILL_ROWS = "128"
 

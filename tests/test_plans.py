@@ -1199,6 +1199,39 @@ def test_ivf_pq_corpus_never_shuffles(spark):
     assert "FileScan parquet" not in plan, plan[:3000]
 
 
+def test_ivf_pq_index_serve_reads_bucketed_pruned_index(spark):
+    """The staged index-build/serve split's scale contract: the returned
+    (serve) plan's ONLY parquet scan is the persisted bucketed index, and
+    that scan carries a bucket-pruning spec (SelectedBucketsCount out of
+    IVF_PQ_INDEX_BUCKETS) from the probed-list IN-filter — the persistent
+    form of "the corpus never shuffles": at 100 TB the probe batch reads
+    only the probed lists' buckets, PQ_M bytes per vector. Downstream the
+    serve kernel is shared with ivf_pq_topk verbatim, so the same
+    exchange budget holds: two candidate-window hash exchanges + the
+    presentation sort, broadcast probe/shortlist sides, never an SMJ.
+    (The per-query pruning bound — one query touches <= IVF_PROBE of the
+    32 buckets — and prune soundness are pinned in
+    tests/test_ivf_pq_index.py.)"""
+    from datafusion_distributed_experiment_spark.operators.similarity import (
+        IVF_PQ_INDEX_BUCKETS,
+        ivf_pq_index_build,
+    )
+
+    from .conftest import SF_DIR
+
+    df = ivf_pq_index_build(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+    assert f"SelectedBucketsCount:" in plan and f"out of {IVF_PQ_INDEX_BUCKETS}" in plan, (
+        plan[:3000]
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+    assert plan.count("Exchange rangepartitioning") == 1, plan[:3000]
+    assert plan.count("BroadcastHashJoin") >= 3 and "BuildLeft" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, plan[:3000]
+    assert plan.count("WindowGroupLimit") == 4, plan[:3000]
+
+
 def test_streaming_micro_batch_plan_shapes(spark):
     """Executed micro-batch audits for the four bounded-replay streaming
     queries (captured by run_to_completion — streaming plans never surface
