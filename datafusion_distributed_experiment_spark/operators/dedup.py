@@ -907,9 +907,11 @@ def _unconverged(kind: str, iters: int):
     from ..errors import ExecutionError
 
     return ExecutionError(
-        f"{kind} did not converge within {iters} rounds — the result would "
-        "be silently wrong cluster labels; raise the round cap, or use "
-        "connected_components_star for high-diameter graphs"
+        f"{kind} did not converge within {iters} changing rounds "
+        f"({iters + 1} executed, incl. the budgeted fixpoint-observation "
+        "round) — the result would be silently wrong cluster labels; raise "
+        "the round cap, or use connected_components_star for high-diameter "
+        "graphs"
     )
 
 

@@ -621,11 +621,15 @@ def _pq_serve(
     cb: list,
     seed_rows: list,
     n_queries: int = PQ_QUERIES,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """The PQ probe/ADC/shortlist/refine pipeline over an encoded corpus
     ``enc`` (in-flight from :func:`_pq_encode`, or the persisted index
     read back by :func:`ivf_pq_index_build`'s serve half — pre-filtered to
-    the probed lists there, so bucket pruning applies)."""
+    the probed lists there, so bucket pruning applies). ``probes``
+    overrides the (query_id, list_id) probe assignment — the index serve
+    path already collected it for the bucket-pruning filter and hands the
+    KB-scale local frame back instead of re-scoring the K centroids."""
     # Per-query ADC lookup tables: lut[m][c] = <query subslice m, codebook
     # entry c> in exact integer arithmetic (associative — Python, Spark
     # and DuckDB cannot disagree). 30 queries x 8 x 16 BIGINTs: KB state.
@@ -647,10 +651,14 @@ def _pq_serve(
         if r["vec_id"] < n_queries
     ]
     lut_df = spark.createDataFrame(luts, schema="query_id bigint, lut array<array<bigint>>")
-    probes = _ivf_probes(vecs.filter(F.col("vec_id") < n_queries), centroids).select(
-        "query_id", "list_id"
-    )
-    probe_lut = probes.join(lut_df, "query_id")  # 120 x 30 rows, both tiny
+    if probes is None:
+        probes = _ivf_probes(vecs.filter(F.col("vec_id") < n_queries), centroids).select(
+            "query_id", "list_id"
+        )
+    # broadcast the LUT side explicitly: both sides are KB-scale, but when
+    # the probe side arrives as a collected local frame (the index serve
+    # path) Catalyst would otherwise shuffle BOTH tiny sides on query_id
+    probe_lut = probes.join(F.broadcast(lut_df), "query_id")  # 120 x 30 rows
     pairs = F.broadcast(probe_lut).join(enc, "list_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
@@ -773,19 +781,24 @@ def serve_pq_index(
     then run the shared ADC/shortlist/refine pipeline. The probed-list set
     is model-state scale (<= PQ_QUERIES x IVF_PROBE ids, a driver-side
     collect of ~100 longs — the centroid-collect contract, never data)."""
-    probed = sorted(
-        {
-            int(r["list_id"])
-            for r in _ivf_probes(
-                vecs.filter(F.col("vec_id") < n_queries), centroids
-            )
-            .select("list_id")
-            .distinct()
-            .collect()
-        }
-    )
+    probe_rows = [
+        (int(r["query_id"]), int(r["list_id"]))
+        for r in _ivf_probes(vecs.filter(F.col("vec_id") < n_queries), centroids)
+        .select("query_id", "list_id")
+        .collect()
+    ]
+    probed = sorted({list_id for _, list_id in probe_rows})
     pruned = index.filter(F.col("list_id").isin(probed))
-    return _pq_serve(spark, vecs, pruned, centroids, cb, seed_rows, n_queries=n_queries)
+    # hand the collected probe set back to the serve kernel as a local
+    # frame: the K-centroid probe scoring already ran for the pruning
+    # filter, so re-deriving it inside _pq_serve would be a duplicate job
+    probes_df = spark.createDataFrame(
+        probe_rows, schema="query_id bigint, list_id bigint"
+    )
+    return _pq_serve(
+        spark, vecs, pruned, centroids, cb, seed_rows,
+        n_queries=n_queries, probes=probes_df,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

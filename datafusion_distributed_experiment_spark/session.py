@@ -162,10 +162,13 @@ def scoped_session(spark: SparkSession, overrides: Mapping[str, str]) -> SparkSe
     # sweep dead entries before inserting: a dead parent weakref can never
     # match again, and each stale entry would otherwise pin a cloned
     # SparkSession's JVM session state forever across many short-lived
-    # sessions or data-derived override sets
-    dead = [k for k, (ref, _) in _scoped_cache.items() if ref() is None]
+    # sessions or data-derived override sets. list() snapshots the items
+    # and pop() tolerates concurrent removal — this function is called
+    # from concurrently-running operators (the docstring's whole point),
+    # so the sweep must not iterate the live dict while a sibling inserts
+    dead = [k for k, (ref, _) in list(_scoped_cache.items()) if ref() is None]
     for k in dead:
-        del _scoped_cache[k]
+        _scoped_cache.pop(k, None)
     _scoped_cache[key] = (weakref.ref(spark), clone)
     return clone
 
