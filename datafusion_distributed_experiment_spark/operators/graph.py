@@ -172,21 +172,24 @@ def check_threshold_headroom(n_pairs: int, max_w: int) -> None:
         )
 
 
-def check_orientation_key_headroom(max_node_id: int) -> None:
+def check_orientation_key_headroom(max_node_id: int, min_node_id: int = 0) -> None:
     """Raise PlanningError when a node id would collide in the degree-
     ordered orientation key ``deg * ORIENT_KEY_BASE + id`` (ids must stay
-    below :data:`ORIENT_KEY_BASE`; e.g. deg-2/id-5 and deg-1/id-1000005
-    both key to 2000005, silently dropping triangles). Pure so the trip
+    in ``[0, ORIENT_KEY_BASE)``; e.g. deg-2/id-5 and deg-1/id-1000005
+    both key to 2000005 — and a NEGATIVE id reaches down into the next
+    lower degree band the same way (deg-2/id--5 keys like deg-1/id-999995)
+    — silently dropping triangles in either direction). Pure so the trip
     condition is unit-testable without a million-node graph (the
     check_threshold_headroom pattern)."""
-    if max_node_id >= ORIENT_KEY_BASE:
+    if max_node_id >= ORIENT_KEY_BASE or min_node_id < 0:
         from ..errors import PlanningError
 
         raise PlanningError(
-            f"triangle orientation key collides at node id {max_node_id} >= "
-            f"ORIENT_KEY_BASE={ORIENT_KEY_BASE}; rescale ORIENT_KEY_BASE "
+            f"triangle orientation key collides at node ids outside "
+            f"[0, ORIENT_KEY_BASE={ORIENT_KEY_BASE}) (observed min "
+            f"{min_node_id}, max {max_node_id}); rescale ORIENT_KEY_BASE "
             "above the id space (key headroom: deg * BASE + id must fit "
-            "int64) or densify node ids before counting"
+            "int64) or densify node ids to non-negative before counting"
         )
 
 
@@ -267,10 +270,11 @@ def triangle_frame(kept: DataFrame) -> DataFrame:
     not crash — colliding keys break the total order, edges orient
     arbitrarily, and the strict wedge join silently drops triangles."""
     head = kept.agg(
-        F.greatest(F.max("u"), F.max("v")).alias("mx")
+        F.greatest(F.max("u"), F.max("v")).alias("mx"),
+        F.least(F.min("u"), F.min("v")).alias("mn"),
     ).collect()[0]
     if head["mx"] is not None:
-        check_orientation_key_headroom(int(head["mx"]))
+        check_orientation_key_headroom(int(head["mx"]), int(head["mn"]))
     deg = (
         kept.select(F.col("u").alias("node"))
         .unionAll(kept.select(F.col("v").alias("node")))

@@ -364,9 +364,15 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance_narrow_scan(
         spark.read.parquet(path).select("doc_id", "text"), path
     )
-    mod = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col("doc_id") % 3).cast("int") + 1,
+    # CASE, not element_at(array, doc_id % 3 + 1): Spark's % keeps the
+    # dividend sign, so a negative doc_id indexes 0 or -1 — index 0 THROWS
+    # on Spark (INVALID_INDEX_OF_ZERO) while the DuckDB oracle's CASE
+    # falls to ELSE 'video' and succeeds. The CASE spelling matches the
+    # oracle branch-for-branch at every doc_id sign
+    mod = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
     )
     nchars = F.length("text")
     width = F.when(mod != "audio", nchars % 640 + 32).cast("integer")

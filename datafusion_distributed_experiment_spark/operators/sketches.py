@@ -45,6 +45,42 @@ def _events_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_events(spark, sf_dir).select("user_id")
 
 
+def check_cms_hash_headroom(max_abs_user_id: int) -> None:
+    """Raise PlanningError when the affine bucket hash ``A_d*u + B_d``
+    could exceed int64: with ANSI off Spark silently WRAPS the
+    multiplication (returning a sketch built on wrapped buckets) while
+    DuckDB raises — a succeed-vs-crash engine divergence, worse than
+    either failure alone. Pure so the trip condition is unit-testable
+    without a pathological key space (the check_heavy_flag pattern)."""
+    i64 = 2**63 - 1
+    if max_abs_user_id > (i64 - max(CMS_B)) // max(CMS_A):
+        from ..errors import PlanningError
+
+        raise PlanningError(
+            f"cms affine hash would exceed int64 headroom at |user_id| = "
+            f"{max_abs_user_id} (bound {(i64 - max(CMS_B)) // max(CMS_A)}); "
+            "densify or rescale the key space before sketching"
+        )
+
+
+def check_ppm_headroom(total_tokens: int, total_est_distinct: int) -> None:
+    """Raise PlanningError when the exact-integer ppm forms
+    ``(1_000_000 * x) DIV total`` could exceed int64 (x is bounded by its
+    total, so the totals bound both numerators). With ANSI off Spark
+    would wrap silently where DuckDB raises. Pure so the trip condition
+    is unit-testable without a 9-trillion-token corpus."""
+    i64 = 2**63 - 1
+    worst = max(total_tokens, total_est_distinct)
+    if worst > i64 // 1_000_000:
+        from ..errors import PlanningError
+
+        raise PlanningError(
+            f"ppm share arithmetic would exceed int64 headroom at total = "
+            f"{worst} (bound {i64 // 1_000_000}); shard the profile or "
+            "switch the share arithmetic to decimal(38,0)"
+        )
+
+
 def check_heavy_flag_headroom(n_events: int, n_users: int) -> None:
     """Raise PlanningError when the cross-multiplied heavy test
     ``est * n_users * HH_DEN > n_events * HH_NUM`` could exceed int64 on
@@ -103,6 +139,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = ev.agg(
         F.count("*").cast("long").alias("n_events"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.max(F.abs(F.col("user_id"))).cast("long").alias("max_abs_u"),
     ).localCheckpoint()
     probes = truth.select(
         "user_id",
@@ -133,6 +170,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anyway; the check is one scalar collect.
     trow = total.collect()[0]
     check_heavy_flag_headroom(trow["n_events"], trow["n_users"])
+    # …and the affine bucket hash's (A_d*u wraps silently on Spark with
+    # ANSI off, raises on DuckDB — a succeed-vs-crash divergence)
+    if trow["max_abs_u"] is not None:
+        check_cms_hash_headroom(int(trow["max_abs_u"]))
     return (
         est.crossJoin(F.broadcast(total))
         .select(
@@ -242,7 +283,16 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.events import read_events
     from .temporal import hash48
 
-    ev = read_events(spark, sf_dir).select("event_type", "user_id")
+    # NULL keys are excluded EXPLICITLY (COUNT(DISTINCT) semantics, the
+    # kmv_distinct doctrine): hash48(NULL) is a NULL register bucket that
+    # inflates n_buckets without contributing to sum_nz — corrupting
+    # n_zero_registers and the estimate identically in both engines, so
+    # the oracle could never see it on NULL-bearing data
+    ev = (
+        read_events(spark, sf_dir)
+        .select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())
+    )
     h = ev.select(
         "event_type",
         hash48(F.col("user_id")).alias("h"),
@@ -387,16 +437,46 @@ def domain_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-fanout sketch build — executes once per consumer (measured: 6
     # parquet scans instead of 3). prof is sources-sized (KB), so the
     # checkpoint is the standard multi-consumer fix, not a data copy.
-    prof = per_src.join(est, "source").join(exact, "source").localCheckpoint()
+    # LEFT joins with zero defaults: a source whose documents ALL tokenize
+    # to empty has no sketch/exact group, and an inner join would silently
+    # drop it from the profile — corrupting dataset accounting, the exact
+    # failure this family's doctrine forbids (mirrored in the oracle)
+    prof = (
+        per_src.join(est, "source", "left")
+        .join(exact, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            F.coalesce("est_distinct_tokens", F.lit(0))
+            .cast("long")
+            .alias("est_distinct_tokens"),
+            F.coalesce("exact_distinct_tokens", F.lit(0))
+            .cast("long")
+            .alias("exact_distinct_tokens"),
+        )
+        .localCheckpoint()
+    )
     totals = prof.agg(
         F.sum("src_tokens").alias("total_tokens"),
         F.sum("est_distinct_tokens").alias("total_est_distinct"),
     )
-    share = F.floor(F.lit(1e6) * F.col("src_tokens") / F.col("total_tokens")).cast(
-        "long"
+    # Guard the exact-integer ppm forms' int64 headroom (1e6 * x must fit):
+    # the 1-row totals are KB state computed off the checkpointed profile,
+    # so the check is one scalar collect (the cms/bm25 guard pattern)
+    trow = totals.collect()[0]
+    check_ppm_headroom(
+        int(trow["total_tokens"] or 0), int(trow["total_est_distinct"] or 0)
     )
-    div_share = F.floor(
-        F.lit(1e6) * F.col("est_distinct_tokens") / F.col("total_est_distinct")
+    # ppm shares in the EXACT integer cross-multiplied form — the double
+    # spelling floor(1e6 * x / y) rounds through one IEEE quotient whose
+    # ulp can cross the integer boundary for totals past ~4.5e9 tokens
+    # (and loses integer precision past 2^53), wrongly on BOTH engines
+    # identically, which the module doctrine (and any third engine)
+    # forbids
+    share = F.expr("(1000000 * src_tokens) DIV total_tokens").cast("long")
+    div_share = F.expr(
+        "(1000000 * est_distinct_tokens) DIV total_est_distinct"
     ).cast("long")
     return (
         prof.crossJoin(F.broadcast(totals))
@@ -411,7 +491,10 @@ def domain_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             # greatest(share, 1): share_ppm floors to 0 for a <1 ppm source;
             # an unguarded division would NULL the declared integer output
             # (mirrored in the DuckDB oracle)
-            F.floor(F.lit(1e6) * div_share / F.greatest(share, F.lit(1)))
+            F.expr(
+                "(1000000 * ((1000000 * est_distinct_tokens) DIV total_est_distinct))"
+                " DIV greatest((1000000 * src_tokens) DIV total_tokens, 1)"
+            )
             .cast("long")
             .alias("weight_ppm"),
         )
@@ -458,20 +541,21 @@ def _domain_profile_oracle() -> dict[str, str]:
                        CAST(SUM(len({toks})) AS BIGINT) AS src_tokens
                 FROM documents GROUP BY source
             ), prof AS (
-                SELECT source, n_docs, src_tokens, est_distinct_tokens,
-                       exact_distinct_tokens
-                FROM per_src JOIN est USING (source) JOIN exact USING (source)
+                SELECT source, n_docs, src_tokens,
+                       CAST(COALESCE(est_distinct_tokens, 0) AS BIGINT) AS est_distinct_tokens,
+                       CAST(COALESCE(exact_distinct_tokens, 0) AS BIGINT) AS exact_distinct_tokens
+                FROM per_src LEFT JOIN est USING (source) LEFT JOIN exact USING (source)
             ), totals AS (
                 SELECT SUM(src_tokens) AS total_tokens,
                        SUM(est_distinct_tokens) AS total_est_distinct
                 FROM prof
             )
             SELECT source, n_docs, src_tokens,
-                   CAST(FLOOR(1e6 * src_tokens / total_tokens) AS BIGINT) AS share_ppm,
+                   CAST((1000000 * src_tokens) // total_tokens AS BIGINT) AS share_ppm,
                    est_distinct_tokens, exact_distinct_tokens,
-                   CAST(FLOOR(1e6 * est_distinct_tokens / total_est_distinct) AS BIGINT) AS div_share_ppm,
-                   CAST(FLOOR(1e6 * CAST(FLOOR(1e6 * est_distinct_tokens / total_est_distinct) AS BIGINT)
-                              / GREATEST(CAST(FLOOR(1e6 * src_tokens / total_tokens) AS BIGINT), 1)) AS BIGINT) AS weight_ppm
+                   CAST((1000000 * est_distinct_tokens) // total_est_distinct AS BIGINT) AS div_share_ppm,
+                   CAST((1000000 * ((1000000 * est_distinct_tokens) // total_est_distinct))
+                        // GREATEST((1000000 * src_tokens) // total_tokens, 1) AS BIGINT) AS weight_ppm
             FROM prof CROSS JOIN totals
             ORDER BY source
         """,
@@ -512,9 +596,13 @@ def quantile_sketch_sample(
         hash48(F.col("event_id")).alias("h"),
         (F.col("event_id") % shards).alias("shard"),
     )
-    # level 1: per-shard partial sketch (bottom-k by hash; event_id breaks
-    # hash ties so the order is total and both engines retain identical rows)
-    w1 = Window.partitionBy("event_type", "shard").orderBy("h", "event_id")
+    # level 1: per-shard partial sketch (bottom-k by hash; event_id then
+    # value_cents break ties so retention is a total order even under
+    # duplicate event_ids — rows still tied after value_cents are
+    # identical rows, where either choice yields the same output)
+    w1 = Window.partitionBy("event_type", "shard").orderBy(
+        "h", "event_id", "value_cents"
+    )
     l1 = (
         hashed.withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") <= k)
@@ -522,7 +610,7 @@ def quantile_sketch_sample(
     )
     # level 2: the merge operator IS bottom-k again, over the union of
     # partial sketches — shards*k rows per type, never the fact stream
-    w2 = Window.partitionBy("event_type").orderBy("h", "event_id")
+    w2 = Window.partitionBy("event_type").orderBy("h", "event_id", "value_cents")
     return (
         l1.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= k)
@@ -560,7 +648,18 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.events import read_events
 
-    ev = read_events(spark, sf_dir).select("event_type", "event_id", "value_cents")
+    # NULL event_id/value_cents rows are excluded EXPLICITLY (the
+    # kmv/hll doctrine): hash48(NULL) has no deterministic identity and
+    # the two engines rank NULLs at OPPOSITE ends of an ascending window
+    # (Spark NULLS FIRST, DuckDB NULLS LAST) — a NULL row inside a
+    # >k-row group would silently swap the retained sample between
+    # engines; NULL values additionally have no rank in value space
+    # (SQL aggregate semantics)
+    ev = (
+        read_events(spark, sf_dir)
+        .select("event_type", "event_id", "value_cents")
+        .filter(F.col("event_id").isNotNull() & F.col("value_cents").isNotNull())
+    )
     sample = quantile_sketch_sample(ev)
     # exact rank selection WITHIN the k-row sample (ceil-rank integer form)
     ws = Window.partitionBy("event_type").orderBy("value_cents", "event_id")
@@ -610,7 +709,10 @@ def _quantile_sketch_oracle() -> dict[str, str]:
     )
     return {
         "events_quantile_sketch": f"""
-            WITH e AS ({DUCK_EVENTS_MS}),
+            WITH e0 AS ({DUCK_EVENTS_MS}),
+            e AS (
+                SELECT * FROM e0
+                WHERE event_id IS NOT NULL AND value_cents IS NOT NULL),
             hashed AS (
                 SELECT event_type, event_id, value_cents, {h48} AS h,
                        event_id % {QSKETCH_SHARDS} AS shard
@@ -618,12 +720,14 @@ def _quantile_sketch_oracle() -> dict[str, str]:
             l1 AS (
                 SELECT event_type, event_id, value_cents, h FROM (
                     SELECT *, ROW_NUMBER() OVER (
-                        PARTITION BY event_type, shard ORDER BY h, event_id) AS rn
+                        PARTITION BY event_type, shard
+                        ORDER BY h, event_id, value_cents) AS rn
                     FROM hashed) WHERE rn <= {QSKETCH_K}),
             l2 AS (
                 SELECT event_type, event_id, value_cents FROM (
                     SELECT *, ROW_NUMBER() OVER (
-                        PARTITION BY event_type ORDER BY h, event_id) AS rn
+                        PARTITION BY event_type
+                        ORDER BY h, event_id, value_cents) AS rn
                     FROM l1) WHERE rn <= {QSKETCH_K}),
             ranked AS (
                 SELECT event_type, value_cents,
@@ -668,8 +772,11 @@ def _hll_oracle() -> dict[str, str]:
     )
     return {
         "hll_distinct": f"""
-            WITH h AS (
-                SELECT event_type, {h48} AS h FROM events
+            WITH ev AS (
+                SELECT event_type, user_id FROM events
+                WHERE user_id IS NOT NULL
+            ), h AS (
+                SELECT event_type, {h48} AS h FROM ev
             ), rho AS (
                 SELECT event_type, h % {HLL_M} AS bucket,
                        {_HLL_W_BITS + 1} - ({_bitlen_ladder(f'(h // {HLL_M})')}) AS rho
@@ -685,7 +792,7 @@ def _hll_oracle() -> dict[str, str]:
             ), exact AS (
                 SELECT event_type,
                        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
-                FROM events GROUP BY event_type
+                FROM ev GROUP BY event_type
             )
             SELECT event_type,
                    CAST({HLL_M} - n_buckets AS BIGINT) AS n_zero_registers,

@@ -183,6 +183,14 @@ def test_orientation_key_guard_trips_and_passes(spark):
     kept = spark.createDataFrame([(1, big), (big, 2), (1, 2)], "u long, v long")
     with pytest.raises(PlanningError, match="orientation key"):
         triangle_frame(kept)
+    # round-12 review fix: NEGATIVE ids reach down into the next lower
+    # degree band the same way (deg-2/id--5 keys like deg-1/id-999995) and
+    # silently drop triangles — the guard must reject them too
+    with pytest.raises(PlanningError, match="orientation key"):
+        check_orientation_key_headroom(10, -1)
+    neg = spark.createDataFrame([(-5, 1), (1, 2), (2, -5)], "u long, v long")
+    with pytest.raises(PlanningError, match="orientation key"):
+        triangle_frame(neg)
 
 
 def test_pagerank_frame_empty_graph_returns_empty(spark):

@@ -278,3 +278,31 @@ def test_decode_ppm_maxval_roundtrip_property():
         assert (got.astype(dtype) == arr).all()
 
     check()
+
+
+def test_synthetic_media_modality_matches_oracle_case_on_negative_ids(spark, tmp_path):
+    """Round-12 review fix: the modality lookup was
+    element_at(array(...), doc_id % 3 + 1), which THROWS on Spark for
+    doc_id % 3 == -1 (array index 0) while the DuckDB oracle's
+    CASE ... ELSE 'video' returns a row — a sign-of-modulo
+    succeed-vs-crash divergence. The CASE spelling must return the
+    oracle's branch for every doc_id sign, never raise."""
+    d = tmp_path / "docs_neg"
+    d.mkdir()
+    rows = [(i, "s", f"text {i}") for i in (-4, -3, -2, -1, 0, 1, 2, 3)]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {
+        r["media_id"]: r["modality"]
+        for r in mm.synthetic_media(spark, str(d)).collect()
+    }
+
+    def oracle_case(doc_id: int) -> str:
+        # both engines' % keeps the dividend sign (C-style remainder);
+        # Python's % floors, so spell the truncation explicitly
+        r = doc_id - int(doc_id / 3) * 3
+        return {0: "image", 1: "audio"}.get(r, "video")
+
+    for doc_id, modality in got.items():
+        assert modality == oracle_case(doc_id), (doc_id, modality)

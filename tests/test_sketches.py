@@ -707,3 +707,206 @@ def test_bottom_k_merge_is_associative_property(ids, k, shards):
         per_shard.setdefault(i % shards, []).append((h, i))
     merged = set(sorted(x for v in per_shard.values() for x in sorted(v)[:k])[:k])
     assert merged == direct
+
+
+# --------------------------------------------------------------------- #
+# Round-12 hardening sweep: latent divergences the oracle cannot see on
+# the NULL-free synthetic data (the round-11 sweep's doctrine)
+# --------------------------------------------------------------------- #
+
+
+def _events_with_nulls(tmp_path, cols) -> str:
+    """sf0.001 events plus rows carrying NULLs in each of ``cols`` — the
+    adversarial fixture the NULL-exclusion contracts are pinned on; only
+    the columns the operator under test FILTERS are nulled, because a row
+    nulled elsewhere is a legitimate extra event that changes totals.
+    Built with pyarrow so the ts column type (and the unit-adaptive
+    reader's footer probe) round-trips untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+
+    def _nulled(col: str) -> pa.Table:
+        head = t.slice(0, 3)
+        i = head.schema.get_field_index(col)
+        return head.set_column(
+            i, head.schema.field(i), pa.nulls(3, head.schema.field(i).type)
+        )
+
+    out = pa.concat_tables([t, *(_nulled(c) for c in cols)])
+    d = tmp_path / "events_nulls"
+    d.mkdir()
+    pq.write_table(out, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_hll_excludes_null_keys(spark, tmp_path):
+    """COUNT(DISTINCT) semantics for the HLL sketch, pinned after a
+    review-found ORACLE-BLIND defect (round 12): hash48(NULL) is a NULL
+    register bucket that inflates n_buckets without contributing to
+    sum_nz — corrupting n_zero_registers and the estimate IDENTICALLY in
+    both engines, so only a constructed NULL-bearing corpus can see it.
+    NULL-keyed rows must change nothing."""
+    import duckdb
+
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        _hll_oracle,
+        hll_distinct,
+    )
+
+    nulls_dir = _events_with_nulls(tmp_path, ["user_id"])
+    got = [tuple(r) for r in hll_distinct(spark, nulls_dir).collect()]
+    clean = [tuple(r) for r in hll_distinct(spark, SF_DIR).collect()]
+    assert got == clean, "NULL-keyed rows must not perturb the sketch"
+    # cross-engine on the SAME adversarial data: the fixed oracle must
+    # agree with the fixed Spark side where the old pair agreed on being
+    # wrong together
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{nulls_dir}/events.parquet'"
+    )
+    odf = con.execute(_hll_oracle()["hll_distinct"]).df()
+    assert [tuple(r) for r in odf.itertuples(index=False)] == got
+
+
+def test_quantile_sketch_excludes_null_rows(spark, tmp_path):
+    """The rank sketch's NULL contract, pinned after a review-found
+    ENGINE-ORDERING divergence (round 12): Spark ranks NULLs FIRST in an
+    ascending window, DuckDB LAST, so a NULL event_id (NULL hash) or NULL
+    value_cents row inside a >k-row group silently swaps the retained
+    sample between engines. Both spellings now exclude such rows at the
+    source; a NULL-bearing corpus must produce the clean corpus's
+    output on BOTH engines."""
+    import duckdb
+
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        _quantile_sketch_oracle,
+        events_quantile_sketch,
+    )
+
+    # 'value' is the raw column; value_cents derives from it in
+    # read_events, and NULL propagates through the cents quantization
+    nulls_dir = _events_with_nulls(tmp_path, ["event_id", "value"])
+    got = [tuple(r) for r in events_quantile_sketch(spark, nulls_dir).collect()]
+    clean = [tuple(r) for r in events_quantile_sketch(spark, SF_DIR).collect()]
+    assert got == clean, "NULL-keyed/valued rows must not perturb the sketch"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{nulls_dir}/events.parquet'"
+    )
+    odf = con.execute(_quantile_sketch_oracle()["events_quantile_sketch"]).df()
+    assert [tuple(r) for r in odf.itertuples(index=False)] == got
+
+
+def test_quantile_sketch_total_order_under_duplicate_ids(spark):
+    """Retention is a total order even under DUPLICATE event_ids (round-12
+    review: (h, event_id) tied for two rows with different value_cents,
+    making the bottom-k boundary row partition-order dependent): the
+    value_cents tie-break pins it. Same retained multiset at 1 vs 8
+    shuffle partitions on a constructed duplicate-heavy frame."""
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        QSKETCH_K,
+        quantile_sketch_sample,
+    )
+
+    # 4 * QSKETCH_K rows, every event_id duplicated with two values
+    n = 2 * QSKETCH_K
+    base = spark.range(n).select(
+        F.lit("t").alias("event_type"),
+        (F.col("id") % (n // 2)).alias("event_id"),
+        (F.col("id") * 17 % 1000).cast("long").alias("value_cents"),
+    )
+
+    def run():
+        return sorted(
+            (r["event_id"], r["value_cents"])
+            for r in quantile_sketch_sample(base).collect()
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        one = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        eight = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert one == eight and len(one) == QSKETCH_K
+
+
+def test_cms_hash_headroom_guard():
+    """Overflow-guard family contract for the affine bucket hash (round-12
+    review: A_d*u wraps silently on Spark with ANSI off while DuckDB
+    raises — a succeed-vs-crash divergence the heavy-flag guard did not
+    cover): pure function, pass at any sane key space, trip before an
+    int64 product can wrap."""
+    from datafusion_distributed_experiment_spark.errors import PlanningError
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        CMS_A,
+        CMS_B,
+        check_cms_hash_headroom,
+    )
+
+    bound = (2**63 - 1 - max(CMS_B)) // max(CMS_A)
+    check_cms_hash_headroom(0)
+    check_cms_hash_headroom(bound)
+    with pytest.raises(PlanningError, match="affine hash"):
+        check_cms_hash_headroom(bound + 1)
+
+
+def test_ppm_headroom_guard():
+    """Overflow-guard family contract for the profile's exact-integer ppm
+    forms (1_000_000 * x must fit int64): pure, trips at the bound."""
+    from datafusion_distributed_experiment_spark.errors import PlanningError
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        check_ppm_headroom,
+    )
+
+    bound = (2**63 - 1) // 1_000_000
+    check_ppm_headroom(0, 0)
+    check_ppm_headroom(bound, bound)
+    with pytest.raises(PlanningError, match="ppm share"):
+        check_ppm_headroom(bound + 1, 0)
+    with pytest.raises(PlanningError, match="ppm share"):
+        check_ppm_headroom(0, bound + 1)
+
+
+def test_domain_profile_keeps_empty_sources(spark, tmp_path):
+    """Dataset-accounting doctrine, pinned after a review-found
+    ORACLE-BLIND drop (round 12): a source whose every document tokenizes
+    to empty had no sketch/exact group and the inner joins removed it from
+    the profile ENTIRELY — identically in both engines. LEFT joins with
+    zero defaults keep it; cross-engine agreement pinned on the same
+    adversarial corpus."""
+    import duckdb
+
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        _domain_profile_oracle,
+        domain_token_profile,
+    )
+
+    d = tmp_path / "docs_empty_source"
+    d.mkdir()
+    rows = [
+        (1, "web", "alpha beta gamma"),
+        (2, "web", "delta epsilon"),
+        (3, "silent", ""),
+        (4, "silent", "   "),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {r["source"]: tuple(r) for r in domain_token_profile(spark, str(d)).collect()}
+    assert set(got) == {"web", "silent"}, "empty source must stay in the profile"
+    silent = got["silent"]
+    # (source, n_docs, src_tokens, share_ppm, est, exact, div_share, weight)
+    assert silent[1] == 2 and silent[2] == 0 and silent[4] == 0 and silent[5] == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    odf = con.execute(_domain_profile_oracle()["domain_token_profile"]).df()
+    assert {tuple(r) for r in odf.itertuples(index=False)} == set(got.values())
