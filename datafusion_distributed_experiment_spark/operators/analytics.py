@@ -49,6 +49,20 @@ from ..streaming.stateful import DEFAULT_GAP_MS as SESSION_GAP_MS
 
 MS_PER_DAY = 86_400_000
 
+
+def _fdiv(num: str, den: int, div: str = "DIV") -> str:
+    """FLOOR-division SQL fragment shared by both engines (only the
+    division token differs): Spark ``DIV`` and DuckDB ``//`` both truncate
+    toward ZERO, so an uncorrected epoch-day bucket 0 would span two
+    calendar days (-86399999..86399999 ms) for pre-epoch timestamps —
+    identically in both spellings, which is exactly why the cross-engine
+    gate could never see it (round-12 review). The CASE correction makes
+    the bucket a true floor, matching date_trunc-style day keys."""
+    return (
+        f"(({num}) {div} {den} - (CASE WHEN ({num}) % {den} < 0 "
+        f"THEN 1 ELSE 0 END))"
+    )
+
 #: Funnel stage sequence: a later stage only counts when it happens strictly
 #: after the (first qualifying occurrence of the) previous stage.
 FUNNEL_STAGES = ("view", "click", "purchase")
@@ -112,9 +126,36 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``user_id`` hash exchange and one sort (same partitioning + ordering —
     plan-asserted). State per user is O(1); no self-joins, no per-stage
     re-scans of the fact table."""
+    # NULL (ts_ms, event_id) rows have no position in the cascade's
+    # ordering, and the engines rank NULLs at opposite window ends —
+    # excluded on both sides (round-12 review)
     return funnel_frame(
-        read_events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts_ms")
+        read_events(spark, sf_dir)
+        .select("event_id", "user_id", "event_type", "ts_ms")
+        .filter(F.col("ts_ms").isNotNull() & F.col("event_id").isNotNull())
     )
+
+
+def check_anomaly_headroom(max_days: int, max_cnt: int) -> None:
+    """Raise PlanningError when anomaly_days' squared z-test could exceed
+    int64: the largest intermediates are ``dev^2 <= (n*max_cnt)^2`` and
+    ``4*(n*q - s^2) <= 4*(n*max_cnt)^2``, so the binding bound is
+    ``n * max_cnt <= isqrt(int64_max // 4)`` (~1.5e9 — 1e6 events/day
+    needs < ~1500 active days; beyond that promote to decimal(38,0)).
+    Pure so the trip condition is unit-testable without a pathological
+    stream (the cms/bm25 guard pattern)."""
+    import math
+
+    i64 = 2**63 - 1
+    if max_days > 0 and max_days * max_cnt > math.isqrt(i64 // 4):
+        from ..errors import PlanningError
+
+        raise PlanningError(
+            f"anomaly z-test would exceed int64 headroom at max_days="
+            f"{max_days}, max_cnt={max_cnt} (bound n*max_cnt <= "
+            f"{math.isqrt(i64 // 4)}); pre-scale counts or promote the "
+            "test arithmetic to decimal(38,0)"
+        )
 
 
 def retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,8 +167,10 @@ def retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``user_id``); the cohort aggregate then shuffles per-user-DAY rows —
     already collapsed far below the fact-table row count. Weeks are integer
     day//7 buckets of the epoch-day, so no calendar/timezone dependency."""
-    ev = read_events(spark, sf_dir).select(
-        "user_id", F.expr(f"ts_ms DIV {MS_PER_DAY}").alias("day")
+    # NULL-ts events have no day and are excluded explicitly (mirrored in
+    # the oracle); day/week keys are true FLOOR divisions (see _fdiv)
+    ev = read_events(spark, sf_dir).filter(F.col("ts_ms").isNotNull()).select(
+        "user_id", F.expr(_fdiv("ts_ms", MS_PER_DAY)).alias("day")
     )
     # Collapse to per-user-day BEFORE windowing: the window then runs over
     # active-day rows, not raw events.
@@ -136,8 +179,8 @@ def retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = days.withColumn("first_day", F.min("day").over(wu))
     return (
         staged.select(
-            F.expr("first_day DIV 7").alias("cohort_week"),
-            F.expr("day DIV 7 - first_day DIV 7").alias("week_offset"),
+            F.expr(_fdiv("first_day", 7)).alias("cohort_week"),
+            F.expr(f"{_fdiv('day', 7)} - {_fdiv('first_day', 7)}").alias("week_offset"),
             "user_id",
         )
         .groupBy("cohort_week", "week_offset")
@@ -153,8 +196,8 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial/final aggregate — at 100 TB the implicit form would scan the
     fact table twice. Absent (day, type) combinations surface as 0, matching
     the oracle's ``COUNT(*) FILTER`` spelling."""
-    ev = read_events(spark, sf_dir).select(
-        F.expr(f"ts_ms DIV {MS_PER_DAY}").alias("day"), "event_type"
+    ev = read_events(spark, sf_dir).filter(F.col("ts_ms").isNotNull()).select(
+        F.expr(_fdiv("ts_ms", MS_PER_DAY)).alias("day"), "event_type"
     )
     # count(lit(1)), not count("*"): Pivot's aggregate slot rejects the star.
     pivoted = (
@@ -179,7 +222,15 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, not a join-back. This is the oracle-verifiable exact
     baseline — at 100 TB a mergeable sketch replaces the per-group sort,
     but group-local sorts (values of ONE type per task) also spill fine."""
-    ev = read_events(spark, sf_dir).select("event_type", "value_cents", "event_id")
+    # NULL values have no rank (SQL aggregate semantics), and the two
+    # engines rank NULLs at OPPOSITE ends of an ascending window (Spark
+    # NULLS FIRST, DuckDB NULLS LAST) — exclude them explicitly, and the
+    # NULL-id tie-break rows with them (mirrored in the oracle)
+    ev = (
+        read_events(spark, sf_dir)
+        .select("event_type", "value_cents", "event_id")
+        .filter(F.col("value_cents").isNotNull() & F.col("event_id").isNotNull())
+    )
     wo = Window.partitionBy("event_type").orderBy("value_cents", "event_id")
     wp = Window.partitionBy("event_type")
     staged = ev.select(
@@ -224,7 +275,13 @@ def events_percentiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle (vs interpolated estimates, which would reintroduce float
     divergence). A production variant would take the domain from parquet
     footer min/max instead of pass 1."""
-    ev = read_events(spark, sf_dir).select("event_type", "value_cents")
+    # NULL values bin to NULL and sort at OPPOSITE window ends per engine
+    # (the events_percentiles contract) — excluded on both sides
+    ev = (
+        read_events(spark, sf_dir)
+        .select("event_type", "value_cents")
+        .filter(F.col("value_cents").isNotNull())
+    )
     stats = ev.groupBy("event_type").agg(
         F.min("value_cents").alias("mn"),
         F.max("value_cents").alias("mx"),
@@ -276,17 +333,29 @@ def anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     The z-score test is cleared of division and square roots so it is exact
     in int64: with n = user's active days, S = sum of counts, Q = sum of
     squared counts, flag when ``(n*cnt - S)^2 > 4*(n*Q - S^2)``
-    (both sides are the original inequality times n^2; 4 = z^2). Bounds: at
-    1e6 events/user-day and 1e4 days, n*Q fits int64 with margin; beyond
-    that, promote to decimal(38,0).
+    (both sides are the original inequality times n^2; 4 = z^2). Bounds
+    are GUARDED, not assumed (round-12 review — the previous claim that
+    1e6 events/day x 1e4 days fits was false: n*Q reaches 1e20 there):
+    :func:`check_anomaly_headroom` raises once ``n * max_cnt`` exceeds
+    ``isqrt(int64_max/4)`` (~1.5e9); beyond that promote to
+    decimal(38,0).
 
     Scale shape: the fact table collapses to per-user-day counts first (one
     exchange); the moment statistics are frame-less windows over those tiny
     rows on the SAME user partitioning."""
-    ev = read_events(spark, sf_dir).select(
-        "user_id", F.expr(f"ts_ms DIV {MS_PER_DAY}").alias("day")
+    ev = read_events(spark, sf_dir).filter(F.col("ts_ms").isNotNull()).select(
+        "user_id", F.expr(_fdiv("ts_ms", MS_PER_DAY)).alias("day")
     )
     daily = ev.groupBy("user_id", "day").agg(F.count("*").cast("long").alias("cnt"))
+    # Guard the squared z-test's int64 headroom (the cms/bm25 pattern):
+    # with ANSI off Spark WRAPS dev*dev / n*q silently while DuckDB's
+    # HUGEINT window sums stay exact or raise — a silent cross-engine flag
+    # flip. One KB-scale aggregate over the (already collapsed) daily rows.
+    head = daily.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.max("cnt").alias("mc")
+    ).agg(F.max("n").alias("n"), F.max("mc").alias("mc")).collect()[0]
+    if head["n"] is not None:
+        check_anomaly_headroom(int(head["n"]), int(head["mc"]))
     wu = Window.partitionBy("user_id")
     staged = daily.select(
         "user_id",
@@ -336,7 +405,10 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tf.join(F.broadcast(dfreq), "term").select(
         "doc_id",
         "term",
-        F.floor(F.lit(1e6) * F.col("tf") / F.col("df")).cast("long").alias("score_ppm"),
+        # exact integer form — the double spelling's IEEE quotient can
+        # floor wrongly once 1e6*tf nears 2^53 (the domain_token_profile
+        # lesson); tf is doc-length-bounded so the product fits int64
+        F.expr("(1000000 * tf) DIV df").cast("long").alias("score_ppm"),
     )
     wd = Window.partitionBy("doc_id").orderBy(F.col("score_ppm").desc(), F.col("term"))
     return (
@@ -408,7 +480,14 @@ def event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by per-user activity, not corpus size; a pathological hub user
     would be chunked upstream (see ``curation.chunk_documents`` for the
     pattern)."""
-    ev = read_events(spark, sf_dir).select("user_id", "ts_ms", "event_id", "event_type")
+    # NULL (ts_ms, event_id) rows have no position in the sequence order
+    # (array_sort vs string_agg NULL placement differs) — excluded on
+    # both sides (round-12 review)
+    ev = (
+        read_events(spark, sf_dir)
+        .select("user_id", "ts_ms", "event_id", "event_type")
+        .filter(F.col("ts_ms").isNotNull() & F.col("event_id").isNotNull())
+    )
     return (
         ev.groupBy("user_id")
         .agg(
@@ -449,7 +528,13 @@ def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lag form emits the raw last-event time.) One shuffle on (user_id,
     session candidates); session state merges associatively in the
     partial/final aggregate."""
-    ev = read_events(spark, sf_dir).select("user_id", "ts_ms")
+    # a NULL event time has no session; the lag oracle would rank it at
+    # the opposite window end anyway — excluded on both sides
+    ev = (
+        read_events(spark, sf_dir)
+        .select("user_id", "ts_ms")
+        .filter(F.col("ts_ms").isNotNull())
+    )
     return session_windows_frame(ev).orderBy("user_id", "start_ms")
 
 
@@ -529,9 +614,15 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events(spark, sf_dir)
     cutoff = ev.agg(
-        F.max(F.expr(f"ts_ms DIV {MS_PER_DAY}"))
+        F.max(F.expr(_fdiv("ts_ms", MS_PER_DAY)))
     ).collect()[0][0]  # the "new" day (1 scalar)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # NULL-ts rows satisfy NEITHER time filter and would silently vanish
+    # from the split while the full-recompute oracle counted them — an
+    # unstamped fact cannot be maintained incrementally, so both spellings
+    # exclude it explicitly (round-12 review)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("ts").isNotNull()
+    )
     if cutoff is None:
         # empty (or all-null-ts) stream: an empty rollup, not a TypeError
         # from None * MS_PER_DAY below (review fix, round 11)
@@ -593,7 +684,9 @@ def oracles() -> dict[str, str]:
     )
     return {
         "funnel": f"""
-            WITH e AS ({DUCK_EVENTS_MS}),
+            WITH e0 AS ({DUCK_EVENTS_MS}),
+            e AS (SELECT * FROM e0
+                  WHERE ts_ms IS NOT NULL AND event_id IS NOT NULL),
             w1 AS (
                 SELECT user_id, event_type, ts_ms,
                        MIN(CASE WHEN event_type = 'view' THEN ts_ms END) OVER (
@@ -620,22 +713,23 @@ def oracles() -> dict[str, str]:
         "retention": f"""
             WITH e AS ({DUCK_EVENTS_MS}),
             days AS (
-                SELECT DISTINCT user_id, ts_ms // {MS_PER_DAY} AS day FROM e),
+                SELECT DISTINCT user_id, {_fdiv('ts_ms', MS_PER_DAY, '//')} AS day
+                FROM e WHERE ts_ms IS NOT NULL),
             staged AS (
                 SELECT user_id, day,
                        MIN(day) OVER (PARTITION BY user_id) AS first_day
                 FROM days)
-            SELECT first_day // 7 AS cohort_week,
-                   day // 7 - first_day // 7 AS week_offset,
+            SELECT {_fdiv('first_day', 7, '//')} AS cohort_week,
+                   {_fdiv('day', 7, '//')} - {_fdiv('first_day', 7, '//')} AS week_offset,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM staged
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "events_pivot": f"""
             WITH e AS ({DUCK_EVENTS_MS})
-            SELECT ts_ms // {MS_PER_DAY} AS day,
+            SELECT {_fdiv('ts_ms', MS_PER_DAY, '//')} AS day,
                    {pivot_cols}
-            FROM e GROUP BY 1 ORDER BY 1
+            FROM e WHERE ts_ms IS NOT NULL GROUP BY 1 ORDER BY 1
         """,
         "events_percentiles": f"""
             WITH e AS ({DUCK_EVENTS_MS}),
@@ -643,14 +737,15 @@ def oracles() -> dict[str, str]:
                 SELECT event_type, value_cents,
                        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value_cents, event_id) AS rn,
                        COUNT(*) OVER (PARTITION BY event_type) AS cnt
-                FROM e)
+                FROM e WHERE value_cents IS NOT NULL AND event_id IS NOT NULL)
             SELECT event_type,
                    CAST(MAX(cnt) AS BIGINT) AS n_events,
                    {pct_cols}
             FROM staged GROUP BY event_type ORDER BY event_type
         """,
         "events_percentiles_hist": f"""
-            WITH e AS ({DUCK_EVENTS_MS}),
+            WITH e0 AS ({DUCK_EVENTS_MS}),
+            e AS (SELECT * FROM e0 WHERE value_cents IS NOT NULL),
             stats AS (
                 SELECT event_type, MIN(value_cents) AS mn, MAX(value_cents) AS mx,
                        COUNT(*) AS n
@@ -680,9 +775,9 @@ def oracles() -> dict[str, str]:
         "anomaly_days": f"""
             WITH e AS ({DUCK_EVENTS_MS}),
             daily AS (
-                SELECT user_id, ts_ms // {MS_PER_DAY} AS day,
+                SELECT user_id, {_fdiv('ts_ms', MS_PER_DAY, '//')} AS day,
                        CAST(COUNT(*) AS BIGINT) AS cnt
-                FROM e GROUP BY 1, 2),
+                FROM e WHERE ts_ms IS NOT NULL GROUP BY 1, 2),
             staged AS (
                 SELECT user_id, day, cnt,
                        COUNT(*) OVER (PARTITION BY user_id) AS n,
@@ -700,13 +795,15 @@ def oracles() -> dict[str, str]:
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(value_cents) AS BIGINT) AS total_cents
-            FROM e GROUP BY event_type ORDER BY event_type
+            FROM e WHERE ts_ms IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
         """,
         # > gap: an event EXACTLY gap after the previous one still merges
         # (session_window extends while next_ts <= current end), see
         # sessionize_native's docstring.
         "sessionize_native": f"""
-            WITH e AS ({DUCK_EVENTS_MS}),
+            WITH e0 AS ({DUCK_EVENTS_MS}),
+            e AS (SELECT * FROM e0 WHERE ts_ms IS NOT NULL),
             gaps AS (
                 SELECT user_id, ts_ms,
                        CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
@@ -738,28 +835,43 @@ def oracles() -> dict[str, str]:
         """,
         "events_unpivot": f"""
             WITH e AS ({DUCK_EVENTS_MS}),
-            d AS (SELECT DISTINCT ts_ms // {MS_PER_DAY} AS day FROM e),
+            d AS (SELECT DISTINCT {_fdiv('ts_ms', MS_PER_DAY, '//')} AS day
+                  FROM e WHERE ts_ms IS NOT NULL),
             t AS (SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in EVENT_TYPES)}) AS v(event_type)),
-            c AS (SELECT ts_ms // {MS_PER_DAY} AS day, event_type, COUNT(*) AS n
-                  FROM e GROUP BY 1, 2)
+            c AS (SELECT {_fdiv('ts_ms', MS_PER_DAY, '//')} AS day, event_type, COUNT(*) AS n
+                  FROM e WHERE ts_ms IS NOT NULL GROUP BY 1, 2)
             SELECT d.day, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
             FROM d CROSS JOIN t
             LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
             ORDER BY d.day, t.event_type
         """,
         "event_sequences": f"""
-            WITH e AS ({DUCK_EVENTS_MS})
+            WITH e0 AS ({DUCK_EVENTS_MS}),
+            e AS (SELECT * FROM e0
+                  WHERE ts_ms IS NOT NULL AND event_id IS NOT NULL)
             SELECT user_id,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    string_agg(event_type, ' ' ORDER BY ts_ms, event_id) AS seq
             FROM e GROUP BY user_id ORDER BY user_id
         """,
+        # json_valid + TRY_CAST mirror Spark from_json's NULL-on-malformed
+        # contract: bare json_extract/CAST RAISES on the first malformed or
+        # non-numeric payload, a crash-vs-answer divergence on exactly the
+        # rows this query exists to absorb (round-12 review)
         "events_json": """
-            SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
+            WITH k AS (
+                SELECT CASE WHEN json_valid(props)
+                            AND json_type(json_extract(props, '$.k'))
+                                IN ('BIGINT', 'UBIGINT')
+                            THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       END AS k,
+                       CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+                FROM events)
+            SELECT k // 10 AS k_decile,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
-                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
-                   CAST(COUNT(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END) AS BIGINT) AS n_null
-            FROM events
+                   CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+                   CAST(COUNT(CASE WHEN k IS NULL THEN 1 END) AS BIGINT) AS n_null
+            FROM k
             GROUP BY 1 ORDER BY 1
         """,
         "top_terms": f"""
@@ -772,7 +884,7 @@ def oracles() -> dict[str, str]:
                 SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
             scored AS (
                 SELECT doc_id, term,
-                       CAST(FLOOR(1e6 * tf / df) AS BIGINT) AS score_ppm
+                       CAST((1000000 * tf) // df AS BIGINT) AS score_ppm
                 FROM tf JOIN dfreq USING (term)),
             ranked AS (
                 SELECT doc_id, term, score_ppm,

@@ -49,7 +49,15 @@ def _total_value() -> Column:
     :data:`_DUCK_TOTAL_VALUE`) must share: a plain double SUM is
     fold-order-dependent and would hash-mismatch across engines, and a
     precision retune edited in one site but not the others silently breaks
-    a query's oracle."""
+    a query's oracle.
+
+    DOMAIN PRECONDITION (round-12 review, documented rather than guarded —
+    there is no natural collect point in a streaming hot path): |value|
+    must stay below ~9.2e14 (int64_max / 1e4). Beyond it Spark's cast
+    SATURATES with ANSI off while DuckDB's RAISES, and a sum past int64
+    wraps on Spark while DuckDB promotes to HUGEINT — a silent
+    succeed-vs-crash divergence. Money-typed inputs are orders of
+    magnitude inside the bound; a feed that is not should pre-scale."""
     return (F.sum(F.round(F.col("value") * 1e4).cast("long")) / F.lit(1e4)).alias(
         "total_value"
     )
@@ -141,15 +149,20 @@ def click_view_join(
     wider than the dataset's span; a live deployment tunes it to real lag.
     Inner-join emissions are append-mode safe (a match is final when it
     happens)."""
+    # ms-TRUNCATE the event times BEFORE the interval join (the
+    # sessionize_native pattern): the oracle joins on ms-truncated ts_ms,
+    # and a sub-millisecond timestamp would otherwise flip boundary pairs
+    # between engines — the timestamp[us] encoding permits them even
+    # though the synthetic data is whole-ms (round-12 review)
     c = clicks.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user_id"),
-        F.col("ts").alias("click_ts"),
+        F.expr("timestamp_millis(unix_micros(ts) DIV 1000)").alias("click_ts"),
     ).withWatermark("click_ts", watermark)
     v = views.filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"),
         F.col("user_id").alias("v_user_id"),
-        F.col("ts").alias("view_ts"),
+        F.expr("timestamp_millis(unix_micros(ts) DIV 1000)").alias("view_ts"),
     ).withWatermark("view_ts", watermark)
     joined = c.join(
         v,
@@ -423,11 +436,18 @@ def oracles() -> dict[str, str]:
                 SELECT event_type, epoch_ns(ts) // 1000000 AS ts_ms, value
                 FROM events
             ), exp AS (
+                -- floor-aligned slide bucket: DuckDB // truncates toward
+                -- zero while Spark's F.window FLOOR-aligns, so pre-epoch
+                -- events landed in different windows (round-12 review)
                 SELECT event_type, value,
-                       (ts_ms // {SLIDE_MS}) * {SLIDE_MS} AS win_ms FROM ev
+                       (ts_ms // {SLIDE_MS}
+                        - (CASE WHEN ts_ms % {SLIDE_MS} < 0 THEN 1 ELSE 0 END))
+                       * {SLIDE_MS} AS win_ms FROM ev
                 UNION ALL
                 SELECT event_type, value,
-                       (ts_ms // {SLIDE_MS}) * {SLIDE_MS} - {SLIDE_MS} AS win_ms FROM ev
+                       (ts_ms // {SLIDE_MS}
+                        - (CASE WHEN ts_ms % {SLIDE_MS} < 0 THEN 1 ELSE 0 END))
+                       * {SLIDE_MS} - {SLIDE_MS} AS win_ms FROM ev
             )
             SELECT make_timestamp(win_ms * 1000) AS win_start, event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -139,7 +139,11 @@ def sessionize_stateful(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS) -> Data
     # Keep the original ts column: the event-time watermark rides on its
     # attribute metadata, and projecting it away silently disables
     # watermarking (state.getCurrentWatermarkMs then raises -> no eviction).
-    keyed = events.select(
+    # a NULL event time reaches the UDF as NaN and int(NaN) raises,
+    # failing the whole streaming query (round-12 review); an event
+    # without a time has no session on ANY path — excluded like the
+    # batch/lag spellings
+    keyed = events.filter(F.col("ts").isNotNull()).select(
         "user_id", "ts", F.expr("unix_micros(ts) DIV 1000").alias("ts_ms")
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
@@ -175,7 +179,7 @@ def sessionize_rollup(keyed: DataFrame, gap_ms: int = DEFAULT_GAP_MS) -> DataFra
 def sessionize_batch(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS) -> DataFrame:
     """Closed-form batch sessionization (lag window): the oracle the
     streaming operator converges to on bounded input."""
-    keyed = events.select(
+    keyed = events.filter(F.col("ts").isNotNull()).select(
         "user_id", F.expr("unix_micros(ts) DIV 1000").alias("ts_ms")
     )
     return sessionize_rollup(keyed, gap_ms)
@@ -189,7 +193,15 @@ def sessionize(spark, sf_dir: str) -> DataFrame:
     (``epoch_ns(ts) // 1000000``) lands on identical values."""
     from ..sources.events import read_events
 
-    keyed = read_events(spark, sf_dir).select("user_id", "ts_ms")
+    # NULL event times are excluded on both engines: the lag windows rank
+    # NULLs at OPPOSITE ends (Spark NULLS FIRST, DuckDB NULLS LAST), so
+    # one NULL row silently changed n_sessions differently per engine
+    # (round-12 review)
+    keyed = (
+        read_events(spark, sf_dir)
+        .select("user_id", "ts_ms")
+        .filter(F.col("ts_ms").isNotNull())
+    )
     return sessionize_rollup(keyed).orderBy("user_id")
 
 
@@ -206,7 +218,11 @@ def user_sessions(spark, sf_dir: str, gap_ms: int = DEFAULT_GAP_MS) -> DataFrame
     rollup."""
     from ..sources.events import read_events
 
-    keyed = read_events(spark, sf_dir).select("user_id", "ts_ms")
+    keyed = (
+        read_events(spark, sf_dir)
+        .select("user_id", "ts_ms")
+        .filter(F.col("ts_ms").isNotNull())  # the sessionize NULL contract
+    )
     w = Window.partitionBy("user_id").orderBy("ts_ms")
     gaps = keyed.withColumn(
         "new_session",
@@ -239,6 +255,7 @@ def oracles() -> dict[str, str]:
         "sessionize": f"""
             WITH keyed AS (
                 SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+                WHERE ts IS NOT NULL
             ), gaps AS (
                 SELECT user_id, ts_ms,
                        CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
@@ -255,6 +272,7 @@ def oracles() -> dict[str, str]:
         "user_sessions": f"""
             WITH keyed AS (
                 SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+                WHERE ts IS NOT NULL
             ), gaps AS (
                 SELECT user_id, ts_ms,
                        CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
