@@ -33,10 +33,27 @@ def cdc_merge(snapshot: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     """Apply ``changes`` (carrying ``__op`` in {'I','U','D'}) to ``snapshot``.
 
     Non-key columns of ``changes`` must match the snapshot's; 'U' rows
-    replace every non-key column, 'D' rows remove the key, 'I' rows are
-    appended verbatim. The snapshot side stays map-only: the change set is
-    broadcast (daily batches are small relative to a 100 TB snapshot — the
-    same asymmetry dedup_incremental exploits)."""
+    replace every non-key column — INCLUDING to NULL ('U' is a whole-row
+    image, so a COALESCE spelling would silently keep the old value
+    whenever an update legitimately nulls a column; round-12 review) —
+    'D' rows remove the key, 'I' rows are appended verbatim. Rows whose
+    ``__op`` is NULL or outside {'I','U','D'} RAISE instead of silently
+    vanishing (a lowercase 'u' from upstream schema drift must not make
+    the merge return a plausible-looking snapshot missing those changes);
+    the check is one tiny aggregate over the CHANGE batch, which is
+    daily-small by the same asymmetry that lets it broadcast. The snapshot
+    side stays map-only."""
+    from ..errors import ExecutionError
+
+    bad = changes.filter(
+        F.col(OP_COL).isNull() | ~F.col(OP_COL).isin("I", "U", "D")
+    ).limit(1).collect()
+    if bad:
+        raise ExecutionError(
+            f"cdc_merge: change batch carries an unknown {OP_COL} value "
+            f"{bad[0][OP_COL]!r} (expected 'I'/'U'/'D'); refusing to "
+            "silently drop change rows"
+        )
     value_cols = [c for c in snapshot.columns if c != key]
     ud = changes.filter(F.col(OP_COL).isin("U", "D")).select(
         F.col(key),
@@ -48,7 +65,12 @@ def cdc_merge(snapshot: DataFrame, changes: DataFrame, key: str) -> DataFrame:
         F.col("__chg_op").isNull() | (F.col("__chg_op") != "D")
     ).select(
         F.col(key),
-        *[F.coalesce(F.col(f"__chg_{c}"), F.col(c)).alias(c) for c in value_cols],
+        *[
+            F.when(F.col("__chg_op") == "U", F.col(f"__chg_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in value_cols
+        ],
     )
     inserts = changes.filter(F.col(OP_COL) == "I").select(key, *value_cols)
     return survivors.unionByName(inserts)
@@ -58,8 +80,11 @@ def cdc_merge(snapshot: DataFrame, changes: DataFrame, key: str) -> DataFrame:
 # customer table itself (so the DuckDB oracle reproduces it exactly):
 #   key % 10 == 0        -> DELETE
 #   key % 10 in (1, 2)   -> UPDATE (+100.00 to the balance)
-#   key % 10 == 3        -> INSERT of a new key (+1_000_000) in 'NEWSEG'
-INSERT_KEY_OFFSET = 1_000_000
+#   key % 10 == 3        -> INSERT of a new key (+ max key) in 'NEWSEG'
+# Insert keys offset by MAX(c_custkey), not a fixed constant: a fixed
+# 1_000_000 collided with genuine custkeys once the table passed ~1M rows
+# (TPC-H sf >= ~7), silently emitting duplicate primary keys in BOTH
+# spellings (round-12 review).
 UPDATE_CENTS = 10_000
 INSERT_CENTS = 5_000
 
@@ -75,7 +100,10 @@ def _customer_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _customer_base(spark, sf_dir)
     k = F.col("c_custkey")
-    upd = base.filter(k % 10 == 1).unionAll(base.filter(k % 10 == 2)).select(
+    # scalar model state (one KB-scale collect, the centroid pattern);
+    # the oracle derives the identical value via a scalar subquery
+    max_key = base.agg(F.max("c_custkey")).collect()[0][0] or 0
+    upd = base.filter((k % 10).isin(1, 2)).select(
         "c_custkey",
         "c_mktsegment",
         (F.col("acctbal_cents") + UPDATE_CENTS).alias("acctbal_cents"),
@@ -85,7 +113,7 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment", "acctbal_cents", F.lit("D").alias(OP_COL)
     )
     ins = base.filter(k % 10 == 3).select(
-        (k + INSERT_KEY_OFFSET).alias("c_custkey"),
+        (k + F.lit(max_key)).alias("c_custkey"),
         F.lit("NEWSEG").alias("c_mktsegment"),
         F.lit(INSERT_CENTS).cast("long").alias("acctbal_cents"),
         F.lit("I").alias(OP_COL),
@@ -110,14 +138,18 @@ def oracles() -> dict[str, str]:
                        acctbal_cents + {UPDATE_CENTS} AS acctbal_cents
                 FROM base WHERE c_custkey % 10 IN (1, 2)
             ), ins AS (
-                SELECT c_custkey + {INSERT_KEY_OFFSET} AS c_custkey,
+                SELECT c_custkey + (SELECT MAX(c_custkey) FROM base) AS c_custkey,
                        'NEWSEG' AS c_mktsegment,
                        CAST({INSERT_CENTS} AS BIGINT) AS acctbal_cents
                 FROM base WHERE c_custkey % 10 = 3
             ), merged AS (
+                -- presence test, not COALESCE: an update row legitimately
+                -- setting a column to NULL must replace, not keep
                 SELECT b.c_custkey,
-                       COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
-                       COALESCE(u.acctbal_cents, b.acctbal_cents) AS acctbal_cents
+                       CASE WHEN u.c_custkey IS NOT NULL
+                            THEN u.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
+                       CASE WHEN u.c_custkey IS NOT NULL
+                            THEN u.acctbal_cents ELSE b.acctbal_cents END AS acctbal_cents
                 FROM base b LEFT JOIN upd u USING (c_custkey)
                 WHERE b.c_custkey % 10 <> 0
                 UNION ALL

@@ -41,9 +41,24 @@ def salted_join(
     ``on`` is the ordinary join condition (e.g. ``l.k == r.k``); the salt
     conjunct is added internally and dropped from the result. Result is
     row-identical to ``left.join(right, on, how)`` — pinned by the
-    differential test in tests/test_joins.py."""
+    differential test in tests/test_joins.py — for the SUPPORTED join
+    types: inner, left (outer), left_semi, left_anti, cross. RIGHT and
+    FULL outer joins are REJECTED loudly (round-12 review): every right
+    row is replicated ``salt`` times, so its salt-1 unmatched replicas
+    would each survive a right/full outer join as spurious NULL-left
+    rows — salting the other side is the correct spelling there."""
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
+    normalized = how.lower().replace("_", "")
+    if normalized in {"right", "rightouter", "full", "fullouter", "outer"}:
+        from ..errors import PlanningError
+
+        raise PlanningError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "right side's unmatched salt copies would surface as spurious "
+            "NULL-left rows; swap the sides (salt the other input) for "
+            "right/full outer semantics"
+        )
     l_salted = left.withColumn(
         _SALT_COL, F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
     )
@@ -71,6 +86,14 @@ def bloom_filter_words(keys: DataFrame, col: str, n_bits: int) -> list[int]:
     ``bit_or`` aggregate. Only the FINISHED bitmap (n_bits/8 bytes, KB-scale
     model state like the IVF centroids, ``similarity.py``) reaches the
     driver — never the keys."""
+    if n_bits <= 0 or n_bits % _WORD != 0:
+        # a truncated word count would let pmod positions index past the
+        # bitmap (build-side IndexError), and a probe-side modulus derived
+        # from len(words)*64 would disagree with the build modulus —
+        # silent false negatives, i.e. dropped join rows (round-12 review)
+        raise ValueError(
+            f"n_bits must be a positive multiple of {_WORD}, got {n_bits}"
+        )
     n_words = n_bits // _WORD
     probes = [F.xxhash64(F.col(col)), F.xxhash64(F.col(col), F.lit(_BLOOM_SEED2))]
     word_rows = (
@@ -154,7 +177,13 @@ def salted_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     forced non-broadcast by the salt replication itself), aggregated per
     market segment. Salting must be row-identical to the plain join, so the
     DuckDB oracle IS the plain join — the driver's hash compare is the
-    differential test at oracle strength."""
+    differential test at oracle strength.
+
+    DOMAIN PRECONDITION (the streaming ``_total_value`` contract): cents
+    sums must stay inside int64 — past it Spark (ANSI off) wraps silently
+    while DuckDB's HUGEINT sum raises on the BIGINT cast, a
+    succeed-vs-crash divergence. Money-typed inputs sit orders of
+    magnitude inside the bound."""
     from ..sources.events import read_events
 
     ev = read_events(spark, sf_dir)

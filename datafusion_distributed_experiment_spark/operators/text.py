@@ -55,7 +55,10 @@ def stats_frame(docs: DataFrame, extra: dict[str, Column] | None = None) -> Data
             F.col("compact_len"),
             F.size("toks").cast("long").alias("n_tokens"),
             F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
-            F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS))).cast("long").alias("stop_hits"),
+            # lower(t): capitalized stopwords ('The', 'In', 'A') must count
+            # — matching lowercase STOPWORDS against raw tokens undercounted
+            # density on mixed-case text in BOTH spellings (round-12 review)
+            F.size(F.filter("toks", lambda t: F.lower(t).isin(*STOPWORDS))).cast("long").alias("stop_hits"),
             *extra,
         )
     )
@@ -77,8 +80,7 @@ def features_frame(docs: DataFrame) -> DataFrame:
     is read once (the separate-frames-then-join form would scan twice and
     shuffle both sides on doc_id). ``n_ws_tokens`` ≡ ``n_tokens``; only the
     regex counters are genuinely new work."""
-    low = F.lower(F.col("text"))
-    return stats_frame(docs, extra=_token_counters(low)).withColumn(
+    return stats_frame(docs, extra=_token_counters(F.col("text"))).withColumn(
         "n_ws_tokens", F.col("n_tokens")
     )
 
@@ -106,7 +108,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
         .select(
             F.col("doc_id"),
-            F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS))).cast("long").alias("stop_hits"),
+            # lower(t): the stats_frame stopword-case contract
+            F.size(F.filter("toks", lambda t: F.lower(t).isin(*STOPWORDS))).cast("long").alias("stop_hits"),
             F.size("toks").cast("long").alias("n_tokens"),
         )
         .select(
@@ -124,27 +127,37 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical semantics in Java regex and RE2 — no lookahead): contractions,
 # letter runs, digit runs, single non-space symbols. The whitespace class is
 # spelled out because Java's \s includes \x0B while RE2's does not.
-BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]"
+# CASE-EXPLICIT classes over the RAW text (round-12 review): the previous
+# lower(text) pre-pass diverged between engines on special-cased characters
+# (JVM full case mapping turns U+0130 'İ' into 2 codepoints, utf8proc's
+# simple mapping into 1), and explicit [sS]-style classes avoid regex
+# case-folding semantics (RE2's (?i) folds Unicode — 'ſ' would match 's' —
+# where Java's default (?i) is ASCII-only). Probed bit-identical on both
+# engines over mixed-case, accented, special-cased, and astral inputs.
+BPE_PATTERN = (
+    r"'(?:[sS]|[tT]|[rR][eE]|[vV][eE]|[mM]|[lL][lL]|[dD])"
+    r"|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f]"
+)
 
 
-def _token_counters(low: Column) -> dict[str, Column]:
+def _token_counters(text: Column) -> dict[str, Column]:
     """The three regex counter expressions shared by :func:`token_frame`
     and :func:`features_frame` — one spelling, so the fused pipeline path
     and the standalone query cannot drift from each other or from their
-    common DuckDB oracle body. regexp_count, not
+    common DuckDB oracle body. Counts run over the RAW text with
+    case-explicit patterns (see BPE_PATTERN). regexp_count, not
     size(regexp_extract_all(...)): counting stays in the regex engine with
     zero array materialization per row."""
     return {
-        "n_bpe_tokens": F.regexp_count(low, F.lit(BPE_PATTERN)).cast("long"),
-        "n_word_runs": F.regexp_count(low, F.lit(r"[a-z]+")).cast("long"),
-        "n_digit_runs": F.regexp_count(low, F.lit(r"[0-9]+")).cast("long"),
+        "n_bpe_tokens": F.regexp_count(text, F.lit(BPE_PATTERN)).cast("long"),
+        "n_word_runs": F.regexp_count(text, F.lit(r"[a-zA-Z]+")).cast("long"),
+        "n_digit_runs": F.regexp_count(text, F.lit(r"[0-9]+")).cast("long"),
     }
 
 
 def token_frame(docs: DataFrame) -> DataFrame:
     """Frame-level form of :func:`token_count`: (doc_id, text) -> counts."""
-    low = F.lower(F.col("text"))
-    counters = _token_counters(low)
+    counters = _token_counters(F.col("text"))
     return docs.select(
         F.col("doc_id"),
         F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
@@ -232,7 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_STOP_SQL = " OR ".join(f"t = '{w}'" for w in STOPWORDS)
+_STOP_SQL = " OR ".join(f"lower(t) = '{w}'" for w in STOPWORDS)
 _TOKS = DUCK_TOKENS.format(x="text")
 
 
@@ -255,9 +268,9 @@ def token_body_sql(src: str = "documents") -> str:
             SELECT
                 doc_id,
                 CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
-                CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
-                CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_word_runs,
-                CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_digit_runs
+                CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+                CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_word_runs,
+                CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
             FROM {src}"""
 
 

@@ -134,3 +134,51 @@ def test_profile_is_single_aggregate_pass(spark):
     # multi-distinct planned through one grouped pass (Expand/gid FILTERs),
     # partial+final split around a single exchange
     assert "gid" in plan and "partial_count" in plan, plan[:2000]
+
+
+def test_cdc_update_to_null_replaces(spark):
+    """Round-12 review fix: 'U' rows are WHOLE-ROW images — an update that
+    legitimately sets a value column to NULL must replace it, not keep the
+    old value (the COALESCE spelling silently kept it, identically in both
+    engines, so the oracle could never see it)."""
+    snapshot = [(1, "a", 10), (2, "b", 20)]
+    changes = [(1, None, 99, "U")]
+    assert _merge(spark, snapshot, changes) == [(1, None, 99), (2, "b", 20)]
+
+
+def test_cdc_unknown_op_raises(spark):
+    """Round-12 review fix: rows whose __op is NULL or outside {'I','U','D'}
+    (lowercase 'u', 'UPDATE', schema drift) previously vanished from BOTH
+    the upsert and insert paths — a silently incomplete merge. They now
+    raise loudly."""
+    import pytest
+
+    from datafusion_distributed_experiment_spark.errors import ExecutionError
+
+    snapshot = [(1, "a", 10)]
+    for bad_op in ("u", "UPDATE", None):
+        with pytest.raises(ExecutionError, match="unknown __op"):
+            _merge(spark, snapshot, [(1, "x", 1, bad_op)])
+
+
+def test_cdc_insert_keys_never_collide_with_snapshot(spark):
+    """Round-12 review fix: insert keys offset by MAX(c_custkey), not a
+    fixed 1_000_000 (which collided with genuine keys once the table passed
+    ~1M rows, emitting duplicate primary keys in BOTH spellings). The
+    merged snapshot's keys must be unique, and every inserted key must
+    exceed every original key."""
+    from .conftest import SF_DIR
+
+    out = cdc_apply_changes(spark, SF_DIR)
+    keys = [r["c_custkey"] for r in out.select("c_custkey").collect()]
+    assert len(keys) == len(set(keys)), "merged snapshot must have unique keys"
+    base_max = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .agg(F.max("c_custkey"))
+        .collect()[0][0]
+    )
+    inserted = [
+        r["c_custkey"]
+        for r in out.filter(F.col("c_mktsegment") == "NEWSEG").collect()
+    ]
+    assert inserted and all(k > base_max for k in inserted)

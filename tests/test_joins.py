@@ -162,3 +162,45 @@ def test_bloom_semi_agg_empty_build_side_yields_empty_result(spark, tmp_path):
         bloom_might_contain(words, "k")
     ).count()
     assert n == 0
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Round-12 review fix: the right side is replicated salt times, so a
+    right/full outer join would emit each right row's salt-1 unmatched
+    replicas as spurious NULL-left rows — the documented row-identity
+    contract cannot hold and the call must raise loudly."""
+    import pytest
+
+    from datafusion_distributed_experiment_spark.errors import PlanningError
+    from datafusion_distributed_experiment_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, "l")], "k long, lv string")
+    right = spark.createDataFrame([(1, "r"), (2, "r2")], "k long, rv string")
+    for how in ("right", "rightouter", "right_outer", "full", "fullouter", "outer"):
+        with pytest.raises(PlanningError, match="salted_join does not support"):
+            salted_join(left, right, left["k"] == right["k"], salt=4, how=how)
+    # the supported hows keep the row-identity contract
+    got = sorted(
+        tuple(r)
+        for r in salted_join(
+            left, right, left["k"] == right["k"], salt=4, how="left"
+        ).collect()
+    )
+    assert got == [(1, "l", 1, "r")]
+
+
+def test_bloom_filter_words_rejects_non_word_aligned_bits(spark):
+    """Round-12 review fix: n_bits not a multiple of 64 truncated the word
+    count (build-side IndexError at probe positions past the last word) and
+    desynced the probe-side modulus (len(words)*64) from the build modulus
+    — silent false negatives. Loud ValueError instead."""
+    import pytest
+
+    from datafusion_distributed_experiment_spark.operators.joins import (
+        bloom_filter_words,
+    )
+
+    keys = spark.range(10).select(F.col("id").alias("k"))
+    for bad in (0, -64, 100, 63):
+        with pytest.raises(ValueError, match="multiple of 64"):
+            bloom_filter_words(keys, "k", n_bits=bad)

@@ -237,3 +237,43 @@ def test_stream_click_attr_sub_millisecond_boundary(spark, tmp_path):
     assert sorted(map(tuple, odf.itertuples(index=False))) == sorted(got)
     # the boundary pair itself must be present (inclusive at ms precision)
     assert any(r[0] == 20_000_002 and r[3] == 20_000_001 for r in got), got
+
+
+def test_text_counters_agree_cross_engine_on_mixed_case(spark, tmp_path):
+    """Round-12 review fixes for the text tier, pinned cross-engine on a
+    constructed mixed-case/Unicode corpus: (a) stopword counting matches
+    case-insensitively (capitalized 'The'/'In'/'A' previously counted 0 in
+    BOTH spellings); (b) the BPE/word-run counters run case-explicit
+    patterns over the RAW text — the old lower(text) pre-pass diverged
+    between engines on special-cased characters (JVM lower('İ') is two
+    codepoints, utf8proc's one)."""
+    import __spark_entry__ as entry_mod
+
+    rows = [
+        (1, "web", "The cat sat. The dog ran. In a field."),
+        (2, "web", "IT'S A TEST OF THE SYSTEM"),
+        (3, "web", "İstanbul naïve café 123"),
+        (4, "web", "plain lowercase words and the usual text"),
+    ]
+    d = tmp_path / "mixedcase"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for name in ("text_stats", "token_count", "lang_id", "quality_score"):
+        got = sorted(
+            tuple(r) for r in entry_mod.queries()[name](spark, str(d)).collect()
+        )
+        odf = con.execute(entry_mod.oracle_sql()[name]).df()
+        assert sorted(map(tuple, odf.itertuples(index=False))) == got, name
+    # the capitalized-stopword doc must now show nonzero stopword density
+    stats = {
+        r["doc_id"]: r
+        for r in entry_mod.queries()["text_stats"](spark, str(d)).collect()
+    }
+    assert stats[1]["stopword_ppm"] > 0, "capitalized stopwords must count"
+    assert stats[2]["stopword_ppm"] > 0, "'A'/'OF'/'THE' in caps must count"
