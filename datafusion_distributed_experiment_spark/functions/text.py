@@ -26,13 +26,18 @@ def tokens(text: Column | str) -> Column:
 def poly_hash(text: Column | str) -> Column:
     """Deterministic int64 polynomial rolling hash over characters.
 
-    Char split uses "(?!$)" (zero-width match before every char, never at
-    end-of-string): identical to split("") on the pinned Spark 4.1.2 but
-    immune to older Sparks' trailing-"" element, which would fold an extra
-    ``acc*31 + ascii('')=0`` step into every hash."""
+    Char split uses ``regexp_extract_all(x, '(?s).', 0)`` — Java regex
+    ``.`` matches one CODE POINT, so a surrogate pair stays one element
+    whose ``ascii()`` is the full code point, exactly like DuckDB's
+    ``string_split(x, '')`` (round-12 review: the previous
+    ``split(x, "(?!$)")`` split astral-plane characters into two lone
+    surrogates — 2 fold steps and mangled values on Spark vs 1 on DuckDB,
+    so every hash-verified dedup/BPE operator diverged on the first emoji;
+    probed bit-identical now on ASCII/accented/special-cased/astral
+    inputs, and the empty string still folds to 0 on both engines)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.aggregate(
-        F.split(c, "(?!$)"),
+        F.regexp_extract_all(c, F.lit(r"(?s)."), 0),
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * MULT + F.ascii(ch)) % F.lit(MOD).cast("long"),
     )

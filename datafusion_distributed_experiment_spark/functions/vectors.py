@@ -40,6 +40,14 @@ def cosine_ppm(a: Column, b: Column, norm_a: Column | None = None, norm_b: Colum
 
 # DuckDB oracle spellings (same sequential fold; `{a}`/`{b}` are DOUBLE[]
 # expressions, `{n}` the fixed dimensionality).
+#
+# PRECONDITION (round-12 review): every vector must actually have `{n}`
+# elements. Spark's dot() folds over the ACTUAL array length (zip_with),
+# while this spelling indexes exactly 1..n — a longer row silently
+# truncates on DuckDB only, and a shorter row NULL-poisons the DuckDB
+# fold while Spark returns a finite sum. The PQ fit guards the corpus
+# dimensionality loudly (similarity._pq_fit); other vector consumers
+# inherit the fixture contract (FIXTURES.md pins embeddings at DIM).
 DUCK_DOT = (
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
     "list_transform(range(1, {n} + 1), i -> ({a})[i] * ({b})[i])), (acc, x) -> acc + x)"

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import DUCK_POLY_HASH, DUCK_TOKENS, poly_hash, tokens
+from .dedup import MOD, SHINGLE_MULT
 
 MERGE_ITERS = 2
 
@@ -56,12 +57,13 @@ def _vocab_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.select(
         "word",
         "freq",
-        # "(?!$)" (split before every char, never at end-of-string) instead
-        # of "": identical on the pinned Spark 4.1.2 (unit-asserted in
-        # tests/test_bpe.py) but version-independent — Spark 3.x's
-        # default-limit split("", -1) emits a trailing "" element that
-        # would silently shift positions vs the DuckDB oracle
-        F.posexplode(F.split("word", "(?!$)")).alias("pos", "tok"),
+        # CODEPOINT split via regexp_extract_all('(?s).') — Java regex '.'
+        # matches one code point, so a surrogate pair stays one element,
+        # exactly like the oracle's string_split(word, '') (round-12
+        # review: the previous split("(?!$)") broke astral characters
+        # into two lone surrogates — different position tables and pair
+        # counts vs DuckDB); also emits no trailing "" on any Spark
+        F.posexplode(F.regexp_extract_all("word", F.lit(r"(?s)."), 0)).alias("pos", "tok"),
     ).select("word", "freq", F.col("pos").cast("long").alias("pos"), "tok")
 
 
@@ -209,7 +211,10 @@ def bpe_merges_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("pos", "tok"))),
             F.lit(0).cast("long"),
-            lambda acc, s: (acc * 1_000_003 + poly_hash(s["tok"])) % 1_000_000_007,
+            # SHINGLE_MULT/MOD imported, not re-hardcoded: four sites
+            # (Spark+oracle here, dedup's pair) must retune together or the
+            # fingerprint arithmetic silently forks (round-12 review)
+            lambda acc, s: (acc * SHINGLE_MULT + poly_hash(s["tok"])) % MOD,
         ).alias("word_fp"),
     )
     from ..sources.tables import rebalance_narrow_scan
@@ -382,7 +387,7 @@ def oracles() -> dict[str, str]:
                        list_reduce(
                            list_prepend(CAST(0 AS BIGINT),
                                list_transform(list(tok ORDER BY pos), tok -> {_POLY_TOK})),
-                           (acc, h) -> (acc * 1000003 + h) % 1000000007) AS word_fp
+                           (acc, h) -> (acc * {SHINGLE_MULT} + h) % {MOD}) AS word_fp
                 FROM chars{MERGE_ITERS} GROUP BY word, freq
             ), doc_words AS (
                 SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -88,7 +88,16 @@ def _corpus(spark: SparkSession, sf_dir: str, rebalance: bool = True) -> DataFra
     from ..sources.tables import rebalance_narrow_scan
 
     path = f"{sf_dir}/documents.parquet"
-    docs = spark.read.parquet(path).select("doc_id", "text")
+    # NULL-text docs are excluded EXPLICITLY (round-12 review): a NULL
+    # token list propagates to all-NULL signatures on Spark while the
+    # oracle's list_prepend(0, NULL) fallback fabricates a REAL signature
+    # ([B_i]) — a cross-engine divergence on the first NULL document; a
+    # document with no text has nothing to dedup on any path
+    docs = (
+        spark.read.parquet(path)
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
     if rebalance:
         docs = rebalance_narrow_scan(docs, path)
     return docs.unionAll(_augment(docs))
@@ -106,10 +115,10 @@ def _augment(docs: DataFrame) -> DataFrame:
 
 
 _DUCK_CORPUS = f"""corpus AS (
-    SELECT doc_id, text FROM documents
+    SELECT doc_id, text FROM documents WHERE text IS NOT NULL
     UNION ALL
     SELECT doc_id + {AUG_OFFSET} AS doc_id, text || '{AUG_SUFFIX}' AS text
-    FROM documents WHERE doc_id % 10 = 0
+    FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
 )"""
 
 
@@ -263,8 +272,8 @@ def _mine_minhash_pairs(corpus: DataFrame) -> DataFrame:
     jaccard = F.floor(
         F.lit(1e6)
         * F.size(F.array_intersect("toks_a", "toks_b"))
-        / F.size(F.array_union("toks_a", "toks_b"))
-    ).cast("long")
+        / F.greatest(F.size(F.array_union("toks_a", "toks_b")), F.lit(1))
+    ).cast("long")  # greatest(.,1): ANSI-safe; 0/0 and 0/1 both drop
     return (
         cand.select("doc_a", "doc_b", jaccard.alias("jaccard_ppm"))
         .filter(F.col("jaccard_ppm") >= JACCARD_MIN_PPM)
@@ -389,8 +398,14 @@ def chunk_overlap_frame(docs: DataFrame) -> DataFrame:
 
 def ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span detection: for every document, the maximal token
-    spans whose every SPAN_K-token n-gram also occurs in at least one OTHER
-    document. Output ``(doc_id, span_start, span_end, n_dup_ngrams)`` with
+    spans formed by merging overlapping-or-adjacent duplicated n-gram
+    positions (gap <= SPAN_K). INVARIANT (stated precisely, round-12
+    review — the old wording overclaimed): every TOKEN in a reported span
+    is covered by at least one SPAN_K-token n-gram that also occurs in
+    another document; interior n-gram START positions between two merged
+    hits need not themselves be duplicated, so a consumer cutting only
+    provably-duplicated text should cut the n-gram HITS, not the merged
+    span. Output ``(doc_id, span_start, span_end, n_dup_ngrams)`` with
     token-index bounds (0-based, inclusive) and the count of duplicated
     n-gram positions the span merges.
 
@@ -643,9 +658,16 @@ def _incremental_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
     incoming = odd docs (genuinely new) + near-dup copies of every 10th doc
                (whose sources are all index members — the observable
                duplicates, same augmentation rule as ``_corpus``)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())  # the _corpus NULL contract
+    )
     index = docs.filter(F.col("doc_id") % 2 == 0)
-    incoming = docs.filter(F.col("doc_id") % 2 == 1).unionAll(_augment(docs))
+    # != 0, not == 1: C-style modulo gives -1 for negative odd ids, which
+    # would land a document in NEITHER side — silently never indexed and
+    # never dedup-checked, identically in both spellings (round-12 review)
+    incoming = docs.filter(F.col("doc_id") % 2 != 0).unionAll(_augment(docs))
     return index, incoming
 
 
@@ -706,8 +728,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = F.floor(
         F.lit(1e6)
         * F.size(F.array_intersect("toks_i", "toks_n"))
-        / F.size(F.array_union("toks_i", "toks_n"))
-    ).cast("long")
+        / F.greatest(F.size(F.array_union("toks_i", "toks_n")), F.lit(1))
+    ).cast("long")  # greatest(.,1): ANSI-safe; 0/0 and 0/1 both drop
     dups = (
         pairs.select("new_id", jaccard.alias("jaccard_ppm"))
         .filter(F.col("jaccard_ppm") >= JACCARD_MIN_PPM)
@@ -828,7 +850,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = c.select(
         "doc_id",
         F.array_distinct(toks).alias("toks"),
-        F.element_at(toks, 1).alias("k1"),
+        F.get(toks, 0).alias("k1"),  # NULL (not ANSI error) on empty toks
         F.floor(F.size(toks) / 10).alias("k2"),
     ).localCheckpoint()
     keyed = _cap_buckets(keyed, ["k1", "k2"])
@@ -836,8 +858,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = F.floor(
         F.lit(1e6)
         * F.size(F.array_intersect("a.toks", "b.toks"))
-        / F.size(F.array_union("a.toks", "b.toks"))
-    ).cast("long")
+        / F.greatest(F.size(F.array_union("a.toks", "b.toks")), F.lit(1))
+    ).cast("long")  # greatest(.,1): ANSI-safe; 0/0 and 0/1 both drop
     return (
         a.join(
             b,
@@ -1307,21 +1329,21 @@ _DUCK_MINHASH_PAIRS = f"""bands AS (
 # Hub-skewed corpus (identical augmentation as _DUCK_CORPUS plus HUB_COPIES
 # replicas of the smallest doc_id's text) — the minhash_pairs_skew fixture.
 _DUCK_SKEW_CORPUS = f"""corpus AS (
-    SELECT doc_id, text FROM documents
+    SELECT doc_id, text FROM documents WHERE text IS NOT NULL
     UNION ALL
     SELECT doc_id + {AUG_OFFSET} AS doc_id, text || '{AUG_SUFFIX}' AS text
-    FROM documents WHERE doc_id % 10 = 0
+    FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
     UNION ALL
     SELECT {HUB_OFFSET} + r.i AS doc_id, d.text
     FROM documents d, range(0, {HUB_COPIES}) AS r(i)
-    WHERE d.doc_id = (SELECT MIN(doc_id) FROM documents)
+    WHERE d.doc_id = (SELECT MIN(doc_id) FROM documents) AND d.text IS NOT NULL
 )"""
 
 
 # Incremental-dedup side predicates over the combined sig CTE (index =
 # even originals; incoming = odd originals + all augmented copies).
 _IDX_PRED = f"doc_id < {AUG_OFFSET} AND doc_id % 2 = 0"
-_INC_PRED = f"(doc_id >= {AUG_OFFSET} OR doc_id % 2 = 1)"
+_INC_PRED = f"(doc_id >= {AUG_OFFSET} OR doc_id % 2 <> 0)"
 
 
 def _duck_bands(pred: str) -> str:

@@ -587,8 +587,19 @@ def _pq_fit(vecs: DataFrame) -> tuple[list, list, list]:
     head = vecs.agg(
         F.count("*").alias("n"),
         F.max(F.expr("array_max(transform(xp, a -> abs(a)))")).alias("mx"),
+        F.min(F.size("v")).alias("dmin"),
+        F.max(F.size("v")).alias("dmax"),
     ).collect()[0]
     check_adc_headroom(int(head["mx"] or 0))
+    if head["dmin"] is not None and (head["dmin"] != DIM or head["dmax"] != DIM):
+        from ..errors import PlanningError
+
+        raise PlanningError(
+            f"PQ fit requires exactly DIM={DIM} dimensions per vector; "
+            f"observed sizes in [{head['dmin']}, {head['dmax']}] — a "
+            "mis-sized row would silently truncate (or NULL-poison) the "
+            "fixed-width oracle fold (round-12 review)"
+        )
     _, seed_rows, centroids = _ivf_fit(
         vecs,
         n=int(head["n"]),

@@ -112,9 +112,10 @@ def test_two_rounds_over_vocab_chars(spark):
 
 
 def test_char_split_is_version_independent(spark):
-    """Pin the "(?!$)" char-split (ADVICE r6): chars come out one per
-    position with NO trailing empty element — the behavior split("") only
-    guarantees on Spark 4.x, and positions feed the greedy-merge windows."""
+    """Pin the codepoint char-split (ADVICE r6; round-12: the regex form
+    regexp_extract_all('(?s).') replaced split("(?!$)"), which broke
+    surrogate pairs): chars come out one per position with NO trailing
+    empty element, and positions feed the greedy-merge windows."""
     chars = _vocab_chars(spark, "/root/testdata/sf0.001")
     row = (
         chars.filter(chars.word.isNotNull())

@@ -293,3 +293,20 @@ def test_ivf_pq_output_contract(spark):
     assert len(per_query) == PQ_QUERIES
     for q, ranks in per_query.items():
         assert ranks == list(range(1, PQ_TOP_K + 1)), q
+
+
+def test_pq_fit_rejects_mis_sized_vectors(spark, tmp_path):
+    """Round-12 review fix: the oracle's DUCK_DOT indexes exactly 1..DIM,
+    so a longer vector silently truncates (DuckDB only) and a shorter one
+    NULL-poisons the DuckDB fold while Spark's zip_with returns a finite
+    sum — the PQ fit now guards the corpus dimensionality loudly."""
+    from datafusion_distributed_experiment_spark.errors import PlanningError
+
+    rows = [(i, [float(i % 7) / 10.0] * (63 if i == 3 else 64)) for i in range(20)]
+    d = tmp_path / "misdim"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    with pytest.raises(PlanningError, match="DIM=64 dimensions"):
+        ivf_pq_topk(spark, str(d)).collect()

@@ -277,3 +277,77 @@ def test_text_counters_agree_cross_engine_on_mixed_case(spark, tmp_path):
     }
     assert stats[1]["stopword_ppm"] > 0, "capitalized stopwords must count"
     assert stats[2]["stopword_ppm"] > 0, "'A'/'OF'/'THE' in caps must count"
+
+
+def test_poly_hash_and_char_split_codepoint_parity(spark, tmp_path):
+    """Round-12 review fix: the char split behind poly_hash (and BPE's
+    position table) must be CODEPOINT-wise like DuckDB's string_split('') —
+    Java's split("(?!$)") broke surrogate pairs into two lone surrogates,
+    so every hash-verified dedup/BPE operator diverged on the first astral
+    character. Pinned cross-engine on a constructed corpus with emoji,
+    accents, and special-cased characters."""
+    import __spark_entry__ as entry_mod
+
+    rows = [
+        (1, "web", "hello world plain text"),
+        (2, "web", "emoji 😀 in the middle and end 😀"),
+        (3, "web", "héllo naïve İstanbul"),
+        (4, "web", "a😀b😀 tokens with pairs"),
+    ]
+    d = tmp_path / "astral"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for name in ("minhash_signatures", "fingerprint", "winnow_fingerprints",
+                 "bpe_merges_t2", "simhash_signatures"):
+        got = sorted(
+            tuple(r) for r in entry_mod.queries()[name](spark, str(d)).collect()
+        )
+        odf = con.execute(entry_mod.oracle_sql()[name]).df()
+        assert sorted(map(tuple, odf.itertuples(index=False))) == got, name
+
+
+def test_dedup_excludes_null_text_and_negative_odd_ids(spark, tmp_path):
+    """Round-12 review fixes pinned together on one constructed corpus:
+    (a) NULL-text docs are excluded from the dedup corpus on both engines
+    (Spark propagated all-NULL signatures while the oracle's
+    list_prepend(0, NULL) fabricated a REAL signature); (b) the
+    incremental split uses % 2 != 0, so a NEGATIVE odd doc_id lands in
+    the incoming batch instead of silently vanishing from both sides."""
+    import __spark_entry__ as entry_mod
+
+    rows = [
+        (-3, "web", "negative odd doc must be dedup checked not dropped"),
+        (-2, "web", "negative even doc joins the index side"),
+        (1, "web", "an ordinary odd document body"),
+        (2, "web", None),
+        (4, "web", "an ordinary even document body"),
+    ]
+    d = tmp_path / "dedupnulls"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for name in ("minhash_signatures", "dedup_incremental"):
+        got = sorted(
+            tuple(r) for r in entry_mod.queries()[name](spark, str(d)).collect()
+        )
+        odf = con.execute(entry_mod.oracle_sql()[name]).df()
+        assert sorted(map(tuple, odf.itertuples(index=False))) == got, name
+    # the NULL-text doc is absent; the negative odd doc is present
+    sig_ids = {r[0] for r in entry_mod.queries()["minhash_signatures"](spark, str(d)).collect()}
+    assert 2 not in sig_ids and -3 in sig_ids
+    inc_ids = {
+        r["doc_id"]
+        for r in entry_mod.queries()["dedup_incremental"](spark, str(d)).collect()
+    }
+    assert -3 in inc_ids, "negative odd docs must reach the incoming batch"
