@@ -12,12 +12,12 @@ plus the training-data pipeline operators. SQL-corpus queries share one ANSI
 text between Spark and the DuckDB oracle; DataFrame-native operators carry a
 semantically-equivalent hand-written oracle.
 
-All 121 queries are declared as of round 12 (the round-11 staged operator
-``ivf_pq_topk`` was promoted at the round-12 rotation). The
+All 122 queries are declared as of round 13 (the round-12 staged operator
+``ivf_pq_index_build`` was promoted at the round-13 rotation). The
 staged tier (``operators.staged_queries()`` / ``staged_oracles()`` +
 ``tests/test_staged_oracle.py`` + ``scripts/verify_staged.py``) holds at
-most the one new operator each round's VERDICT budgets; the 121-query
-surface cycles the 50-slot gate window every ceil(121/50) = 3 rounds —
+most the one new operator each round's VERDICT budgets; the 122-query
+surface cycles the 50-slot gate window every ceil(122/50) = 3 rounds —
 see ``query_tiers``.
 """
 
@@ -143,8 +143,8 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     """Queries grouped by tier, gate-ordered: the driver oracle-checks the
     FIRST 50 entries, so the window rotates round-over-round.
 
-    STALE BUDGET (121-query surface): 121 queries over a 50-slot window
-    means the full surface cycles every ceil(121/50) = 3 rounds. The real
+    STALE BUDGET (122-query surface): 122 queries over a 50-slot window
+    means the full surface cycles every ceil(122/50) = 3 rounds. The real
     guarantee, pinned by tests/test_corpus_oracle.py: (a) never-verified
     count = 0 — every declared query holds a green row in SOME committed
     CORRECTNESS_r*.json before it may sit outside the window; (b) every
@@ -153,42 +153,48 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     every commit point, mid-rotation included); (c) the queries left to
     age furthest are chosen deepest-evidence-first.
 
-    ROUND 12 — the window (50):
-    * slot 1: ivf_pq_topk — the round-11 staged operator (IVF-PQ + exact
-      integer rerank ANN), PROMOTED this rotation (never driver-verified;
-      leads the window).
-    * slots 2-21: the 20 queries whose last green row is CORRECTNESS_r09
-      (the round-11 sacrifice cohort — the rotation contract's re-entry
-      point): the fifteen TPC-H re-runs q1, q3-q12, q14, q16, q18, q19,
-      the three text ops fingerprint, lang_id, text_stats, and the two
-      family-covered picks stratified_sample and media_resize.
-    * slots 22-50: the 29 SHALLOWEST of the 50 r10-green queries by
+    ROUND 13 — the window (50):
+    * slot 1: ivf_pq_index_build — the round-12 staged operator (the
+      build-once/probe-many persisted-index split of the IVF-PQ kernel),
+      PROMOTED this rotation (never driver-verified; leads the window).
+    * slots 2-22: the 21 queries whose last green row is CORRECTNESS_r10
+      (the round-12 sacrifice cohort — the rotation contract's re-entry
+      point): the ten dedup/ANN core ops (ann_ivf, ann_lsh, dedup_exact,
+      embedding_dedup, minhash_dedup_pairs, minhash_signatures,
+      ngram_jaccard_pairs, simhash_dedup_pairs, simhash_signatures,
+      token_count), the three 5x-green (dedup_clusters, dedup_incremental,
+      quality_score), and the eight family-covered picks (media_frames,
+      media_meta_stats, sessionize, user_sessions, stream_click_attr,
+      stream_dedup, stream_enrich, stream_sliding). This is the dedup
+      tier's FIRST driver verification since the a469a0f codepoint-exact
+      hash-core change (the gate's own 121/121 sf0.001 + 23/23 sf0.1
+      sweeps already cover it).
+    * slots 23-50: the 28 SHALLOWEST of the 50 r11-green queries by
       total green-row depth across all committed artifacts: the
-      once-green domain_token_profile; the three twice-green (bpe_apply,
-      hll_distinct, weighted_sample); all twenty-one thrice-green
-      (anomaly_days, basket_pairs, chunk_overlap, event_sequences,
-      events_json, events_percentiles, events_percentiles_hist,
-      events_pivot, events_unpivot, events_window_funcs, funnel,
-      kmeans_lloyd_t3, minhash_pairs_skew, ngram_span_dedup, ngram_top,
-      retention, salted_events_enrich, semantic_dedup, split_assign,
-      table_profile, top_terms); and the four alphabetically-first
-      four-times-green (events_asof, events_cube, events_kmv_distinct,
-      events_range_join). No streaming query lands in this window, so no
-      "streaming"-named window tier is needed this round.
+      once-green events_quantile_sketch; all ten thrice-green
+      (bfs_hops_t3, bm25_topk, bpe_merges_t2, cms_heavy_hitters,
+      dsir_weights, lpa_communities_t3, span_scrub, stream_topk,
+      triangle_count, winnow_fingerprints); and the seventeen
+      alphabetically-first four-times-green (bloom_semi_agg,
+      cdc_apply_changes, chunk_documents, corpus_pipeline,
+      custom_source_scan, decontaminate, dedup_clusters_star, domain_mix,
+      domain_resample, embedding_quantize, kmeans_assign, media_dedup,
+      pack_sequences, pagerank_nations, pii_scrub, repetition_stats,
+      rollup_incremental). Streaming queries land in this window, so the
+      window tiers holding them carry "streaming" names for the bench's
+      measure-last isolation rule.
 
-    SACRIFICED this round (21, deepest-evidence-first; they re-enter at
-    round 13 alongside ~29 of the 50 r11-green): the ten 6x-green dedup/
-    ANN core ops (ann_ivf, ann_lsh, dedup_exact, embedding_dedup,
-    minhash_dedup_pairs, minhash_signatures, ngram_jaccard_pairs,
-    simhash_dedup_pairs, simhash_signatures, token_count), the three
-    5x-green (dedup_clusters, dedup_incremental, quality_score), and
-    eight 4x-green whose families stay window-covered (media_frames,
-    media_meta_stats — mapInPandas plumbing covered by media_resize;
-    sessionize, user_sessions — the window-function sessionization core
-    covered by event_sequences/retention/funnel; stream_click_attr,
-    stream_dedup, stream_enrich, stream_sliding — the micro-batch
-    harness covered by the pytest streaming suite). The 50 r11-green
-    queries sit behind the window as the freshest cohort.
+    SACRIFICED this round (22 r11-green, deepest-evidence-first; they
+    re-enter at round 14 alongside the shallowest r12-green): the three
+    alphabetically-last 4x-green (sessionize_native, shuffle_shards,
+    token_budget_select — the sessionization core stays window-covered
+    by sessionize/user_sessions, sampling by the r12-green
+    weighted/stratified rows) and all nineteen 6x-green (embedding_topk,
+    events_agg_count, events_cte_join, events_daily, events_latest,
+    events_median, events_rolling, events_rollup, events_setops,
+    events_topk, media_features, q13, q15, q17, q1_decimal, q2, q20,
+    q21, q22). The 50 r12-green queries sit behind the window as the
+    freshest cohort.
 
     The bench re-orders tiers for measurement isolation ("streaming"-named
     tiers run last); see ``operators.pipeline_tiers``."""
@@ -206,70 +212,66 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     def _pop(tier: str, *names: str) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return {n: by_name[tier].pop(n) for n in names}
 
-    def _pop_sql(*names: str) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-        return {n: sql.pop(n) for n in names}
-
-    # --- slot 1: the promoted round-11 staged operator ------------------
-    promoted = _pop("similarity", "ivf_pq_topk")
-    # --- slots 2-21: last green r09, the round-11 sacrifice cohort ------
-    stale_r09 = {
-        **_pop_sql(
-            "q1",
-            "q3",
-            "q4",
-            "q5",
-            "q6",
-            "q7",
-            "q8",
-            "q9",
-            "q10",
-            "q11",
-            "q12",
-            "q14",
-            "q16",
-            "q18",
-            "q19",
-        ),
-        **_pop("text", "fingerprint", "lang_id", "text_stats"),
-        **_pop("curation", "stratified_sample"),
-        **_pop("multimodal", "media_resize"),
-    }
-    # --- slots 22-25: r10-green with one or two green rows ---------------
-    shallow_r10 = {
-        **_pop("sketches", "domain_token_profile", "hll_distinct"),
-        **_pop("bpe", "bpe_apply"),
-        **_pop("curation", "weighted_sample"),
-    }
-    # --- slots 26-46: all twenty-one thrice-green r10 queries ------------
-    mid_r10 = {
+    # --- slot 1: the promoted round-12 staged operator ------------------
+    promoted = _pop("similarity", "ivf_pq_index_build")
+    # --- slots 2-22: last green r10, the round-12 sacrifice cohort ------
+    stale_r10 = {
+        **_pop("similarity", "ann_lsh", "ann_ivf", "embedding_dedup"),
         **_pop(
-            "analytics",
-            "anomaly_days",
-            "basket_pairs",
-            "event_sequences",
-            "events_json",
-            "events_percentiles",
-            "events_percentiles_hist",
-            "events_pivot",
-            "events_unpivot",
-            "funnel",
-            "retention",
-            "top_terms",
+            "dedup",
+            "dedup_exact",
+            "dedup_clusters",
+            "dedup_incremental",
+            "minhash_signatures",
+            "minhash_dedup_pairs",
+            "ngram_jaccard_pairs",
+            "simhash_signatures",
+            "simhash_dedup_pairs",
         ),
-        **_pop("dedup", "chunk_overlap", "minhash_pairs_skew", "ngram_span_dedup"),
-        **_pop_sql("events_window_funcs"),
-        **_pop("selection", "kmeans_lloyd_t3"),
-        **_pop("curation", "ngram_top", "split_assign"),
-        **_pop("joins", "salted_events_enrich"),
-        **_pop("similarity", "semantic_dedup"),
-        **_pop("profile", "table_profile"),
+        **_pop("text", "token_count", "quality_score"),
+        **_pop("multimodal", "media_frames", "media_meta_stats"),
+        **_pop("stateful", "sessionize", "user_sessions"),
     }
-    # --- slots 47-50: the four alphabetically-first 4x-green r10 ---------
-    deep_r10 = {
-        **_pop_sql("events_cube"),
-        **_pop("temporal", "events_asof", "events_kmv_distinct", "events_range_join"),
+    # slots 19-22 continued: the four r10-stale micro-batch queries (named
+    # "streaming" so the bench's measure-last rule isolates their RocksDB
+    # maintenance threads from subsequent batch timings)
+    stale_r10_streaming = _pop(
+        "streaming", "stream_click_attr", "stream_dedup", "stream_enrich", "stream_sliding"
+    )
+    # --- slots 23-33: r11-green with one to three green rows -------------
+    shallow_r11 = {
+        **_pop("sketches", "events_quantile_sketch", "cms_heavy_hitters"),
+        **_pop("graph", "bfs_hops_t3", "lpa_communities_t3", "triangle_count"),
+        **_pop("retrieval", "bm25_topk"),
+        **_pop("bpe", "bpe_merges_t2"),
+        **_pop("selection", "dsir_weights"),
+        **_pop("dedup", "span_scrub", "winnow_fingerprints"),
     }
-    # `sql` now holds the sacrificed-behind-the-window SQL cohort
+    shallow_r11_streaming = _pop("streaming", "stream_topk")
+    # --- slots 34-50: the seventeen alphabetically-first 4x-green r11 ----
+    mid_r11 = {
+        **_pop("joins", "bloom_semi_agg"),
+        **_pop("cdc", "cdc_apply_changes"),
+        **_pop(
+            "curation",
+            "chunk_documents",
+            "decontaminate",
+            "domain_mix",
+            "domain_resample",
+            "pack_sequences",
+            "pii_scrub",
+            "repetition_stats",
+        ),
+        **_pop("pipeline", "corpus_pipeline"),
+        **_pop("custom", "custom_source_scan"),
+        **_pop("dedup", "dedup_clusters_star"),
+        **_pop("similarity", "embedding_quantize"),
+        **_pop("selection", "kmeans_assign"),
+        **_pop("multimodal", "media_dedup"),
+        **_pop("graph", "pagerank_nations"),
+        **_pop("analytics", "rollup_incremental"),
+    }
+    # `sql` holds the full sacrificed SQL cohort this round (no window pops)
     tail_tiers = (
         "selection",
         "dedup",
@@ -293,10 +295,11 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     )
     out = [
         ("promoted", promoted),
-        ("stale-r09", stale_r09),
-        ("shallow-r10", shallow_r10),
-        ("mid-r10", mid_r10),
-        ("deep-r10", deep_r10),
+        ("stale-r10", stale_r10),
+        ("stale-r10-streaming", stale_r10_streaming),
+        ("shallow-r11", shallow_r11),
+        ("shallow-r11-streaming", shallow_r11_streaming),
+        ("mid-r11", mid_r11),
         # ---- window boundary: exactly 50 entries above this line ----
         ("sql", sql),
         *[(n, by_name[n]) for n in tail_tiers],

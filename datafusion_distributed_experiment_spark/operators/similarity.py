@@ -719,17 +719,46 @@ def _pq_serve(
     )
 
 
-# IVF-PQ persisted-index layout (ivf_pq_index_build, staged round 12):
+# IVF-PQ persisted-index layout (ivf_pq_index_build, promoted round 13):
 # the build-once/probe-many split of the ivf_pq_topk kernel. The index is
 # a bucketed parquet table hashed on list_id so a probe's IN-filter prunes
 # whole buckets at plan time (SelectedBucketsCount in the scan) — the
 # persistent form of the probe join's shuffle, paid once at build time.
-# Fixed location (build overwrites, serve + the DuckDB oracle read back):
-# the build/serve pair runs inside ONE invocation, so the path carries no
-# scale suffix — each invocation rebuilds at its own sf before probing.
+# Location (round-13 review — the previous fixed absolute path made the
+# repo non-relocatable and let two concurrent invocations at different
+# scales clobber each other between the bucketed write and the oracle's
+# read of the same files): the warehouse ROOT is repo-relative (override
+# via $SPARK_GRAFT_WAREHOUSE), and each corpus size gets an ISOLATED
+# hive-style subdirectory n=<corpus row count>. The count is derivable by
+# BOTH engines from the embeddings table alone, so the STATIC oracle SQL
+# (the driver captures it before running anything) selects its own
+# scale's partition out of the shared glob with a scalar subquery —
+# no path needs to be known at oracle-build time.
 IVF_PQ_INDEX_BUCKETS = 32
 IVF_PQ_INDEX_TABLE = "ivf_pq_index"
-IVF_PQ_INDEX_PATH = "/root/repo/spark-warehouse/ivf_pq_index"
+
+
+def _warehouse_root() -> str:
+    import os
+
+    default = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+    )
+    return os.environ.get("SPARK_GRAFT_WAREHOUSE", default)
+
+
+def ivf_pq_index_location(n_corpus: int) -> tuple[str, str]:
+    """(catalog table name, on-disk path) for the persisted index of an
+    ``n_corpus``-vector corpus. Table names carry the same suffix as the
+    path so a session running two scales holds two live catalog entries
+    instead of silently re-pointing one name."""
+    return (
+        f"{IVF_PQ_INDEX_TABLE}_n{n_corpus}",
+        f"{_warehouse_root()}/{IVF_PQ_INDEX_TABLE}/n={n_corpus}",
+    )
 
 
 def ivf_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -766,10 +795,15 @@ def ivf_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, cb, seed_rows = _pq_fit(vecs)
     from ..engine import Engine
 
+    # scale-isolated location: the count is one scalar over the already-
+    # checkpointed corpus, and the SAME value is what the oracle's scalar
+    # subquery computes from the embeddings view — the two engines agree
+    # on which partition holds this invocation's index by construction
+    table, path = ivf_pq_index_location(vecs.count())
     index = Engine(spark).write_bucketed(
         _pq_encode(vecs, centroids, cb),
-        IVF_PQ_INDEX_TABLE,
-        IVF_PQ_INDEX_PATH,
+        table,
+        path,
         ["list_id"],
         n_buckets=IVF_PQ_INDEX_BUCKETS,
         sort_cols=["list_id", "vec_id"],
@@ -822,20 +856,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": embedding_quantize,
         # staged at round 11, promoted into the gate window at round 12
         "ivf_pq_topk": ivf_pq_topk,
+        # staged at round 12, promoted into the gate window at round 13
+        "ivf_pq_index_build": ivf_pq_index_build,
     }
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Round 12 stages :func:`ivf_pq_index_build` (the one staged slot the
-    round-11 VERDICT budgeted — the build-once/probe-many split of the
-    promoted ivf_pq_topk kernel: persist the encoded corpus as a bucketed
-    table, then serve probes reading only the probed buckets); it awaits a
-    gate-window slot at the round-13 rotation."""
-    return {"ivf_pq_index_build": ivf_pq_index_build}
+    """Round 13 promoted :func:`ivf_pq_index_build` (the round-12 staged
+    operator) into :func:`queries`. The round-13 staged slot (budgeted by
+    the round-12 VERDICT) is ``ivf_pq_index_upsert`` — incremental
+    maintenance of the persisted index — added here once built."""
+    return {}
 
 
 def staged_oracles() -> dict[str, str]:
-    return {"ivf_pq_index_build": _ivf_pq_index_oracle()}
+    return {}
 
 
 _DOT_QV = DUCK_DOT.format(a="qv", b="v", n=DIM)
@@ -965,8 +1000,16 @@ def _ivf_pq_index_oracle() -> str:
                    list_transform(v, x -> CAST(FLOOR(1e6 * x) AS BIGINT)) AS xp
             FROM vecs
         ), idx AS (
+            -- scale-isolated partition selection: the hive glob spans every
+            -- corpus size ever built under the warehouse root; the scalar
+            -- subquery picks THIS scale's partition by the same row count
+            -- the Spark build keyed the path on (round-13 review)
             SELECT vec_id, list_id, codes
-            FROM read_parquet('{IVF_PQ_INDEX_PATH}/*.parquet')
+            FROM read_parquet(
+                '{_warehouse_root()}/{IVF_PQ_INDEX_TABLE}/*/*.parquet',
+                hive_partitioning = true
+            )
+            WHERE CAST(n AS BIGINT) = (SELECT COUNT(*) FROM embeddings)
         ), cent AS (
             SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs
             WHERE vec_id < (SELECT GREATEST({IVF_K_MIN}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM vecs)
@@ -1017,6 +1060,7 @@ def _ivf_pq_index_oracle() -> str:
 def oracles() -> dict[str, str]:
     return {
         "ivf_pq_topk": _ivf_pq_oracle(),
+        "ivf_pq_index_build": _ivf_pq_index_oracle(),
         "embedding_quantize": """
             WITH base AS (
                 SELECT vec_id,

@@ -104,55 +104,30 @@ def test_gate_window_rotation_leaves_no_query_unverified():
     )
 
 
-def test_round12_window_composition():
-    """Round-12 rotation, pinned by name: the promoted round-11 staged
-    operator (ivf_pq_topk — never driver-verified) leads, then the 20
-    queries whose last green row is CORRECTNESS_r09 (the round-11
-    sacrifice cohort — the rotation contract's re-entry point), then the
-    29 shallowest r10-green by total green-row depth (the once-green
-    domain_token_profile, the three twice-green, all twenty-one
-    thrice-green, and the four alphabetically-first four-times-green).
-    Nothing r11-green occupies a window slot, and the 21 sacrificed
-    queries re-enter at round 13.
+def test_round13_window_composition():
+    """Round-13 rotation, pinned by name: the promoted round-12 staged
+    operator (ivf_pq_index_build — never driver-verified) leads, then the
+    21 queries whose last green row is CORRECTNESS_r10 (the round-12
+    sacrifice cohort — the rotation contract's re-entry point, and the
+    dedup tier's first driver run since the a469a0f codepoint-exact hash
+    core), then the 28 shallowest r11-green by total green-row depth (the
+    once-green events_quantile_sketch, all ten thrice-green, and the
+    seventeen alphabetically-first four-times-green). Nothing r12-green
+    occupies a window slot, and the 22 sacrificed queries re-enter at
+    round 14.
 
-    STALE BUDGET restated at the 121-query surface: 121 queries over a
-    50-slot window is a ceil(121/50) = 3-round full cycle, so the bound
+    STALE BUDGET restated at the 122-query surface: 122 queries over a
+    50-slot window is a ceil(122/50) = 3-round full cycle, so the bound
     remains "outside-window queries green within the THREE most recent
-    committed CORRECTNESS artifacts" — at this round that is r09 ∪ r10 ∪
-    r11, with the r09-only cohort occupying window slots (re-entering)
+    committed CORRECTNESS artifacts" — at this round that is r10 ∪ r11 ∪
+    r12, with the r10-only cohort occupying window slots (re-entering)
     rather than sitting outside."""
     names = list(entry_mod.queries())
     gated = set(names[:50])
-    assert names[0] == "ivf_pq_topk", (
+    assert names[0] == "ivf_pq_index_build", (
         f"the promoted staged operator must lead the window; head is {names[0]}"
     )
-    stale_r09 = {
-        "q1", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
-        "q12", "q14", "q16", "q18", "q19", "fingerprint", "lang_id",
-        "text_stats", "stratified_sample", "media_resize",
-    }
-    assert set(names[1:21]) == stale_r09, (
-        f"the 20 r09-stale re-entries must follow the promoted op; slots "
-        f"2-21 are {names[1:21]}"
-    )
-    shallow_r10 = {
-        "domain_token_profile", "bpe_apply", "hll_distinct",
-        "weighted_sample",
-    }
-    assert shallow_r10 <= gated, (
-        f"once/twice-green r10 ops not all in window: {shallow_r10 - gated}"
-    )
-    by_round = _green_rows_by_round()
-    # nothing verified in the freshest committed artifact wastes a slot
-    freshest = by_round[max(by_round)]
-    fresh_in_window = gated & freshest
-    assert not fresh_in_window, (
-        f"freshest-round-verified queries occupying window slots: {fresh_in_window}"
-    )
-    # the sacrificed cohort is exactly the documented 21: the ten
-    # 6x-green dedup/ANN core ops, the three 5x-green, and the eight
-    # family-covered 4x-green picks
-    sacrificed = {
+    stale_r10 = {
         "ann_ivf", "ann_lsh", "dedup_exact", "embedding_dedup",
         "minhash_dedup_pairs", "minhash_signatures", "ngram_jaccard_pairs",
         "simhash_dedup_pairs", "simhash_signatures", "token_count",
@@ -161,11 +136,41 @@ def test_round12_window_composition():
         "stream_click_attr", "stream_dedup", "stream_enrich",
         "stream_sliding",
     }
+    assert set(names[1:22]) == stale_r10, (
+        f"the 21 r10-stale re-entries must follow the promoted op; slots "
+        f"2-22 are {names[1:22]}"
+    )
+    shallow_r11 = {
+        "events_quantile_sketch", "bfs_hops_t3", "bm25_topk",
+        "bpe_merges_t2", "cms_heavy_hitters", "dsir_weights",
+        "lpa_communities_t3", "span_scrub", "stream_topk",
+        "triangle_count", "winnow_fingerprints",
+    }
+    assert shallow_r11 <= gated, (
+        f"once/thrice-green r11 ops not all in window: {shallow_r11 - gated}"
+    )
+    by_round = _green_rows_by_round()
+    # nothing verified in the freshest committed artifact wastes a slot
+    freshest = by_round[max(by_round)]
+    fresh_in_window = gated & freshest
+    assert not fresh_in_window, (
+        f"freshest-round-verified queries occupying window slots: {fresh_in_window}"
+    )
+    # the sacrificed cohort is exactly the documented 22: the three
+    # alphabetically-last 4x-green (their families stay window-covered)
+    # and all nineteen 6x-green
+    sacrificed = {
+        "sessionize_native", "shuffle_shards", "token_budget_select",
+        "embedding_topk", "events_agg_count", "events_cte_join",
+        "events_daily", "events_latest", "events_median", "events_rolling",
+        "events_rollup", "events_setops", "events_topk", "media_features",
+        "q13", "q15", "q17", "q1_decimal", "q2", "q20", "q21", "q22",
+    }
     outside = set(names[50:])
-    r10_outside = outside & by_round[10] - by_round[11]
-    assert r10_outside == sacrificed, (
-        f"stale-budget drift: r10-green queries outside the window "
-        f"unexpected={r10_outside - sacrificed} missing={sacrificed - r10_outside}"
+    r11_outside = outside & by_round[11] - by_round[12]
+    assert r11_outside == sacrificed, (
+        f"stale-budget drift: r11-green queries outside the window "
+        f"unexpected={r11_outside - sacrificed} missing={sacrificed - r11_outside}"
     )
 
 

@@ -1,5 +1,6 @@
 """IVF-PQ persisted-index tests (oracle parity over the on-disk index
-runs in tests/test_staged_oracle.py; these pin the build/serve split).
+runs in tests/test_corpus_oracle.py since the round-13 promotion; these
+pin the build/serve split).
 
 The three claims that make the index worth persisting, each pinned:
 (1) serving from the persisted index is BIT-IDENTICAL to the in-flight
@@ -18,7 +19,6 @@ from __future__ import annotations
 
 from datafusion_distributed_experiment_spark.operators.similarity import (
     IVF_PQ_INDEX_BUCKETS,
-    IVF_PQ_INDEX_TABLE,
     IVF_PROBE,
     _pq_encode,
     _pq_fit,
@@ -30,11 +30,22 @@ from datafusion_distributed_experiment_spark.operators.similarity import (
 )
 from pyspark.sql import functions as F
 
+from datafusion_distributed_experiment_spark.operators.similarity import (
+    ivf_pq_index_location,
+)
+
 from .conftest import SF_DIR
 
 
 def _rows(df):
     return [tuple(r) for r in df.collect()]
+
+
+def _index_table(spark):
+    # per-scale catalog name (round-13 review: the location is keyed by
+    # corpus row count so concurrent scales cannot clobber each other)
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    return ivf_pq_index_location(n)[0]
 
 
 def test_index_serve_equals_inflight_topk(spark):
@@ -62,7 +73,7 @@ def test_index_persists_exact_encode(spark):
     )
     got = sorted(
         (int(r["vec_id"]), int(r["list_id"]), tuple(r["codes"]))
-        for r in spark.table(IVF_PQ_INDEX_TABLE).collect()
+        for r in spark.table(_index_table(spark)).collect()
     )
     assert got == want and len(got) > 0
 
@@ -83,7 +94,7 @@ def test_single_query_probe_prunes_buckets(spark):
         .localCheckpoint()
     )
     centroids, cb, seed_rows = _pq_fit(vecs)
-    index = spark.table(IVF_PQ_INDEX_TABLE)
+    index = spark.table(_index_table(spark))
     served = serve_pq_index(
         spark, vecs, index, centroids, cb, seed_rows, n_queries=1
     )
@@ -104,3 +115,62 @@ def test_single_query_probe_prunes_buckets(spark):
         spark, vecs, index, centroids, cb, seed_rows, n_queries=1
     )
     assert _rows(served) == _rows(unpruned) and len(_rows(served)) > 0
+
+
+def test_index_location_is_scale_isolated_and_relocatable(spark, duck, tmp_path):
+    """Round-13 review fix: the index location is keyed by corpus row
+    count under a repo-relative (env-overridable) warehouse root — not one
+    fixed absolute path — so two invocations at different scales write
+    DISJOINT partitions, and the static DuckDB oracle picks its own
+    scale's partition out of the shared glob by the same count its
+    embeddings view yields. Pinned end-to-end: build at SF_DIR, build
+    again over a synthetic corpus of a DIFFERENT size, then hash-compare
+    the synthetic serve against the oracle WHILE BOTH partitions exist on
+    disk — a wrong-partition read cannot hash-match."""
+    import os
+
+    from datafusion_distributed_experiment_spark.operators.similarity import (
+        DIM,
+        _ivf_pq_index_oracle,
+        _warehouse_root,
+    )
+
+    from ._compare import assert_frames_match
+
+    n_base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    ivf_pq_index_build(spark, SF_DIR).collect()
+    base_path = ivf_pq_index_location(n_base)[1]
+    assert os.path.isdir(base_path)
+    base_files = sorted(os.listdir(base_path))
+
+    # synthetic corpus, deliberately a different size than any sf dir
+    n_syn = 48
+    assert n_syn != n_base
+    syn_dir = tmp_path / "syn"
+    syn_dir.mkdir()
+    rows = [
+        (i, [((i * 37 + j * 11) % 200 - 100) / 100.0 for j in range(DIM)])
+        for i in range(n_syn)
+    ]
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(
+        1
+    ).write.parquet(str(syn_dir / "embeddings.parquet"))
+    got = ivf_pq_index_build(spark, str(syn_dir)).toPandas()
+    assert len(got) > 0
+    syn_path = ivf_pq_index_location(n_syn)[1]
+    assert os.path.isdir(syn_path) and syn_path != base_path
+    # the base scale's partition is untouched by the synthetic build
+    assert sorted(os.listdir(base_path)) == base_files
+
+    # oracle partition selection: with BOTH partitions on disk, the count
+    # subquery must pick the synthetic one when embeddings IS the
+    # synthetic corpus
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{syn_dir}/embeddings.parquet/*.parquet'"
+    )
+    odf = con.execute(_ivf_pq_index_oracle()).df()
+    assert_frames_match(got, odf, "ivf_pq_index_build[synthetic-scale]")
