@@ -23,6 +23,30 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(c, " "), lambda t: t != F.lit(""))
 
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(text: Column | str) -> Column:
+    """Engine-neutral ASCII case fold: ``translate`` over [A-Z] only.
+
+    NOT ``lower()`` — the JVM applies full Unicode case mapping (U+0130
+    'İ' lowers to the TWO-codepoint 'i̇') where DuckDB's utf8proc applies
+    simple mapping ('i'), so any ``lower()``-normalized comparison can
+    diverge cross-engine on special-cased uppercase input (round-13
+    review; the same divergence class BPE_PATTERN's case-explicit classes
+    close). A character-for-character [A-Z]→[a-z] translate is identical
+    on every engine and sufficient wherever the comparison targets are
+    pure-ASCII words (stopword lists)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.translate(c, _ASCII_UPPER, _ASCII_LOWER)
+
+
+# DuckDB spelling of the same fold (translate is PostgreSQL-compatible on
+# both engines; `{x}` is the string expression to fold)
+DUCK_ASCII_LOWER = f"translate({{x}}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
 def poly_hash(text: Column | str) -> Column:
     """Deterministic int64 polynomial rolling hash over characters.
 

@@ -39,21 +39,30 @@ def cdc_merge(snapshot: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     'D' rows remove the key, 'I' rows are appended verbatim. Rows whose
     ``__op`` is NULL or outside {'I','U','D'} RAISE instead of silently
     vanishing (a lowercase 'u' from upstream schema drift must not make
-    the merge return a plausible-looking snapshot missing those changes);
-    the check is one tiny aggregate over the CHANGE batch, which is
-    daily-small by the same asymmetry that lets it broadcast. The snapshot
-    side stays map-only."""
-    from ..errors import ExecutionError
-
-    bad = changes.filter(
-        F.col(OP_COL).isNull() | ~F.col(OP_COL).isin("I", "U", "D")
-    ).limit(1).collect()
-    if bad:
-        raise ExecutionError(
-            f"cdc_merge: change batch carries an unknown {OP_COL} value "
-            f"{bad[0][OP_COL]!r} (expected 'I'/'U'/'D'); refusing to "
-            "silently drop change rows"
+    the merge return a plausible-looking snapshot missing those changes).
+    The check rides the merge's OWN evaluation as a ``raise_error`` CASE
+    wrapped around every ``__op`` read — not an eager ``limit(1)``
+    pre-pass, which evaluated the change lineage twice (a nondeterministic
+    change source could pass the pre-check yet feed different rows to the
+    actual merge) and taxed every merge with an extra driver job
+    (round-12 review). The error therefore surfaces at ACTION time on the
+    executor→driver propagation path (``errors.map_exception`` types it
+    ``ExecutionError``, message intact). The snapshot side stays
+    map-only."""
+    checked_op = F.when(
+        F.col(OP_COL).isin("I", "U", "D"), F.col(OP_COL)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"cdc_merge: change batch carries an unknown {OP_COL} value '"
+                ),
+                F.coalesce(F.col(OP_COL), F.lit("NULL")),
+                F.lit("' (expected 'I'/'U'/'D'); refusing to silently drop change rows"),
+            )
         )
+    )
+    changes = changes.withColumn(OP_COL, checked_op)
     value_cols = [c for c in snapshot.columns if c != key]
     ud = changes.filter(F.col(OP_COL).isin("U", "D")).select(
         F.col(key),

@@ -63,17 +63,34 @@ def check_cms_hash_headroom(max_abs_user_id: int) -> None:
         )
 
 
-def check_ppm_headroom(total_tokens: int, total_est_distinct: int) -> None:
+def check_ppm_headroom(
+    total_tokens: int, total_est_distinct: int, n_sources: int = 0
+) -> None:
     """Raise PlanningError when the exact-integer ppm forms
     ``(1_000_000 * x) DIV total`` could exceed int64 (x is bounded by its
-    total, so the totals bound both numerators). With ANSI off Spark
-    would wrap silently where DuckDB raises. Pure so the trip condition
-    is unit-testable without a 9-trillion-token corpus."""
+    total, so the totals bound both numerators) — with ANSI off Spark
+    would wrap silently where DuckDB raises — OR when a NON-EMPTY profile
+    (``n_sources`` > 0) carries a ZERO total: every document tokenizing
+    empty keeps its source row (the LEFT-join zero-default contract) but
+    makes the share denominators 0, and ``x DIV 0`` returns NULL on Spark
+    (ANSI off) while DuckDB's ``// 0`` raises — the succeed-vs-crash
+    divergence class the round-12 guards target (round-13 review). Pure
+    so both trip conditions are unit-testable without a 9-trillion-token
+    (or all-empty) corpus."""
+    from ..errors import PlanningError
+
+    if n_sources > 0 and min(total_tokens, total_est_distinct) <= 0:
+        raise PlanningError(
+            f"domain profile has {n_sources} sources but zero totals "
+            f"(total_tokens={total_tokens}, "
+            f"total_est_distinct={total_est_distinct}): every document "
+            "tokenized empty, so the ppm share denominators are 0 — Spark "
+            "would NULL the shares where DuckDB raises; refusing to emit a "
+            "divergent profile"
+        )
     i64 = 2**63 - 1
     worst = max(total_tokens, total_est_distinct)
     if worst > i64 // 1_000_000:
-        from ..errors import PlanningError
-
         raise PlanningError(
             f"ppm share arithmetic would exceed int64 headroom at total = "
             f"{worst} (bound {i64 // 1_000_000}); shard the profile or "
@@ -460,14 +477,20 @@ def domain_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = prof.agg(
         F.sum("src_tokens").alias("total_tokens"),
         F.sum("est_distinct_tokens").alias("total_est_distinct"),
+        F.count(F.lit(1)).alias("n_sources"),
     )
-    # Guard the exact-integer ppm forms' int64 headroom (1e6 * x must fit):
-    # the 1-row totals are KB state computed off the checkpointed profile,
-    # so the check is one scalar collect (the cms/bm25 guard pattern)
+    # Guard the exact-integer ppm forms' int64 headroom (1e6 * x must fit)
+    # AND the zero-total divide (a non-empty profile whose every document
+    # tokenized empty — Spark NULLs x DIV 0 where DuckDB raises): the 1-row
+    # totals are KB state computed off the checkpointed profile, so the
+    # check is one scalar collect (the cms/bm25 guard pattern)
     trow = totals.collect()[0]
     check_ppm_headroom(
-        int(trow["total_tokens"] or 0), int(trow["total_est_distinct"] or 0)
+        int(trow["total_tokens"] or 0),
+        int(trow["total_est_distinct"] or 0),
+        n_sources=int(trow["n_sources"] or 0),
     )
+    totals = totals.drop("n_sources")  # not part of the cross-joined output
     # ppm shares in the EXACT integer cross-multiplied form — the double
     # spelling floor(1e6 * x / y) rounds through one IEEE quotient whose
     # ulp can cross the integer boundary for totals past ~4.5e9 tokens

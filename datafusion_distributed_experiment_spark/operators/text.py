@@ -18,7 +18,14 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import DUCK_POLY_HASH, DUCK_TOKENS, poly_hash, tokens
+from ..functions.text import (
+    DUCK_ASCII_LOWER,
+    DUCK_POLY_HASH,
+    DUCK_TOKENS,
+    ascii_lower,
+    poly_hash,
+    tokens,
+)
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
@@ -55,10 +62,14 @@ def stats_frame(docs: DataFrame, extra: dict[str, Column] | None = None) -> Data
             F.col("compact_len"),
             F.size("toks").cast("long").alias("n_tokens"),
             F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
-            # lower(t): capitalized stopwords ('The', 'In', 'A') must count
-            # — matching lowercase STOPWORDS against raw tokens undercounted
-            # density on mixed-case text in BOTH spellings (round-12 review)
-            F.size(F.filter("toks", lambda t: F.lower(t).isin(*STOPWORDS))).cast("long").alias("stop_hits"),
+            # ascii_lower(t): capitalized stopwords ('The', 'In', 'A') must
+            # count — matching lowercase STOPWORDS against raw tokens
+            # undercounted density on mixed-case text in BOTH spellings
+            # (round-12 review). ASCII translate, not lower(): JVM full case
+            # mapping lowers 'İN' to 'i̇n' (no match) where DuckDB's simple
+            # mapping yields 'in' (match) — engine-neutral fold required
+            # (round-13 review; STOPWORDS are pure ASCII)
+            F.size(F.filter("toks", lambda t: ascii_lower(t).isin(*STOPWORDS))).cast("long").alias("stop_hits"),
             *extra,
         )
     )
@@ -108,8 +119,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
         .select(
             F.col("doc_id"),
-            # lower(t): the stats_frame stopword-case contract
-            F.size(F.filter("toks", lambda t: F.lower(t).isin(*STOPWORDS))).cast("long").alias("stop_hits"),
+            # ascii_lower(t): the stats_frame stopword-case contract
+            F.size(F.filter("toks", lambda t: ascii_lower(t).isin(*STOPWORDS))).cast("long").alias("stop_hits"),
             F.size("toks").cast("long").alias("n_tokens"),
         )
         .select(
@@ -245,7 +256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_STOP_SQL = " OR ".join(f"lower(t) = '{w}'" for w in STOPWORDS)
+_STOP_LT = DUCK_ASCII_LOWER.format(x="t")
+_STOP_SQL = " OR ".join(f"{_STOP_LT} = '{w}'" for w in STOPWORDS)
 _TOKS = DUCK_TOKENS.format(x="text")
 
 

@@ -149,16 +149,49 @@ def test_cdc_update_to_null_replaces(spark):
 def test_cdc_unknown_op_raises(spark):
     """Round-12 review fix: rows whose __op is NULL or outside {'I','U','D'}
     (lowercase 'u', 'UPDATE', schema drift) previously vanished from BOTH
-    the upsert and insert paths — a silently incomplete merge. They now
-    raise loudly."""
+    the upsert and insert paths — a silently incomplete merge. They raise
+    loudly. Round-13 review fix: the check is a raise_error CASE riding the
+    merge's own evaluation (not an eager limit(1) pre-pass that evaluated
+    the change lineage twice and could pass on a nondeterministic source
+    yet merge different rows), so it surfaces at ACTION time on the
+    executor->driver path; errors.map_exception types it ExecutionError
+    with the message intact."""
     import pytest
 
-    from datafusion_distributed_experiment_spark.errors import ExecutionError
+    from datafusion_distributed_experiment_spark.errors import (
+        ExecutionError,
+        map_exception,
+    )
 
     snapshot = [(1, "a", 10)]
     for bad_op in ("u", "UPDATE", None):
-        with pytest.raises(ExecutionError, match="unknown __op"):
+        with pytest.raises(Exception, match="unknown __op") as excinfo:
             _merge(spark, snapshot, [(1, "x", 1, bad_op)])
+        mapped = map_exception(excinfo.value)
+        assert isinstance(mapped, ExecutionError)
+        assert "unknown __op" in str(mapped)
+        # the offending value itself crosses the boundary (NULL spelled out)
+        assert (bad_op or "NULL") in str(mapped)
+
+
+def test_cdc_unknown_op_check_adds_no_extra_job(spark):
+    """The inline validation must not run a driver-side job at cdc_merge()
+    call time — the round-12 advisory's cost complaint. Building the merge
+    plan over a VALID batch triggers zero Spark jobs; the single action
+    evaluates check and merge together."""
+    snap = spark.createDataFrame([(1, "a", 10)], "k long, seg string, v long")
+    chg = spark.createDataFrame(
+        [(1, "b", 11, "U")], f"k long, seg string, v long, {OP_COL} string"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("cdc-lazy-check", "assert cdc_merge runs no eager job")
+    try:
+        out = cdc_merge(snap, chg, key="k")  # plan-building only
+        jobs = sc.statusTracker().getJobIdsForGroup("cdc-lazy-check")
+    finally:
+        sc.setJobGroup(None, None)
+    assert not jobs, f"cdc_merge must be lazy — eager validation jobs ran: {jobs}"
+    assert sorted((r["k"], r["seg"], r["v"]) for r in out.collect()) == [(1, "b", 11)]
 
 
 def test_cdc_insert_keys_never_collide_with_snapshot(spark):

@@ -874,6 +874,46 @@ def test_ppm_headroom_guard():
         check_ppm_headroom(0, bound + 1)
 
 
+def test_ppm_zero_total_guard():
+    """Round-13 review fix: with the LEFT-join zero-default path keeping
+    all-empty-token sources, a corpus whose EVERY document tokenizes empty
+    yields total_tokens=0 while the profile is non-empty — Spark's
+    (1000000 * x) DIV 0 returns NULL (ANSI off) while DuckDB's // 0 raises,
+    the succeed-vs-crash divergence class. The guard trips loudly instead;
+    an EMPTY profile (n_sources=0) stays fine (no rows to diverge on)."""
+    from datafusion_distributed_experiment_spark.errors import PlanningError
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        check_ppm_headroom,
+    )
+
+    check_ppm_headroom(0, 0, n_sources=0)  # empty profile: nothing to emit
+    check_ppm_headroom(10, 3, n_sources=2)  # normal profile
+    for tok, est in ((0, 0), (10, 0), (0, 3)):
+        with pytest.raises(PlanningError, match="zero totals"):
+            check_ppm_headroom(tok, est, n_sources=2)
+
+
+def test_domain_profile_all_empty_corpus_raises(spark, tmp_path):
+    """End-to-end trip of the zero-total guard: a documents table whose
+    every row tokenizes empty reaches the share arithmetic with
+    total_tokens=0 and must raise PlanningError, not emit NULL shares."""
+    import pyspark.sql.functions as F
+
+    from datafusion_distributed_experiment_spark.errors import PlanningError
+    from datafusion_distributed_experiment_spark.operators.sketches import (
+        domain_token_profile,
+    )
+
+    src = str(tmp_path / "docs")
+    spark.range(4).select(
+        F.col("id").alias("doc_id"),
+        F.lit("srcA").alias("source"),
+        F.lit("     ").alias("text"),  # whitespace only -> 0 tokens
+    ).write.parquet(f"{src}/documents.parquet")
+    with pytest.raises(PlanningError, match="zero totals"):
+        domain_token_profile(spark, src)
+
+
 def test_domain_profile_keeps_empty_sources(spark, tmp_path):
     """Dataset-accounting doctrine, pinned after a review-found
     ORACLE-BLIND drop (round 12): a source whose every document tokenizes

@@ -246,7 +246,13 @@ def test_text_counters_agree_cross_engine_on_mixed_case(spark, tmp_path):
     BOTH spellings); (b) the BPE/word-run counters run case-explicit
     patterns over the RAW text — the old lower(text) pre-pass diverged
     between engines on special-cased characters (JVM lower('İ') is two
-    codepoints, utf8proc's one)."""
+    codepoints, utf8proc's one); (c) round-13 review: STOPWORD matching
+    itself folds via the engine-neutral ASCII translate, not lower() —
+    the token 'İN' lowers to 'i̇n' on the JVM (no stopword match) but
+    'in' under utf8proc's simple mapping (match), so doc 5 diverged
+    cross-engine under the lower() spelling; under ascii_lower both
+    engines agree it is NOT a stopword (the fold only touches [A-Z]),
+    while plain-caps 'IN'/'IS' still count."""
     import __spark_entry__ as entry_mod
 
     rows = [
@@ -254,6 +260,7 @@ def test_text_counters_agree_cross_engine_on_mixed_case(spark, tmp_path):
         (2, "web", "IT'S A TEST OF THE SYSTEM"),
         (3, "web", "İstanbul naïve café 123"),
         (4, "web", "plain lowercase words and the usual text"),
+        (5, "web", "İN IS THE crowd İstanbul"),
     ]
     d = tmp_path / "mixedcase"
     d.mkdir()
@@ -277,6 +284,12 @@ def test_text_counters_agree_cross_engine_on_mixed_case(spark, tmp_path):
     }
     assert stats[1]["stopword_ppm"] > 0, "capitalized stopwords must count"
     assert stats[2]["stopword_ppm"] > 0, "'A'/'OF'/'THE' in caps must count"
+    # doc 5: 'IS'+'THE' count (2 of 5 tokens = 400000 ppm); 'İN' must NOT
+    # — the ASCII fold leaves 'İ' alone on BOTH engines, where lower()
+    # made the engines disagree (Spark 'i̇n' vs DuckDB 'in')
+    assert stats[5]["stopword_ppm"] == 400_000, (
+        f"ascii_lower stopword fold drifted: {stats[5]['stopword_ppm']}"
+    )
 
 
 def test_poly_hash_and_char_split_codepoint_parity(spark, tmp_path):
