@@ -98,10 +98,12 @@ def staged_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Da
     comparison over them in every pytest run; at the next rotation they
     move into ``pipeline_tiers()`` and earn driver CORRECTNESS rows.
 
-    Round 10 staged events_quantile_sketch (promoted at the round-11
-    rotation); round 11 stages ivf_pq_topk. Each round's VERDICT budgets
-    at most ONE new staged operator (the 120-query surface already cycles
-    the gate window every 3 rounds; growth is deliberately near-frozen)."""
+    Round 10 staged events_quantile_sketch (promoted r11); round 11
+    staged ivf_pq_topk (promoted r12); round 12 staged ivf_pq_index_build
+    (promoted r13); round 13 stages ivf_pq_index_upsert. Each round's
+    VERDICT budgets at most ONE new staged operator (the 122-query
+    surface already cycles the gate window every 3 rounds; growth is
+    deliberately near-frozen)."""
     from ..streaming import events as streaming_events
     from . import bpe, curation, dedup, graph, retrieval, selection, similarity, sketches
 

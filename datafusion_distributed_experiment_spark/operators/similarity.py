@@ -846,6 +846,192 @@ def serve_pq_index(
     )
 
 
+# --- IVF-PQ incremental index maintenance (ivf_pq_index_upsert, staged
+# round 13 — the VERDICT-budgeted +1). Completes the ANN lifecycle:
+# build (ivf_pq_index_build) -> serve (serve_pq_index) -> MAINTAIN. A
+# CDC-shaped embedding change batch (I/U/D) is applied to a PERSISTED
+# index without re-encoding the corpus: only the delta is encoded
+# (map-only _pq_encode under the FROZEN model — centroids/codebook stay
+# fixed between full rebuilds, the production contract), and only the
+# TOUCHED inverted lists are rewritten (dynamic partition overwrite over
+# a hive list_id=K layout — the partition-dir analog of the build's
+# bucket layout, chosen because partitions can be replaced one directory
+# at a time where bucket files cannot). The daily-refresh shape at 100 TB:
+# work is O(delta + touched-list bytes), never O(index).
+IVF_PQ_UPSERT_TABLE = "ivf_pq_index_upsert"
+
+
+def ivf_pq_upsert_location(n_corpus: int) -> str:
+    """On-disk path for the maintained index of an ``n_corpus``-vector
+    ORIGINAL corpus (the count before the change batch — the oracle keys
+    its partition selection on ``COUNT(*) FROM embeddings``, which only
+    ever sees the original table)."""
+    return f"{_warehouse_root()}/{IVF_PQ_UPSERT_TABLE}/n={n_corpus}"
+
+
+def _upsert_change_batch(vecs: DataFrame, max_id: int) -> DataFrame:
+    """Deterministic CDC batch over the embedding corpus (the
+    ``cdc.cdc_apply_changes`` derivation pattern, so the DuckDB oracle
+    reproduces it exactly), restricted to ``vec_id >= PQ_QUERIES`` so the
+    model seeds (vec_id < PQ_CODES) and query vectors (vec_id <
+    PQ_QUERIES) stay FIXED — the frozen-model contract would otherwise be
+    unverifiable:
+
+    - ``vec_id % 10 == 0``   -> DELETE
+    - ``vec_id % 10 in (1,2)`` -> UPDATE (vector negated — norm-preserving
+      but assignment-changing, so updates genuinely move between lists)
+    - ``vec_id % 10 == 3``   -> INSERT of vec_id + max_id (reversed vector)
+    """
+    k = F.col("vec_id")
+    eligible = vecs.filter(k >= PQ_QUERIES)
+    dele = eligible.filter(k % 10 == 0).select(
+        "vec_id", "v", F.lit("D").alias("__op")
+    )
+    upd = eligible.filter((k % 10).isin(1, 2)).select(
+        "vec_id",
+        F.expr("transform(v, x -> -x)").alias("v"),
+        F.lit("U").alias("__op"),
+    )
+    ins = eligible.filter(k % 10 == 3).select(
+        (k + F.lit(max_id)).alias("vec_id"),
+        F.reverse("v").alias("v"),
+        F.lit("I").alias("__op"),
+    )
+    return dele.unionAll(upd).unionAll(ins)
+
+
+def _with_xp(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "xp", F.expr("transform(v, x -> CAST(FLOOR(1e6 * x) AS BIGINT))")
+    )
+
+
+def _write_base_index(vecs: DataFrame, centroids: list, cb: list, path: str) -> None:
+    """Base index: full STATIC write partitioned by list_id (clears any
+    stale same-count layout) — the build-once step a production pipeline
+    amortizes across every later refresh."""
+    (
+        _pq_encode(vecs, centroids, cb)
+        .select("vec_id", "codes", "list_id")  # partition col LAST
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+
+
+def _apply_index_delta(
+    spark: SparkSession,
+    path: str,
+    delta_enc: DataFrame,
+    rm_keys: DataFrame,
+) -> list[int]:
+    """Rewrite ONLY the touched inverted lists of the persisted index at
+    ``path``: touched = (old lists holding a removed/updated vec_id) ∪
+    (lists the delta encodings land in). Scale shape, each step pinned by
+    ``tests/test_ivf_pq_upsert.py``:
+
+    - finding old lists is ONE map-only index scan (8 B/vector columns)
+      against the broadcast delta key set — the historical index NEVER
+      shuffles;
+    - the touched-list sets are bounded by K = ceil(sqrt(N)) (there are
+      only K lists), so the two driver collects are model-state scale;
+    - the rewrite reads only the touched partitions (PartitionFilters),
+      anti-joins the broadcast removal keys map-side, unions the delta,
+      and dynamic-partition-overwrite replaces exactly those directories;
+    - a touched list whose every row was removed is dropped explicitly
+      (dynamic overwrite only replaces partitions PRESENT in the output —
+      an emptied list would otherwise keep its stale directory), the
+      DROP PARTITION step of a metastore-backed table.
+
+    Returns the sorted touched list ids."""
+    from ..sources.tables import overwrite_partitions
+
+    index = spark.read.parquet(path).withColumn(
+        "list_id", F.col("list_id").cast("long")
+    )
+    old_lists = [
+        int(r["list_id"])
+        for r in index.join(F.broadcast(rm_keys), "vec_id")
+        .select("list_id")
+        .distinct()
+        .collect()
+    ]
+    new_lists = [
+        int(r["list_id"])
+        for r in delta_enc.select("list_id").distinct().collect()
+    ]
+    touched = sorted(set(old_lists) | set(new_lists))
+    if not touched:
+        return touched
+    rewrite = (
+        index.filter(F.col("list_id").isin(touched))
+        .join(F.broadcast(rm_keys), "vec_id", "left_anti")
+        .unionByName(delta_enc)
+        .select("vec_id", "codes", "list_id")  # partition col LAST
+        .localCheckpoint()  # consumed twice: emptied-list probe + write
+    )
+    survivors = {
+        int(r["list_id"]) for r in rewrite.select("list_id").distinct().collect()
+    }
+    overwrite_partitions(rewrite, path, ["list_id"])
+    import shutil
+
+    for emptied in set(touched) - survivors:
+        shutil.rmtree(f"{path}/list_id={emptied}", ignore_errors=True)
+    return touched
+
+
+def ivf_pq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index maintenance (staged round 13): build the
+    partitioned index from the ORIGINAL corpus once, apply a CDC-shaped
+    change batch (insert/update/delete, derived deterministically from the
+    corpus — see :func:`_upsert_change_batch`) by rewriting only the
+    touched inverted lists, then serve from the maintained on-disk index.
+    Mirrors the reference's register-then-query lifecycle
+    (``benchmarks/src/tpch/run.rs:311-345``) extended in TIME: register
+    once, refresh daily, query always.
+
+    The serve result is BIT-IDENTICAL to a full rebuild over the merged
+    corpus under the same frozen model (pinned by pytest), and the DuckDB
+    oracle replays ADC/refine from the POST-UPSERT persisted parquet — a
+    green row proves the maintained on-disk state, not the logical
+    dataflow. The merged corpus itself comes from the verified
+    :func:`cdc.cdc_merge` kernel (whole-row U images, loud unknown-op
+    contract)."""
+    from .cdc import cdc_merge
+
+    vecs = _with_xp(_vectors(spark, sf_dir)).localCheckpoint()
+    centroids, cb, seed_rows = _pq_fit(vecs)
+    head = vecs.agg(F.count("*").alias("n"), F.max("vec_id").alias("mx")).collect()[0]
+    n_orig, max_id = int(head["n"]), int(head["mx"] or 0)
+    path = ivf_pq_upsert_location(n_orig)
+    _write_base_index(vecs, centroids, cb, path)
+
+    changes = _upsert_change_batch(vecs, max_id).localCheckpoint()
+    # the maintained corpus (refine needs updated/inserted vectors); the
+    # change batch rides the verified CDC merge kernel
+    merged = _with_xp(
+        cdc_merge(vecs.select("vec_id", "v"), changes, key="vec_id")
+    ).withColumn("nrm", norm(F.col("v"))).localCheckpoint()
+    delta_enc = _pq_encode(
+        _with_xp(
+            changes.filter(F.col("__op").isin("I", "U"))
+            .select("vec_id", "v")
+            .withColumn("nrm", norm(F.col("v")))  # coarse assign scores need it
+        ),
+        centroids,
+        cb,
+    )
+    rm_keys = changes.filter(F.col("__op").isin("U", "D")).select("vec_id")
+    _apply_index_delta(spark, path, delta_enc, rm_keys)
+
+    index = spark.read.parquet(path).withColumn(
+        "list_id", F.col("list_id").cast("long")
+    )
+    return serve_pq_index(spark, merged, index, centroids, cb, seed_rows)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "embedding_topk": embedding_topk,
@@ -863,14 +1049,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round 13 promoted :func:`ivf_pq_index_build` (the round-12 staged
-    operator) into :func:`queries`. The round-13 staged slot (budgeted by
-    the round-12 VERDICT) is ``ivf_pq_index_upsert`` — incremental
-    maintenance of the persisted index — added here once built."""
-    return {}
+    operator) into :func:`queries` and stages
+    :func:`ivf_pq_index_upsert` (the one staged slot the round-12 VERDICT
+    budgeted — incremental maintenance of the persisted index: encode only
+    the CDC delta, rewrite only the touched inverted lists, serve
+    bit-identically to a frozen-model rebuild); it awaits a gate-window
+    slot at the round-14 rotation."""
+    return {"ivf_pq_index_upsert": ivf_pq_index_upsert}
 
 
 def staged_oracles() -> dict[str, str]:
-    return {}
+    return {"ivf_pq_index_upsert": _ivf_pq_upsert_oracle()}
 
 
 _DOT_QV = DUCK_DOT.format(a="qv", b="v", n=DIM)
@@ -1046,6 +1235,100 @@ def _ivf_pq_index_oracle() -> str:
             FROM short s
             JOIN vecs q ON q.vec_id = s.query_id
             JOIN vecs nb ON nb.vec_id = s.neighbor_id
+        ), ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id ASC
+            ) AS BIGINT) AS rank
+            FROM rer
+        )
+        SELECT query_id, neighbor_id, adc_score, cos_ppm, rank FROM ranked
+        WHERE rank <= {PQ_TOP_K} ORDER BY query_id, rank
+    """
+
+
+def _ivf_pq_upsert_oracle() -> str:
+    """DuckDB replay of the serve-after-maintenance pipeline reading
+    ``(vec_id, list_id, codes)`` from the POST-UPSERT persisted parquet —
+    a hash match proves the MAINTAINED on-disk state: every inserted and
+    updated vector present with frozen-model codes in its new list, every
+    deleted/moved row absent, every untouched list intact (a stale or
+    missing row in any probed list breaks the ADC sums). The KB-scale
+    model (centroids, codebook, query LUT inputs) is refit from the
+    ORIGINAL embeddings view (the frozen-model contract: the change batch
+    is restricted to vec_id >= PQ_QUERIES, so seeds and queries are
+    change-proof); the MERGED corpus the refine stage re-scores against is
+    re-derived from the same deterministic I/U/D rules the Spark side
+    feeds through cdc_merge."""
+    adc_dot = " + ".join(
+        f"p.qxp[mm.m*{PQ_SUB}+{j}] * cb.cxp[mm.m*{PQ_SUB}+{j}]"
+        for j in range(1, PQ_SUB + 1)
+    )
+    coarse = DUCK_DOT.format(a="x.v", b="cent.cv", n=DIM)
+    mnorm = DUCK_DOT.format(a="v", b="v", n=DIM)
+    return f"""
+        WITH {_DUCK_VECS}, xpt AS (
+            SELECT vec_id, v, nrm,
+                   list_transform(v, x -> CAST(FLOOR(1e6 * x) AS BIGINT)) AS xp
+            FROM vecs
+        ), merged AS (
+            -- the deterministic CDC batch (_upsert_change_batch) applied:
+            -- survivors verbatim, updates negated, inserts reversed at
+            -- vec_id + max; rows with vec_id < {PQ_QUERIES} are change-proof
+            SELECT vec_id, v FROM vecs
+            WHERE vec_id < {PQ_QUERIES} OR (vec_id % 10) NOT IN (0, 1, 2)
+            UNION ALL
+            SELECT vec_id, list_transform(v, x -> -x) AS v FROM vecs
+            WHERE vec_id >= {PQ_QUERIES} AND (vec_id % 10) IN (1, 2)
+            UNION ALL
+            SELECT vec_id + (SELECT MAX(vec_id) FROM vecs) AS vec_id,
+                   list_reverse(v) AS v
+            FROM vecs
+            WHERE vec_id >= {PQ_QUERIES} AND (vec_id % 10) = 3
+        ), mvecs AS (
+            SELECT vec_id, v, sqrt({mnorm}) AS nrm FROM merged
+        ), idx AS (
+            SELECT vec_id, CAST(list_id AS BIGINT) AS list_id, codes
+            FROM read_parquet(
+                '{_warehouse_root()}/{IVF_PQ_UPSERT_TABLE}/*/*/*.parquet',
+                hive_partitioning = true
+            )
+            WHERE CAST(n AS BIGINT) = (SELECT COUNT(*) FROM embeddings)
+        ), cent AS (
+            SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs
+            WHERE vec_id < (SELECT GREATEST({IVF_K_MIN}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM vecs)
+        ), cb AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS c, xp AS cxp
+            FROM xpt WHERE vec_id < {PQ_CODES}
+        ), probes AS (
+            SELECT vec_id AS query_id, qxp, cid AS list_id FROM (
+                SELECT x.vec_id, x.xp AS qxp, cent.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY x.vec_id
+                           ORDER BY {coarse} / (x.nrm * cent.cnrm) DESC, cent.cid ASC
+                       ) AS rn
+                FROM xpt x CROSS JOIN cent WHERE x.vec_id < {PQ_QUERIES}
+            ) WHERE rn <= {IVF_PROBE}
+        ), scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   CAST(SUM({adc_dot}) AS BIGINT) AS adc_score
+            FROM probes p
+            JOIN idx a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+            CROSS JOIN range({PQ_M}) mm(m)
+            JOIN cb ON cb.c = a.codes[mm.m + 1]
+            GROUP BY p.query_id, a.vec_id
+        ), short AS (
+            SELECT query_id, neighbor_id, adc_score FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC
+                ) AS arn FROM scored
+            ) WHERE arn <= {PQ_RERANK}
+        ), rer AS (
+            SELECT s.query_id, s.neighbor_id, s.adc_score,
+                   CAST(FLOOR(1e6 * {DUCK_DOT.format(a="q.v", b="nb.v", n=DIM)}
+                        / (q.nrm * nb.nrm)) AS BIGINT) AS cos_ppm
+            FROM short s
+            JOIN mvecs q ON q.vec_id = s.query_id
+            JOIN mvecs nb ON nb.vec_id = s.neighbor_id
         ), ranked AS (
             SELECT *, CAST(ROW_NUMBER() OVER (
                 PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id ASC

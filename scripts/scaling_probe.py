@@ -92,6 +92,11 @@ PROBE_OPS = [
     # index — build adds one bucketed write (linear in the corpus), serve
     # reads only probed buckets, so growth must track ivf_pq_topk's
     "ivf_pq_index_build",
+    # round-13 staged: incremental maintenance — base write (linear) +
+    # delta encode + touched-partition rewrite (delta-scale) + serve;
+    # growth must track ivf_pq_index_build's (the delta is a fixed
+    # fraction of the corpus in the derived change batch)
+    "ivf_pq_index_upsert",
 ]
 
 

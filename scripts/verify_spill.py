@@ -65,6 +65,11 @@ SPILL_QUERIES = (
     # hash-match with those sort buffers forced to disk AND the disk
     # round trip in the path
     "ivf_pq_index_build",
+    # round-13 staged: maintenance serve — same candidate-row sorts, but
+    # over an index that was INCREMENTALLY rewritten (delta encode +
+    # touched-partition overwrite) before serving; a spill-corrupted
+    # rewrite or serve would break the hash
+    "ivf_pq_index_upsert",
 )
 FORCE_SPILL_ROWS = "128"
 

@@ -1,0 +1,279 @@
+"""IVF-PQ incremental index maintenance (ivf_pq_index_upsert, staged
+round 13; oracle parity over the post-upsert on-disk state runs in
+tests/test_staged_oracle.py).
+
+The four claims that make incremental maintenance worth building, each
+pinned:
+(1) upsert ≡ rebuild: after the delta apply, the persisted index holds
+    EXACTLY the frozen-model encode of the merged corpus — including
+    lists no probe touches — and serving from it is BIT-IDENTICAL to the
+    in-flight serve over that rebuild encode;
+(2) only touched lists are rewritten: every untouched partition
+    directory keeps its exact file set and mtimes across the delta apply
+    (the O(delta), never O(index), refresh contract at 100 TB);
+(3) the historical index never shuffles during the delta apply: the
+    rewrite plan's index side is a partition-pruned scan plus a
+    BROADCAST anti-join — no Exchange over index rows;
+(4) a list whose every row is removed has its directory DROPPED (dynamic
+    partition overwrite only replaces partitions present in the output —
+    an emptied list would otherwise serve stale rows forever).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from datafusion_distributed_experiment_spark.operators.similarity import (
+    _apply_index_delta,
+    _pq_encode,
+    _pq_fit,
+    _pq_serve,
+    _upsert_change_batch,
+    _vectors,
+    _with_xp,
+    _write_base_index,
+    ivf_pq_index_upsert,
+    ivf_pq_upsert_location,
+    norm,
+)
+
+from .conftest import SF_DIR
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def _frozen_fit(spark):
+    vecs = _with_xp(_vectors(spark, SF_DIR)).localCheckpoint()
+    centroids, cb, seed_rows = _pq_fit(vecs)
+    return vecs, centroids, cb, seed_rows
+
+
+def _merged_corpus(spark, vecs):
+    from datafusion_distributed_experiment_spark.operators.cdc import cdc_merge
+
+    max_id = vecs.agg(F.max("vec_id")).collect()[0][0]
+    changes = _upsert_change_batch(vecs, int(max_id))
+    return _with_xp(
+        cdc_merge(vecs.select("vec_id", "v"), changes, key="vec_id")
+    ).withColumn("nrm", norm(F.col("v")))
+
+
+def test_upsert_equals_frozen_model_rebuild(spark):
+    """(1) full-index integrity AND serve equivalence: the maintained
+    on-disk index is exactly the frozen-model encode of the merged corpus,
+    and the upsert serve result equals the in-flight serve over that
+    rebuild encode, row for row."""
+    got_serve = _rows(ivf_pq_index_upsert(spark, SF_DIR))
+
+    vecs, centroids, cb, seed_rows = _frozen_fit(spark)
+    merged = _merged_corpus(spark, vecs).localCheckpoint()
+    rebuild_enc = _pq_encode(merged, centroids, cb)
+    want_index = sorted(
+        (int(r["vec_id"]), int(r["list_id"]), tuple(r["codes"]))
+        for r in rebuild_enc.collect()
+    )
+    path = ivf_pq_upsert_location(vecs.count())
+    got_index = sorted(
+        (int(r["vec_id"]), int(r["list_id"]), tuple(r["codes"]))
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got_index == want_index and len(got_index) > 0
+
+    want_serve = _rows(
+        _pq_serve(spark, merged, rebuild_enc, centroids, cb, seed_rows)
+    )
+    assert got_serve == want_serve and len(got_serve) > 0
+
+
+def test_upsert_rewrites_only_touched_partitions(spark):
+    """(2) the O(delta) contract: applying a delta leaves every UNTOUCHED
+    list directory byte-identical (same file names, sizes, mtimes). The
+    delta here is surgical — one deleted vector plus one insert into a
+    second list — because the sf0.001 %10 batch is dense enough to touch
+    all ~25 lists (a test-data artifact, not a machinery property); the
+    partition-replacement machinery under test is _apply_index_delta
+    either way."""
+    vecs, centroids, cb, seed_rows = _frozen_fit(spark)
+    path = ivf_pq_upsert_location(vecs.count())
+    _write_base_index(vecs, centroids, cb, path)
+
+    def snapshot():
+        out = {}
+        for d in os.listdir(path):
+            if not d.startswith("list_id="):
+                continue
+            full = os.path.join(path, d)
+            out[d] = sorted(
+                (f, os.path.getsize(os.path.join(full, f)),
+                 os.path.getmtime(os.path.join(full, f)))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            )
+        return out
+
+    before = snapshot()
+    idx = spark.read.parquet(path).withColumn(
+        "list_id", F.col("list_id").cast("long")
+    )
+    two = idx.orderBy("list_id", "vec_id").limit(1).unionByName(
+        idx.orderBy(F.desc("list_id"), "vec_id").limit(1)
+    ).collect()
+    (del_vec, del_list), (ins_list,) = (
+        (int(two[0]["vec_id"]), int(two[0]["list_id"])),
+        (int(two[1]["list_id"]),),
+    )
+    assert del_list != ins_list, "corpus must span at least two lists"
+    max_id = int(vecs.agg(F.max("vec_id")).collect()[0][0])
+    delta_enc = spark.createDataFrame(
+        [(max_id + 1, list(two[1]["codes"]), ins_list)],
+        "vec_id long, codes array<int>, list_id long",
+    )
+    rm_keys = spark.createDataFrame([(del_vec,)], "vec_id long")
+    touched = _apply_index_delta(spark, path, delta_enc, rm_keys)
+    after = snapshot()
+
+    assert sorted(touched) == sorted({del_list, ins_list})
+    touched_dirs = {f"list_id={t}" for t in touched}
+    untouched = set(before) - touched_dirs
+    assert untouched, "pin needs at least one untouched list"
+    assert touched_dirs & set(before), "pin needs at least one rewritten list"
+    for d in untouched:
+        assert after.get(d) == before[d], f"untouched partition {d} changed"
+    # the delete and the insert both landed
+    post = spark.read.parquet(path)
+    ids = {int(r["vec_id"]) for r in post.collect()}
+    assert del_vec not in ids and (max_id + 1) in ids
+
+
+def test_delta_apply_never_shuffles_the_index(spark):
+    """(3) the rewrite's index side: partition-pruned scan (PartitionFilters
+    on list_id), removal keys applied as a BROADCAST left-anti join — no
+    Exchange anywhere over historical index rows (the union's delta side
+    is delta-sized by construction)."""
+    from datafusion_distributed_experiment_spark.plans import plan_string
+
+    vecs, centroids, cb, _ = _frozen_fit(spark)
+    path = ivf_pq_upsert_location(vecs.count())
+    _write_base_index(vecs, centroids, cb, path)
+    max_id = int(vecs.agg(F.max("vec_id")).collect()[0][0])
+    changes = _upsert_change_batch(vecs, max_id).localCheckpoint()
+    delta_enc = _pq_encode(
+        _with_xp(
+            changes.filter(F.col("__op").isin("I", "U"))
+            .select("vec_id", "v")
+            .withColumn("nrm", norm(F.col("v")))
+        ),
+        centroids,
+        cb,
+    ).localCheckpoint()
+    rm_keys = changes.filter(F.col("__op").isin("U", "D")).select("vec_id")
+
+    index = spark.read.parquet(path).withColumn(
+        "list_id", F.col("list_id").cast("long")
+    )
+    old_lists = [
+        int(r["list_id"])
+        for r in index.join(F.broadcast(rm_keys), "vec_id")
+        .select("list_id").distinct().collect()
+    ]
+    new_lists = [int(r["list_id"]) for r in delta_enc.select("list_id").distinct().collect()]
+    touched = sorted(set(old_lists) | set(new_lists))
+    rewrite = (
+        index.filter(F.col("list_id").isin(touched))
+        .join(F.broadcast(rm_keys), "vec_id", "left_anti")
+        .unionByName(delta_enc)
+        .select("vec_id", "codes", "list_id")
+    )
+    plan = plan_string(rewrite)
+    assert "PartitionFilters" in plan and "list_id" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the only exchange permitted is the broadcast of the tiny key set
+    import re
+
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert all("Broadcast" in e for e in exchanges), (exchanges, plan)
+
+
+def test_single_query_serve_prunes_partitions(spark):
+    """Serving shape over the MAINTAINED index: ONE query probes
+    IVF_PROBE lists and the planned scan's PartitionFilters INSET carries
+    at most that many list ids — the hive-partition analog of the build
+    index's SelectedBucketsCount pin (at scale a query batch reads a
+    vanishing fraction of the index directories). Soundness: the pruned
+    serve equals the same serve over the unpruned index."""
+    import re
+
+    from datafusion_distributed_experiment_spark.operators.similarity import (
+        IVF_PROBE,
+        serve_pq_index,
+    )
+    from datafusion_distributed_experiment_spark.plans import plan_string
+
+    ivf_pq_index_upsert(spark, SF_DIR).collect()  # maintain side effect
+    vecs, centroids, cb, seed_rows = _frozen_fit(spark)
+    merged = _merged_corpus(spark, vecs).localCheckpoint()
+    path = ivf_pq_upsert_location(vecs.count())
+    index = spark.read.parquet(path).withColumn(
+        "list_id", F.col("list_id").cast("long")
+    )
+    served = serve_pq_index(
+        spark, merged, index, centroids, cb, seed_rows, n_queries=1
+    )
+    plan = plan_string(served)
+    # Spark prints small literal sets as `IN (a,b,c)` and switches to
+    # `INSET a, b, c` above the optimizer's set-conversion threshold
+    m = re.search(r"PartitionFilters: \[[^\]]*?(?:INSET ([\d, ]+)|IN \(([\d,]+)\))", plan)
+    assert m, plan
+    probed = [x for x in (m.group(1) or m.group(2)).split(",") if x.strip()]
+    assert 0 < len(probed) <= IVF_PROBE, (
+        f"one query probes {IVF_PROBE} lists; the scan must prune to at "
+        f"most that many partitions, got {len(probed)}"
+    )
+    # soundness: pruning removes only rows no probe can join
+    unpruned = _pq_serve(
+        spark, merged, index, centroids, cb, seed_rows, n_queries=1
+    )
+    assert _rows(served) == _rows(unpruned) and len(_rows(served)) > 0
+
+
+def test_emptied_list_directory_is_dropped(spark, tmp_path):
+    """(4) dynamic overwrite only replaces partitions PRESENT in the
+    output: a list whose every row is removed must have its directory
+    dropped explicitly, or serving would read stale rows forever."""
+    path = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(1, [1, 2], 7), (2, [3, 4], 7), (3, [5, 6], 9)],
+        "vec_id long, codes array<int>, list_id long",
+    )
+    base.select("vec_id", "codes", "list_id").write.partitionBy("list_id").parquet(path)
+    assert os.path.isdir(f"{path}/list_id=9")
+    empty_delta = spark.createDataFrame(
+        [], "vec_id long, codes array<int>, list_id long"
+    )
+    rm = spark.createDataFrame([(3,)], "vec_id long")
+    touched = _apply_index_delta(spark, path, empty_delta, rm)
+    assert touched == [9]
+    assert not os.path.exists(f"{path}/list_id=9"), "emptied list dir must drop"
+    kept = sorted(
+        int(r["vec_id"]) for r in spark.read.parquet(path).collect()
+    )
+    assert kept == [1, 2], "untouched list must survive intact"
+
+
+def test_noop_change_batch_is_noop(spark, tmp_path):
+    """Degenerate delta: empty change batch touches nothing and rewrites
+    nothing (touched == [])."""
+    path = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [(1, [1], 3)], "vec_id long, codes array<int>, list_id long"
+    ).write.partitionBy("list_id").parquet(path)
+    empty_delta = spark.createDataFrame(
+        [], "vec_id long, codes array<int>, list_id long"
+    )
+    no_rm = spark.createDataFrame([], "vec_id long")
+    assert _apply_index_delta(spark, path, empty_delta, no_rm) == []
+    assert [int(r["vec_id"]) for r in spark.read.parquet(path).collect()] == [1]
