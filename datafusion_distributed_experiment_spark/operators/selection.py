@@ -78,10 +78,14 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = f"{sf_dir}/embeddings.parquet"
     # narrow-scan rebalance: the per-vector distance fold below is the
-    # expensive stage, and a single-row-group file would run it one-task
+    # expensive stage, and a single-row-group file would run it one-task.
+    # NULL embeddings excluded (round-13 review, mirrored in the oracle):
+    # a NULL row reaching the centroid seed collect crashed the driver
+    # with a raw TypeError where DuckDB answered, and NULL propagation
+    # through the distance argmin diverges between engines.
     emb = rebalance_narrow_scan(
         spark.read.parquet(path).select("vec_id", "embedding"), path
-    )
+    ).filter(F.col("embedding").isNotNull())
     qcol = F.expr(_QUANT)
     cents_row = (
         emb.orderBy("vec_id")
@@ -283,9 +287,10 @@ def kmeans_lloyd_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import rebalance_narrow_scan
 
     path = f"{sf_dir}/embeddings.parquet"
+    # NULL embeddings excluded — the kmeans_assign exclusion contract
     emb = rebalance_narrow_scan(
         spark.read.parquet(path).select("vec_id", "embedding"), path
-    )
+    ).filter(F.col("embedding").isNotNull())
     assigned, _ = kmeans_lloyd(emb, k=KMEANS_K, iters=KMEANS_ITERS)
     return assigned.orderBy("vec_id")
 
@@ -321,6 +326,7 @@ def _lloyd_oracle(iters: int) -> str:
                 SELECT vec_id,
                        list_transform(embedding, x -> CAST(FLOOR(1e6 * x) AS BIGINT)) AS xp
                 FROM embeddings
+                WHERE embedding IS NOT NULL
             )""",
         """dims AS (
                 SELECT UNNEST(range(1, (SELECT MAX(len(xp)) FROM q) + 1)) AS pos
@@ -534,6 +540,7 @@ def oracles() -> dict[str, str]:
                 SELECT vec_id,
                        list_transform(embedding, x -> CAST(FLOOR(1e6 * x) AS BIGINT)) AS xp
                 FROM embeddings
+                WHERE embedding IS NOT NULL
             ), c AS (
                 SELECT vec_id AS cid, xp AS cxp FROM q ORDER BY vec_id LIMIT {KMEANS_K}
             ), d AS (

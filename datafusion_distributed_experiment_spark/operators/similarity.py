@@ -188,8 +188,21 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream are the expensive part and must fan out to all cores.
     path = f"{sf_dir}/embeddings.parquet"
     df = rebalance_narrow_scan(spark.read.parquet(path), path)
-    return df.select("vec_id", F.col("embedding").cast("array<double>").alias("v")).withColumn(
-        "nrm", norm(F.col("v"))
+    # EXCLUSION CONTRACT (round-13 review, the dedup NULL-text analog,
+    # mirrored in _DUCK_VECS so both engines agree): rows whose embedding
+    # is NULL are excluded — cosine geometry has nothing to compute on,
+    # and an unguarded NULL reached the driver-side model collects as a
+    # raw TypeError (ann_ivf/semantic_dedup crashed where DuckDB
+    # answered). Zero-norm vectors are excluded too: cosine is UNDEFINED
+    # there, and the 0/0 path is a cross-engine minefield (Spark
+    # CAST(NaN AS BIGINT) answers 0 with ANSI off where DuckDB raises).
+    # Well-defined-math consumers (quantize, k-means L2) keep zero
+    # vectors and exclude only NULLs.
+    return (
+        df.filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+        .filter(F.col("nrm") > 0)
     )
 
 
@@ -463,8 +476,19 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines), then codes are ``sign(x) * (|x_ppm| * 127 DIV scale)``
     with ``scale = max(|x_ppm|)`` — the magnitude/sign split keeps every
     division non-negative, where Spark's truncating DIV and DuckDB's
-    flooring // agree. Map-only: zero exchanges before the output sort."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    flooring // agree. Map-only: zero exchanges before the output sort.
+
+    NULL embeddings are EXCLUDED (mirrored in the oracle; round-13
+    review): there is nothing to quantize, and the engines disagree on
+    the NULL's downstream shape (Spark's ``greatest`` SKIPS NULL
+    arguments so scale clamps to 1, DuckDB's returns NULL — a silent
+    hash divergence). Zero vectors stay: the scale clamp makes their
+    quantization well-defined identically on both engines."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())
+    )
     return quantize_frame(emb).orderBy("vec_id")
 
 
@@ -1066,9 +1090,14 @@ _DOT_QV = DUCK_DOT.format(a="qv", b="v", n=DIM)
 _DOT_AB = DUCK_DOT.format(a="av", b="bv", n=DIM)
 _NORM = DUCK_DOT.format(a="v", b="v", n=DIM)
 
+# WHERE mirrors _vectors' exclusion contract: NULL embeddings have
+# nothing to compute on; zero-norm vectors make cosine undefined (the
+# self-dot > 0 spelling is sqrt-free and equivalent to nrm > 0)
 _DUCK_VECS = f"""vecs AS (
     SELECT vec_id, embedding::DOUBLE[] AS v, sqrt({DUCK_DOT.format(a="embedding::DOUBLE[]", b="embedding::DOUBLE[]", n=DIM)}) AS nrm
     FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND {DUCK_DOT.format(a="embedding::DOUBLE[]", b="embedding::DOUBLE[]", n=DIM)} > 0
 )"""
 
 _DUCK_BUCKET = " + ".join(
@@ -1198,7 +1227,9 @@ def _ivf_pq_index_oracle() -> str:
                 '{_warehouse_root()}/{IVF_PQ_INDEX_TABLE}/*/*.parquet',
                 hive_partitioning = true
             )
-            WHERE CAST(n AS BIGINT) = (SELECT COUNT(*) FROM embeddings)
+            -- count over vecs, not raw embeddings: the Spark build keys the
+            -- location on the FILTERED corpus count (exclusion contract)
+            WHERE CAST(n AS BIGINT) = (SELECT COUNT(*) FROM vecs)
         ), cent AS (
             SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs
             WHERE vec_id < (SELECT GREATEST({IVF_K_MIN}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM vecs)
@@ -1292,7 +1323,9 @@ def _ivf_pq_upsert_oracle() -> str:
                 '{_warehouse_root()}/{IVF_PQ_UPSERT_TABLE}/*/*/*.parquet',
                 hive_partitioning = true
             )
-            WHERE CAST(n AS BIGINT) = (SELECT COUNT(*) FROM embeddings)
+            -- count over vecs, not raw embeddings: the Spark build keys the
+            -- location on the FILTERED corpus count (exclusion contract)
+            WHERE CAST(n AS BIGINT) = (SELECT COUNT(*) FROM vecs)
         ), cent AS (
             SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs
             WHERE vec_id < (SELECT GREATEST({IVF_K_MIN}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM vecs)
@@ -1348,7 +1381,8 @@ def oracles() -> dict[str, str]:
             WITH base AS (
                 SELECT vec_id,
                        list_transform(embedding, x -> CAST(FLOOR(1e6 * x) AS BIGINT)) AS xp
-                FROM embeddings),
+                FROM embeddings
+                WHERE embedding IS NOT NULL),
             sc AS (
                 SELECT vec_id, xp,
                        GREATEST(list_max(list_transform(xp, v -> abs(v))), 1) AS scale_ppm
