@@ -62,6 +62,31 @@ def cdc_merge(snapshot: DataFrame, changes: DataFrame, key: str) -> DataFrame:
             )
         )
     )
+    # Compacted-batch contract made LOUD (round-13 review): a DUPLICATE
+    # key in the batch silently DOUBLE-APPLIES — two 'U' rows for one key
+    # duplicate the snapshot row through the broadcast join, two 'I' rows
+    # insert a duplicate primary key — corruption identical in any oracle
+    # derived from the same batch. The count window rides the batch's own
+    # evaluation (ONE delta-sized exchange on the broadcast side; the
+    # snapshot side stays map-only) and raises before a corrupt merge can
+    # be observed. Compact upstream with events_latest's keep-latest
+    # kernel when the feed has intra-batch churn.
+    from pyspark.sql import Window
+
+    checked_op = F.when(
+        F.count("*").over(Window.partitionBy(key)) == 1, checked_op
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cdc_merge: change batch carries DUPLICATE rows for key "),
+                F.col(key).cast("string"),
+                F.lit(
+                    " (the compacted-CDC contract is one change per key); "
+                    "refusing to double-apply — compact the feed first"
+                ),
+            )
+        )
+    )
     changes = changes.withColumn(OP_COL, checked_op)
     value_cols = [c for c in snapshot.columns if c != key]
     ud = changes.filter(F.col(OP_COL).isin("U", "D")).select(

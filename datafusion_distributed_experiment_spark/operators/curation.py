@@ -23,7 +23,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import DUCK_POLY_HASH, DUCK_TOKENS, poly_hash, shingles, tokens
+from ..functions.text import (
+    DUCK_POLY_HASH,
+    DUCK_TOKENS,
+    ascii_lower,
+    poly_hash,
+    shingles,
+    tokens,
+)
 
 # Train/val/test split: hash-bucket 0-79 train, 80-89 val, 90-99 test.
 SPLIT_TRAIN_END = 80
@@ -57,7 +64,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import rebalance_narrow_scan
 
     path = f"{sf_dir}/documents.parquet"
-    return rebalance_narrow_scan(spark.read.parquet(path), path)
+    # NULL text coalesces to '' (round-13 review, mirrored in every text
+    # reference of this module's oracles): Spark's size(tokens(NULL)) is
+    # -1 with ANSI off — a NULL document SUBTRACTED a token from every
+    # corpus total where DuckDB's len(NULL) is NULL (skipped by SUM), a
+    # silent cross-engine divergence in domain_mix/domain_resample/
+    # pack_sequences/repetition_stats; poly_hash(NULL) similarly folded
+    # NULL-vs-0. A NULL document behaves as an EMPTY one everywhere (the
+    # zero-default accounting doctrine: the row stays, contributes 0).
+    return rebalance_narrow_scan(spark.read.parquet(path), path).withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
 
 
 def _doc_hash() -> F.Column:
@@ -287,7 +304,12 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     <NUM>). Map-only JVM regex; the fingerprint proves the redacted output
     byte-identical across engines without shipping megabytes of text through
     the comparison."""
-    low = F.lower(F.col("text"))
+    # ascii_lower, not lower(): the PII patterns are pure-ASCII classes,
+    # and JVM full case mapping lowers 'İ' to TWO codepoints where
+    # DuckDB's simple mapping yields one — lower() made redacted_fp
+    # diverge cross-engine on special-cased uppercase text (round-13
+    # review; the stopword-fold fix applied to the scrub path)
+    low = ascii_lower(F.col("text"))
     redacted = F.regexp_replace(
         F.regexp_replace(low, EMAIL_RE, "<EMAIL>"), LONGNUM_RE, "<NUM>"
     )
@@ -317,6 +339,10 @@ def ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
         .select(F.explode(shingles(tokens(F.col("text")), NGRAM_K)).alias("ngram"))
+        # a token-less document's whole-doc fallback shingle is '' on
+        # Spark but NULL under the DuckDB spelling — and an empty n-gram
+        # is meaningless in top-N mining; excluded identically (round-13)
+        .filter(F.col("ngram") != "")
         .groupBy("ngram")
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
@@ -641,7 +667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_TOKS = DUCK_TOKENS.format(x="text")
+# COALESCE mirrors _docs' NULL-text-as-empty contract
+_TOKS = DUCK_TOKENS.format(x="COALESCE(text, '')")
 
 
 def _duck_shingles(toks: str, k: int) -> str:
@@ -683,11 +710,11 @@ def oracles() -> dict[str, str]:
         """,
         "chunk_documents": f"""
             SELECT doc_id, i AS chunk_id,
-                   substring(text, CAST(i * {CHUNK_CHARS} + 1 AS INT), {CHUNK_CHARS}) AS chunk_text
+                   substring(COALESCE(text, ''), CAST(i * {CHUNK_CHARS} + 1 AS INT), {CHUNK_CHARS}) AS chunk_text
             FROM documents,
                  UNNEST(generate_series(
                      0,
-                     CAST(FLOOR((greatest(length(text), 1) - 1) / {CHUNK_CHARS}.0) AS BIGINT)
+                     CAST(FLOOR((greatest(length(COALESCE(text, '')), 1) - 1) / {CHUNK_CHARS}.0) AS BIGINT)
                  )) AS t(i)
             ORDER BY doc_id, chunk_id
         """,
@@ -733,9 +760,9 @@ def oracles() -> dict[str, str]:
         """,
         "pii_scrub": f"""
             SELECT doc_id,
-                   CAST(len(regexp_extract_all(lower(text), '{EMAIL_RE}')) AS BIGINT) AS n_emails,
-                   CAST(len(regexp_extract_all(lower(text), '{LONGNUM_RE}')) AS BIGINT) AS n_longnums,
-                   {DUCK_POLY_HASH.format(x=f"regexp_replace(regexp_replace(lower(text), '{EMAIL_RE}', '<EMAIL>', 'g'), '{LONGNUM_RE}', '<NUM>', 'g')")} AS redacted_fp
+                   CAST(len(regexp_extract_all(translate(COALESCE(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(translate(COALESCE(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{LONGNUM_RE}')) AS BIGINT) AS n_longnums,
+                   {DUCK_POLY_HASH.format(x=f"regexp_replace(regexp_replace(translate(COALESCE(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{EMAIL_RE}', '<EMAIL>', 'g'), '{LONGNUM_RE}', '<NUM>', 'g')")} AS redacted_fp
             FROM documents ORDER BY doc_id
         """,
         "ngram_top": f"""
@@ -744,6 +771,7 @@ def oracles() -> dict[str, str]:
                 SELECT unnest({_duck_shingles(_TOKS, NGRAM_K)}) AS ngram
                 FROM documents
             )
+            WHERE ngram IS NOT NULL AND ngram <> ''
             GROUP BY ngram
             ORDER BY n_occurrences DESC, ngram ASC
             LIMIT {NGRAM_TOP}

@@ -401,8 +401,11 @@ def domain_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens
     from .temporal import hash48
 
+    # NULL-text-as-empty (round-13, the text/curation-tier contract,
+    # mirrored in the oracle): size(tokens(NULL)) = -1 silently
+    # SUBTRACTED a token from src_tokens where DuckDB skipped the NULL
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "source", "text"
+        "doc_id", "source", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
     toks = docs.select(
         "source",
@@ -529,7 +532,7 @@ def _domain_profile_oracle() -> dict[str, str]:
     from ..functions.text import DUCK_TOKENS
     from .temporal import HASH_HEX_DIGITS
 
-    toks = DUCK_TOKENS.format(x="text")
+    toks = DUCK_TOKENS.format(x="COALESCE(text, '')")
     h48 = f"CAST(('0x' || substr(md5(tok), 1, {HASH_HEX_DIGITS})) AS BIGINT)"
     return {
         "domain_token_profile": f"""

@@ -34,8 +34,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import rebalance_narrow_scan
 
     # Single-row-group file; fan the HOF-heavy map stages out to all cores.
+    # NULL text coalesces to '' (round-13 review, mirrored in every oracle
+    # text reference): size(tokens(NULL)) is -1 with ANSI off and
+    # poly_hash(NULL) folds NULL-vs-0 across engines — a NULL document
+    # behaves as an EMPTY one (zero counts, empty-string fingerprint).
     path = f"{sf_dir}/documents.parquet"
-    return rebalance_narrow_scan(spark.read.parquet(path), path)
+    return rebalance_narrow_scan(spark.read.parquet(path), path).withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
 
 
 def stats_frame(docs: DataFrame, extra: dict[str, Column] | None = None) -> DataFrame:
@@ -45,8 +51,14 @@ def stats_frame(docs: DataFrame, extra: dict[str, Column] | None = None) -> Data
 
     ``extra`` columns (computed from ``text``) are evaluated in the first
     projection and carried through — how :func:`features_frame` fuses the
-    token-count block into the SAME scan instead of a second scan + join."""
+    token-count block into the SAME scan instead of a second scan + join.
+
+    Frame-level NULL-text-as-empty guarantee (round-13): callers may pass
+    arbitrary corpora (the pipeline's dedup-augmented frame), so the
+    coalesce is applied HERE too, not only in the module reader — the
+    shared stats_body_sql oracle spelling coalesces identically."""
     extra = extra or {}
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     staged = (
         docs
         .select(
@@ -167,7 +179,9 @@ def _token_counters(text: Column) -> dict[str, Column]:
 
 
 def token_frame(docs: DataFrame) -> DataFrame:
-    """Frame-level form of :func:`token_count`: (doc_id, text) -> counts."""
+    """Frame-level form of :func:`token_count`: (doc_id, text) -> counts.
+    Carries the stats_frame NULL-text-as-empty guarantee."""
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     counters = _token_counters(F.col("text"))
     return docs.select(
         F.col("doc_id"),
@@ -258,7 +272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _STOP_LT = DUCK_ASCII_LOWER.format(x="t")
 _STOP_SQL = " OR ".join(f"{_STOP_LT} = '{w}'" for w in STOPWORDS)
-_TOKS = DUCK_TOKENS.format(x="text")
+# COALESCE mirrors _docs' NULL-text-as-empty contract
+_TOKS = DUCK_TOKENS.format(x="COALESCE(text, '')")
 
 
 def stats_body_sql(src: str = "documents") -> str:
@@ -266,10 +281,10 @@ def stats_body_sql(src: str = "documents") -> str:
     return f"""
             SELECT
                 doc_id,
-                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
                 CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
                 CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens,
-                CAST(FLOOR(1e6 * length(replace(text, ' ', '')) / len({_TOKS})) AS BIGINT) AS mean_token_chars_ppm,
+                CAST(FLOOR(1e6 * length(replace(COALESCE(text, ''), ' ', '')) / len({_TOKS})) AS BIGINT) AS mean_token_chars_ppm,
                 CAST(FLOOR(1e6 * len(list_filter({_TOKS}, t -> {_STOP_SQL})) / len({_TOKS})) AS BIGINT) AS stopword_ppm
             FROM {src}"""
 
@@ -280,9 +295,9 @@ def token_body_sql(src: str = "documents") -> str:
             SELECT
                 doc_id,
                 CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
-                CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
-                CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_word_runs,
-                CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
+                CAST(len(regexp_extract_all(COALESCE(text, ''), '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+                CAST(len(regexp_extract_all(COALESCE(text, ''), '[a-zA-Z]+')) AS BIGINT) AS n_word_runs,
+                CAST(len(regexp_extract_all(COALESCE(text, ''), '[0-9]+')) AS BIGINT) AS n_digit_runs
             FROM {src}"""
 
 
@@ -323,8 +338,8 @@ def oracles() -> dict[str, str]:
         "fingerprint": f"""
             SELECT
                 doc_id,
-                {DUCK_POLY_HASH.format(x="text")} AS fp_full,
-                {DUCK_POLY_HASH.format(x="substring(text, 1, 64)")} AS fp_prefix64
+                {DUCK_POLY_HASH.format(x="COALESCE(text, '')")} AS fp_full,
+                {DUCK_POLY_HASH.format(x="substring(COALESCE(text, ''), 1, 64)")} AS fp_prefix64
             FROM documents ORDER BY doc_id
         """,
     }

@@ -45,21 +45,42 @@ def test_cdc_merge_update_missing_key_is_noop_and_delete_unknown_too(spark):
 def test_cdc_snapshot_side_is_map_only(spark):
     """The snapshot must reach the merge without shuffling: change ops are a
     broadcast lookup (the daily-batch asymmetry — at 100 TB the snapshot
-    scan is the whole cost and it happens once, map-side)."""
+    scan is the whole cost and it happens once, map-side). The only
+    non-broadcast exchanges allowed are the presentation sort (range) and
+    the DELTA-SIZED hash exchanges feeding the duplicate-key guard windows
+    on the change-batch lineage (round-13 loud-contract addition) — never
+    anything on the snapshot's path to the join."""
+    import re
+
     from .conftest import SF_DIR
 
     df = cdc_apply_changes(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
-    # the only non-broadcast exchange is the final presentation sort
-    import re
-
     shuffles = [
         line
         for line in plan.splitlines()
         if "Exchange" in line and "Broadcast" not in line and "Reused" not in line
     ]
-    assert all("rangepartitioning" in s.lower() for s in shuffles), shuffles
+    bad = [
+        s
+        for s in shuffles
+        if "rangepartitioning" not in s.lower() and "hashpartitioning" not in s.lower()
+    ]
+    assert not bad, bad
+    # every hash exchange is a dup-guard window's requirement on the
+    # change batch — one Window per hash exchange, nothing else
+    assert plan.count("hashpartitioning") == plan.count("Window [count(1)"), plan[:3000]
+    # the snapshot reaches the join as the STREAMED child with no
+    # exchange in between: every line between the BHJ and its build-side
+    # BroadcastExchange (the streamed subtree) is exchange-free
+    lines = plan.splitlines()
+    bhj = next(i for i, line in enumerate(lines) if "BroadcastHashJoin" in line)
+    bex = next(
+        i for i, line in enumerate(lines) if i > bhj and "BroadcastExchange" in line
+    )
+    streamed = lines[bhj + 1 : bex]
+    assert streamed and not any("Exchange" in s for s in streamed), streamed
 
 
 def test_cdc_apply_changes_end_to_end_counts(spark):
@@ -215,3 +236,26 @@ def test_cdc_insert_keys_never_collide_with_snapshot(spark):
         for r in out.filter(F.col("c_mktsegment") == "NEWSEG").collect()
     ]
     assert inserted and all(k > base_max for k in inserted)
+
+
+def test_cdc_duplicate_change_key_raises(spark):
+    """Round-13 review fix: the compacted-batch contract ("at most one
+    change row per key") was prose, not code — a duplicate 'U' silently
+    DOUBLE-APPLIED (two joined rows per snapshot key), duplicate 'I' rows
+    inserted a duplicate primary key, identically invisible to any oracle
+    derived from the same batch. The count-over-key guard rides the
+    merge's own evaluation and raises loudly."""
+    import pytest
+
+    snapshot = [(1, "a", 10), (2, "b", 20)]
+    dup_batches = [
+        [(1, "x", 1, "U"), (1, "y", 2, "U")],   # double update
+        [(9, "x", 1, "I"), (9, "y", 2, "I")],   # duplicate insert key
+        [(1, "x", 1, "U"), (1, None, None, "D")],  # update + delete same key
+    ]
+    for batch in dup_batches:
+        with pytest.raises(Exception, match="DUPLICATE rows for key"):
+            _merge(spark, snapshot, batch)
+    # distinct keys across ops still merge fine
+    ok = _merge(spark, snapshot, [(1, "x", 1, "U"), (2, None, None, "D"), (3, "c", 30, "I")])
+    assert ok == [(1, "x", 1), (3, "c", 30)]

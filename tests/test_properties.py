@@ -278,14 +278,19 @@ def test_curation_ops_tolerate_null_and_empty_documents(spark, tmp_path):
     assert {r["doc_id"] for r in splits} == {1, 2, 3, 4}
 
     chunks = chunk_documents(spark, d).collect()
-    # row-preserving: null/empty docs yield exactly one chunk (null/empty text)
+    # row-preserving: null/empty docs yield exactly one chunk; since the
+    # round-13 NULL-text-as-empty contract (_docs coalesces, oracles
+    # mirror — size(tokens(NULL)) = -1 silently corrupted token totals),
+    # a NULL document chunks exactly like an empty one
     assert {r["doc_id"] for r in chunks} == {1, 2, 3, 4}
     by_id = {r["doc_id"]: r for r in chunks if r["doc_id"] in (2, 3)}
     assert by_id[2]["chunk_text"] == ""
-    assert by_id[3]["chunk_text"] is None
+    assert by_id[3]["chunk_text"] == ""
 
     packs = pack_sequences(spark, d).collect()
-    assert sum(r["n_docs"] for r in packs) >= 3  # null-token doc may drop
+    # zero-default accounting: the NULL-text doc packs with 0 tokens —
+    # ALL four docs survive (it previously carried size(NULL) = -1)
+    assert sum(r["n_docs"] for r in packs) == 4
 
 
 # ------------------------------------------------------------------ #
