@@ -9,7 +9,7 @@ WITH ranked AS (
         event_type,
         CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
         ROW_NUMBER() OVER (
-            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST
         ) AS rk
     FROM events
 )

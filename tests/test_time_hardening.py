@@ -364,3 +364,52 @@ def test_dedup_excludes_null_text_and_negative_odd_ids(spark, tmp_path):
         for r in entry_mod.queries()["dedup_incremental"](spark, str(d)).collect()
     }
     assert -3 in inc_ids, "negative odd docs must reach the incoming batch"
+
+
+@pytest.mark.parametrize(
+    "name", ["events_rolling", "events_window_funcs", "events_latest", "events_topk"]
+)
+def test_shared_sql_window_order_is_null_explicit(name, spark, tmp_path):
+    """Round-13 review: the shared-SQL corpus runs ONE text on both
+    engines, so the oracle is blind to everything except ENGINE-SEMANTIC
+    differences — and window ORDER BY is one: Spark defaults ASC to NULLS
+    FIRST where DuckDB defaults to NULLS LAST, so a NULL ts silently
+    reordered window frames between engines (events_rolling and
+    events_window_funcs hash-diverged; events_latest only matched because
+    the DESC defaults happen to coincide). NULLS FIRST/LAST is now
+    explicit in every nullable window ordering; pinned on NULL-poisoned
+    events."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "nullevents"
+    d.mkdir()
+    for t in ("events",):
+        shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+    tbl = pq.read_table(f"{d}/events.parquet")
+
+    def null_some(t, col, idx):
+        i = t.schema.get_field_index(col)
+        arr = t.column(i).to_pylist()
+        for j in idx:
+            arr[j] = None
+        return t.set_column(i, t.schema.field(i), pa.array(arr, t.schema.field(i).type))
+
+    from ._compare import assert_frames_match
+
+    tbl = null_some(tbl, "ts", [0, 1, 2, 7, 8])
+    tbl = null_some(tbl, "user_id", [3, 4])
+    tbl = null_some(tbl, "value", [5, 6])
+    pq.write_table(tbl, f"{d}/events.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    sdf = entry_mod.queries()[name](spark, str(d)).toPandas()
+    assert len(sdf) > 0
+    odf = con.execute(entry_mod.oracle_sql()[name]).df()
+    assert_frames_match(sdf, odf, name)
