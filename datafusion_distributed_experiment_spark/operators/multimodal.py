@@ -361,8 +361,15 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import rebalance_narrow_scan
 
     path = f"{sf_dir}/documents.parquet"
+    # NULL text coalesces to '' (round-13, the corpus-wide contract): a
+    # NULL payload made Spark emit a zero-feature row while the oracle's
+    # md5(NULL) collapsed to NULL and dropped/blanked the row — a NULL
+    # media document behaves as an EMPTY payload on both engines
     docs = rebalance_narrow_scan(
-        spark.read.parquet(path).select("doc_id", "text"), path
+        spark.read.parquet(path).select(
+            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+        ),
+        path,
     )
     # CASE, not element_at(array, doc_id % 3 + 1): Spark's % keeps the
     # dividend sign, so a negative doc_id indexes 0 or -1 — index 0 THROWS
@@ -492,6 +499,7 @@ def _md5_byte(j: int) -> str:
     return f"(16 * {_HV.format(p=2 * j + 1)} + {_HV.format(p=2 * j + 2)})"
 
 
+# the inner COALESCE mirrors synthetic_media's NULL-text-as-empty contract
 _DUCK_MEDIA = """media AS (
     SELECT doc_id AS media_id,
            CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -499,7 +507,7 @@ _DUCK_MEDIA = """media AS (
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CASE WHEN doc_id % 3 <> 1 THEN length(text) % 640 + 32 END AS width,
            CASE WHEN doc_id % 3 <> 0 THEN (doc_id % 7) * 900 END AS duration_ms
-    FROM documents
+    FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
 )"""
 
 

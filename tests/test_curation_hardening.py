@@ -117,3 +117,22 @@ def test_ngram_top_has_no_empty_grams(spark, adversarial_docs_dir):
     top = C.queries()["ngram_top"](spark, adversarial_docs_dir).toPandas()
     assert (top["ngram"].str.len() > 0).all()
     assert top["ngram"].notna().all()
+
+
+def test_multimodal_tier_agrees_on_adversarial_documents(spark, adversarial_docs_dir):
+    """Round-13: the synthetic-media synthesis coalesces NULL text to ''
+    on both engines — a NULL payload previously made Spark emit a
+    zero-feature row while the oracle's md5(NULL) collapsed to NULL,
+    hash-diverging media_features. All five multimodal ops must agree on
+    the NULL-bearing corpus (which also carries the negative-doc_id
+    modality case from the r12 CASE-spelling fix)."""
+    from datafusion_distributed_experiment_spark.operators import multimodal as M
+
+    con = _conn(adversarial_docs_dir)
+    for name in sorted(M.queries()):
+        if name not in M.oracles():
+            continue
+        sdf = M.queries()[name](spark, adversarial_docs_dir).toPandas()
+        assert len(sdf) > 0, f"{name}: empty result proves nothing"
+        odf = con.execute(M.oracles()[name]).df()
+        assert_frames_match(sdf, odf, name)
