@@ -13,7 +13,8 @@ pinned:
     (the O(delta), never O(index), refresh contract at 100 TB);
 (3) the historical index never shuffles during the delta apply: the
     rewrite plan's index side is a partition-pruned scan plus a
-    BROADCAST anti-join — no Exchange over index rows;
+    BROADCAST anti-join; the only keyed exchange is the
+    one-file-per-list layout repartition, bounded by TOUCHED-list bytes;
 (4) a list whose every row is removed has its directory DROPPED (dynamic
     partition overwrite only replaces partitions present in the output —
     an emptied list would otherwise serve stale rows forever).
@@ -151,9 +152,11 @@ def test_upsert_rewrites_only_touched_partitions(spark):
 
 def test_delta_apply_never_shuffles_the_index(spark):
     """(3) the rewrite's index side: partition-pruned scan (PartitionFilters
-    on list_id), removal keys applied as a BROADCAST left-anti join — no
-    Exchange anywhere over historical index rows (the union's delta side
-    is delta-sized by construction)."""
+    on list_id), removal keys applied as a BROADCAST left-anti join — the
+    only exchanges over index rows are the broadcast of the tiny key set
+    and the one-file-per-list layout repartition, which is bounded by the
+    TOUCHED-list bytes (rows that were being rewritten anyway), never the
+    historical index."""
     from datafusion_distributed_experiment_spark.plans import plan_string
 
     vecs, centroids, cb, _ = _frozen_fit(spark)
@@ -187,15 +190,24 @@ def test_delta_apply_never_shuffles_the_index(spark):
         .join(F.broadcast(rm_keys), "vec_id", "left_anti")
         .unionByName(delta_enc)
         .select("vec_id", "codes", "list_id")
+        .repartition(F.col("list_id"))  # the implementation's layout shuffle
     )
     plan = plan_string(rewrite)
     assert "PartitionFilters" in plan and "list_id" in plan, plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
-    # the only exchange permitted is the broadcast of the tiny key set
+    # permitted exchanges: the broadcast of the tiny key set and the
+    # touched-rows layout repartition KEYED ON list_id — nothing else
+    # (in particular, nothing hashed on vec_id, which would mean the
+    # historical index rows themselves were being exchanged for the join)
     import re
 
-    exchanges = re.findall(r"Exchange \w+", plan)
-    assert all("Broadcast" in e for e in exchanges), (exchanges, plan)
+    exchanges = re.findall(r"Exchange \w+[^\n]*", plan)
+    bad = [
+        e
+        for e in exchanges
+        if "Broadcast" not in e and "hashpartitioning(list_id" not in e
+    ]
+    assert not bad, (bad, plan)
 
 
 def test_single_query_serve_prunes_partitions(spark):
