@@ -1783,8 +1783,11 @@ def test_domain_mix_totals_join_is_scalar_broadcast(spark):
 
 def test_cdc_snapshot_never_shuffles(spark):
     """The CDC merge broadcasts the CHANGES onto the snapshot (BuildRight)
-    — the snapshot side crosses no exchange; the plan's only exchange is
-    the presentation sort."""
+    — the snapshot side crosses no exchange. The plan's exchanges are the
+    presentation sort plus the DELTA-SIZED hash exchanges the round-13
+    duplicate-key guard windows require on the change-batch lineage (one
+    per batch consumer); the snapshot path to the join stays exchange-free
+    (pinned structurally in test_cdc.py::test_cdc_snapshot_side_is_map_only)."""
     import __spark_entry__ as entry_mod
 
     from .conftest import SF_DIR
@@ -1793,7 +1796,14 @@ def test_cdc_snapshot_never_shuffles(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p and "BuildRight" in p, p[:2500]
     s = stage_summary(df)
-    assert s["exchanges"] == 1, (s, p[:2500])
+    # 1 range (sort) + 2 hash (dup-guard windows: ud + insert consumers)
+    assert s["exchanges"] == 3, (s, p[:2500])
+    hash_ex = [
+        line
+        for line in p.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(hash_ex) == 2 and all("c_custkey" in h for h in hash_ex), hash_ex
 
 
 def test_pack_sequences_is_one_running_sum_window(spark):
