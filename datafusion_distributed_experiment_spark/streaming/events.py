@@ -371,7 +371,12 @@ def _topk_oracle() -> dict[str, str]:
             WITH agg AS (
                 SELECT date_trunc('day', ts) AS day, event_type,
                        CAST(COUNT(*) AS BIGINT) AS n_events
-                FROM events GROUP BY 1, 2
+                FROM events
+                -- Spark's streaming window DROPS NULL event-time rows (no
+                -- window to assign); the oracle must not keep a NULL day
+                -- group (round-13 review)
+                WHERE ts IS NOT NULL
+                GROUP BY 1, 2
             ), r AS (
                 SELECT day, event_type, n_events,
                        CAST(ROW_NUMBER() OVER (
@@ -433,8 +438,10 @@ def oracles() -> dict[str, str]:
         # bucket it falls in and the one before it.
         "stream_sliding": f"""
             WITH ev AS (
+                -- ts IS NOT NULL: F.window drops NULL event-time rows; the
+                -- closed form must not invent a NULL window (round-13)
                 SELECT event_type, epoch_ns(ts) // 1000000 AS ts_ms, value
-                FROM events
+                FROM events WHERE ts IS NOT NULL
             ), exp AS (
                 -- floor-aligned slide bucket: DuckDB // truncates toward
                 -- zero while Spark's F.window FLOOR-aligns, so pre-epoch

@@ -413,3 +413,28 @@ def test_shared_sql_window_order_is_null_explicit(name, spark, tmp_path):
     assert len(sdf) > 0
     odf = con.execute(entry_mod.oracle_sql()[name]).df()
     assert_frames_match(sdf, odf, name)
+
+
+@pytest.mark.parametrize("name", ["stream_sliding", "stream_topk"])
+def test_streaming_window_oracles_drop_null_event_time(name, spark, tmp_path):
+    """Round-13 review: Spark's streaming F.window DROPS rows whose
+    event-time is NULL (there is no window to assign), but the two
+    closed-form window oracles kept them — a NULL-ts row materialized a
+    NaT window / NULL day group on the DuckDB side only. Both oracles now
+    filter ts IS NOT NULL; pinned on NULL-poisoned events (ts AND
+    event_type, so the NULL-type group path is exercised too — NULL type
+    with a REAL timestamp is a legitimate group both engines keep)."""
+    import __spark_entry__ as entry_mod
+
+    from ._compare import assert_frames_match
+
+    t = _base_events()
+    d = _with_rows(
+        tmp_path, "nullstream", [_nulled(t, "ts"), _nulled(t, "event_type")]
+    )
+    sdf = entry_mod.queries()[name](spark, d).toPandas()
+    assert len(sdf) > 0
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    odf = con.execute(entry_mod.oracle_sql()[name]).df()
+    assert_frames_match(sdf, odf, name)
