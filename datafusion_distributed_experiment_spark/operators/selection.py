@@ -186,12 +186,23 @@ def _assign_to_literal_centroids(
     (the IVF tier's model-state pattern, ``similarity.py:_centroid_scores``)
     so assignment is a pure map-side projection — zero shuffles, zero
     broadcast jobs, linear in the corpus regardless of K."""
-    cmat = F.expr(
-        "array("
-        + ",".join("array(" + ",".join(f"{x}L" for x in cvec) + ")" for _, cvec in cents)
-        + ")"
-    )
-    cids = F.expr("array(" + ",".join(f"{cid}L" for cid, _ in cents) + ")")
+    if not cents:
+        # EMPTY corpus: typed empty literals — bare array() is array<void>
+        # and fails zip_with analysis (Spark crashed at plan time where
+        # DuckDB answered zero rows); sequence(1, 0) DESCENDS. No row
+        # evaluates these on the empty corpus (round-13 review, the
+        # similarity._centroid_scores fix)
+        cmat = F.expr("CAST(array() AS array<array<bigint>>)")
+        cids = F.expr("CAST(array() AS array<bigint>)")
+        idxs = F.expr("CAST(array() AS array<int>)")
+    else:
+        cmat = F.expr(
+            "array("
+            + ",".join("array(" + ",".join(f"{x}L" for x in cvec) + ")" for _, cvec in cents)
+            + ")"
+        )
+        cids = F.expr("array(" + ",".join(f"{cid}L" for cid, _ in cents) + ")")
+        idxs = F.sequence(F.lit(1), F.lit(len(cents)))
     dist = lambda cv: F.aggregate(  # noqa: E731 - local kernel
         F.zip_with(F.col("xp"), cv, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -199,7 +210,7 @@ def _assign_to_literal_centroids(
     )
     best = F.array_min(
         F.transform(
-            F.sequence(F.lit(1), F.lit(len(cents))),
+            idxs,
             lambda i: F.struct(
                 dist(F.element_at(cmat, i)).alias("d"),
                 F.element_at(cids, i).alias("cid"),

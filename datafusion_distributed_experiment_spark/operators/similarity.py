@@ -293,16 +293,32 @@ def _centroid_scores(centroids: list[tuple[int, list[float]]]) -> F.Column:
     def _d(x: float) -> str:
         return repr(float(x)) + "D"
 
-    cmat = F.expr(
-        "array(" + ",".join("array(" + ",".join(_d(x) for x in cvec) + ")" for _, cvec in centroids) + ")"
+    if not centroids:
+        # EMPTY corpus (round-13 empty-input review): a bare array()
+        # literal is array<void> and fails zip_with ANALYSIS — Spark
+        # crashed at plan time where DuckDB answered zero rows. The
+        # corpus that produced zero centroids is itself empty, so no row
+        # ever evaluates these; they only need to TYPE-check. The index
+        # array is an explicit empty too (sequence(1, 0) DESCENDS).
+        cmat = F.expr("CAST(array() AS array<array<double>>)")
+        cnorms = F.expr("CAST(array() AS array<double>)")
+        neg_ids = F.expr("CAST(array() AS array<double>)")
+    else:
+        cmat = F.expr(
+            "array(" + ",".join("array(" + ",".join(_d(x) for x in cvec) + ")" for _, cvec in centroids) + ")"
+        )
+        cnorms = F.expr("array(" + ",".join(_d(_norm_of(cvec)) for _, cvec in centroids) + ")")
+        neg_ids = F.expr("array(" + ",".join(_d(-cid) for cid, _ in centroids) + ")")
+    idxs = (
+        F.expr("CAST(array() AS array<int>)")
+        if not centroids
+        else F.sequence(F.lit(1), F.lit(len(centroids)))
     )
-    cnorms = F.expr("array(" + ",".join(_d(_norm_of(cvec)) for _, cvec in centroids) + ")")
-    neg_ids = F.expr("array(" + ",".join(_d(-cid) for cid, _ in centroids) + ")")
     dot = lambda a, b: F.aggregate(  # noqa: E731 - local kernel
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     return F.transform(
-        F.sequence(F.lit(1), F.lit(len(centroids))),
+        idxs,
         lambda i: F.struct(
             (dot(F.col("v"), F.element_at(cmat, i)) / (F.col("nrm") * F.element_at(cnorms, i))).alias("cos"),
             F.element_at(neg_ids, i).alias("neg_id"),
@@ -556,7 +572,16 @@ def _pq_code_expr(m: int, cbm: list[list[int]]) -> str:
     )
     # len(cbm), not PQ_CODES: a corpus smaller than PQ_CODES yields a
     # shorter codebook, and sequencing past it would element_at out of
-    # bounds (ANSI error); the oracle's cb CTE shrinks identically
+    # bounds (ANSI error); the oracle's cb CTE shrinks identically.
+    # EMPTY codebook (empty corpus): typed empty index array — a bare
+    # sequence(1, 0) DESCENDS and the array() literal is array<void>,
+    # both of which fail analysis; no row evaluates this on the empty
+    # corpus, it only needs to type-check (round-13 empty-input review)
+    if not cbm:
+        return (
+            "(array_min(transform(CAST(array() AS array<int>), "
+            "c -> named_struct('d', CAST(0 AS BIGINT), 'c', c)))).c"
+        )
     return (
         f"(array_min(transform(sequence(1, {len(cbm)}), "
         f"c -> named_struct('d', {dist}, 'c', c)))).c"
@@ -1041,6 +1066,17 @@ def ivf_pq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, cb, seed_rows = _pq_fit(vecs)
     head = vecs.agg(F.count("*").alias("n"), F.max("vec_id").alias("mx")).collect()[0]
     n_orig, max_id = int(head["n"]), int(head["mx"] or 0)
+    if n_orig == 0:
+        # EMPTY corpus (round-13 empty-input review): a zero-row
+        # partitionBy write leaves NO parquet files, so the read-back
+        # cannot infer a schema and crashed where the oracle answered
+        # zero rows — the serve result of an empty index is the typed
+        # empty frame
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, adc_score bigint, "
+            "cos_ppm bigint, rank bigint",
+        )
     path = ivf_pq_upsert_location(n_orig)
     _write_base_index(vecs, centroids, cb, path)
 

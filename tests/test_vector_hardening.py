@@ -102,3 +102,59 @@ def test_exclusion_scope_is_operator_class_specific(spark, adversarial_dir):
     km = SEL.queries()["kmeans_assign"](spark, adversarial_dir).toPandas()
     assert 5 in set(km["vec_id"]), "zero vector has a well-defined L2 argmin"
     assert 7 not in set(km["vec_id"])
+
+
+def test_empty_corpus_answers_like_the_oracle(spark, tmp_path):
+    """Round-13 empty-input review: on ZERO-row tables the model-fit
+    operators (ann_ivf, semantic_dedup, ivf_pq_topk/index_build/upsert,
+    kmeans_lloyd) crashed at PLAN time — an empty centroid/codebook list
+    produced a bare array() literal (array<void>, fails zip_with
+    analysis) and sequence(1, 0) DESCENDS — while DuckDB answered zero
+    rows; the upsert additionally failed schema inference reading back a
+    zero-row partitioned write. Typed empty literals and the empty-serve
+    early-out fix all of it: every operator now answers with the same
+    row count as its oracle (0, or the 1-row global aggregates)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from datafusion_distributed_experiment_spark.operators import (
+        staged_oracles,
+        staged_queries,
+    )
+
+    sys_src = "/root/testdata/sf0.001"
+    d = tmp_path / "empty"
+    d.mkdir()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    for t in tables:
+        src = f"{sys_src}/{t}.parquet"
+        if os.path.exists(src):
+            pq.write_table(pq.read_table(src).slice(0, 0), f"{d}/{t}.parquet")
+    con = duckdb.connect()
+    for t in tables:
+        if os.path.exists(f"{d}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    qs = {**entry_mod.queries(), **staged_queries()}
+    os_ = {**entry_mod.oracle_sql(), **staged_oracles()}
+    names = [
+        # the six previously-crashing model-fit operators
+        "ann_ivf", "semantic_dedup", "ivf_pq_topk", "ivf_pq_index_build",
+        "ivf_pq_index_upsert", "kmeans_lloyd_t3",
+        # one representative per remaining family
+        "dedup_exact", "embedding_topk", "kmeans_assign", "domain_mix",
+        "text_stats", "hll_distinct", "bm25_topk", "bpe_apply",
+        "table_profile", "events_asof", "funnel", "pagerank_nations",
+        "cdc_apply_changes", "corpus_pipeline", "q1", "q6",
+    ]
+    for name in names:
+        sdf = qs[name](spark, str(d)).toPandas()
+        odf = con.execute(os_[name]).df()
+        assert len(sdf) == len(odf), (
+            f"{name}: empty-corpus row counts diverge "
+            f"(spark={len(sdf)}, oracle={len(odf)})"
+        )
