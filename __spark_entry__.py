@@ -12,12 +12,12 @@ plus the training-data pipeline operators. SQL-corpus queries share one ANSI
 text between Spark and the DuckDB oracle; DataFrame-native operators carry a
 semantically-equivalent hand-written oracle.
 
-All 122 queries are declared as of round 13 (the round-12 staged operator
-``ivf_pq_index_build`` was promoted at the round-13 rotation). The
+All 123 queries are declared as of round 14 (the round-13 staged operator
+``ivf_pq_index_upsert`` was promoted at the round-14 rotation). The
 staged tier (``operators.staged_queries()`` / ``staged_oracles()`` +
 ``tests/test_staged_oracle.py`` + ``scripts/verify_staged.py``) holds at
-most the one new operator each round's VERDICT budgets; the 122-query
-surface cycles the 50-slot gate window every ceil(122/50) = 3 rounds —
+most the one new operator each round's VERDICT budgets; the 123-query
+surface cycles the 50-slot gate window every ceil(123/50) = 3 rounds —
 see ``query_tiers``.
 """
 
@@ -143,8 +143,8 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     """Queries grouped by tier, gate-ordered: the driver oracle-checks the
     FIRST 50 entries, so the window rotates round-over-round.
 
-    STALE BUDGET (122-query surface): 122 queries over a 50-slot window
-    means the full surface cycles every ceil(122/50) = 3 rounds. The real
+    STALE BUDGET (123-query surface): 123 queries over a 50-slot window
+    means the full surface cycles every ceil(123/50) = 3 rounds. The real
     guarantee, pinned by tests/test_corpus_oracle.py: (a) never-verified
     count = 0 — every declared query holds a green row in SOME committed
     CORRECTNESS_r*.json before it may sit outside the window; (b) every
@@ -153,48 +153,41 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     every commit point, mid-rotation included); (c) the queries left to
     age furthest are chosen deepest-evidence-first.
 
-    ROUND 13 — the window (50):
-    * slot 1: ivf_pq_index_build — the round-12 staged operator (the
-      build-once/probe-many persisted-index split of the IVF-PQ kernel),
-      PROMOTED this rotation (never driver-verified; leads the window).
-    * slots 2-22: the 21 queries whose last green row is CORRECTNESS_r10
-      (the round-12 sacrifice cohort — the rotation contract's re-entry
-      point): the ten dedup/ANN core ops (ann_ivf, ann_lsh, dedup_exact,
-      embedding_dedup, minhash_dedup_pairs, minhash_signatures,
-      ngram_jaccard_pairs, simhash_dedup_pairs, simhash_signatures,
-      token_count), the three 5x-green (dedup_clusters, dedup_incremental,
-      quality_score), and the eight family-covered picks (media_frames,
-      media_meta_stats, sessionize, user_sessions, stream_click_attr,
-      stream_dedup, stream_enrich, stream_sliding). This is the dedup
-      tier's FIRST driver verification since the a469a0f codepoint-exact
-      hash-core change (the gate's own 121/121 sf0.001 + 23/23 sf0.1
-      sweeps already cover it).
-    * slots 23-50: the 28 SHALLOWEST of the 50 r11-green queries by
-      total green-row depth across all committed artifacts: the
-      once-green events_quantile_sketch; all ten thrice-green
-      (bfs_hops_t3, bm25_topk, bpe_merges_t2, cms_heavy_hitters,
-      dsir_weights, lpa_communities_t3, span_scrub, stream_topk,
-      triangle_count, winnow_fingerprints); and the seventeen
-      alphabetically-first four-times-green (bloom_semi_agg,
-      cdc_apply_changes, chunk_documents, corpus_pipeline,
-      custom_source_scan, decontaminate, dedup_clusters_star, domain_mix,
-      domain_resample, embedding_quantize, kmeans_assign, media_dedup,
-      pack_sequences, pagerank_nations, pii_scrub, repetition_stats,
-      rollup_incremental). Streaming queries land in this window, so the
-      window tiers holding them carry "streaming" names for the bench's
-      measure-last isolation rule.
+    ROUND 14 — the window (50):
+    * slot 1: ivf_pq_index_upsert — the round-13 staged operator (the
+      MAINTAIN step of the persisted IVF-PQ index: encode only the CDC
+      delta under the frozen model, rewrite only touched inverted lists,
+      serve bit-identically to a frozen-model rebuild), PROMOTED this
+      rotation (never driver-verified; leads the window).
+    * slots 2-23: the 22 queries whose last green row is CORRECTNESS_r11
+      (the round-13 sacrifice cohort — the rotation contract's re-entry
+      point): the three alphabetically-last 4x-green (sessionize_native,
+      shuffle_shards, token_budget_select), embedding_topk and
+      media_features, and the seventeen SQL-corpus re-entries (q2, q13,
+      q15, q17, q20, q21, q22, q1_decimal, events_agg_count,
+      events_cte_join, events_daily, events_latest, events_median,
+      events_rolling, events_rollup, events_setops, events_topk).
+    * slots 24-50: the 27 SHALLOWEST of the r12-green queries by total
+      green-row depth across all committed artifacts: ivf_pq_topk
+      (once-green), domain_token_profile (twice), the three thrice-green
+      (bpe_apply, hll_distinct, weighted_sample), and the 22
+      alphabetically-first four-times-green (anomaly_days, basket_pairs,
+      chunk_overlap, event_sequences, events_json, events_percentiles,
+      events_percentiles_hist, events_pivot, events_unpivot,
+      events_window_funcs, funnel, kmeans_lloyd_t3, media_resize,
+      minhash_pairs_skew, ngram_span_dedup, ngram_top, retention,
+      salted_events_enrich, semantic_dedup, split_assign,
+      stratified_sample, table_profile — top_terms, the alphabetically
+      last, sits out one more round). No streaming queries land in this
+      window (the stream_* cohort is r13-green, the freshest tier).
 
-    SACRIFICED this round (22 r11-green, deepest-evidence-first; they
-    re-enter at round 14 alongside the shallowest r12-green): the three
-    alphabetically-last 4x-green (sessionize_native, shuffle_shards,
-    token_budget_select — the sessionization core stays window-covered
-    by sessionize/user_sessions, sampling by the r12-green
-    weighted/stratified rows) and all nineteen 6x-green (embedding_topk,
-    events_agg_count, events_cte_join, events_daily, events_latest,
-    events_median, events_rolling, events_rollup, events_setops,
-    events_topk, media_features, q13, q15, q17, q1_decimal, q2, q20,
-    q21, q22). The 50 r12-green queries sit behind the window as the
-    freshest cohort.
+    SACRIFICED this round (23 r12-green, deepest-evidence-first; they
+    re-enter at round 15 alongside the shallowest r13-green): top_terms
+    (4x), the four 5x-green (events_asof, events_cube,
+    events_kmv_distinct, events_range_join), the fifteen 6x-green TPC-H
+    (q1, q3-q12, q14, q16, q18, q19), and the three 7x-green
+    (fingerprint, lang_id, text_stats). The 50 r13-green queries sit
+    behind the window as the freshest cohort.
 
     The bench re-orders tiers for measurement isolation ("streaming"-named
     tiers run last); see ``operators.pipeline_tiers``."""
@@ -212,66 +205,71 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     def _pop(tier: str, *names: str) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return {n: by_name[tier].pop(n) for n in names}
 
-    # --- slot 1: the promoted round-12 staged operator ------------------
-    promoted = _pop("similarity", "ivf_pq_index_build")
-    # --- slots 2-22: last green r10, the round-12 sacrifice cohort ------
-    stale_r10 = {
-        **_pop("similarity", "ann_lsh", "ann_ivf", "embedding_dedup"),
-        **_pop(
-            "dedup",
-            "dedup_exact",
-            "dedup_clusters",
-            "dedup_incremental",
-            "minhash_signatures",
-            "minhash_dedup_pairs",
-            "ngram_jaccard_pairs",
-            "simhash_signatures",
-            "simhash_dedup_pairs",
+    def _pop_sql(*names: str) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+        return {n: sql.pop(n) for n in names}
+
+    # --- slot 1: the promoted round-13 staged operator ------------------
+    promoted = _pop("similarity", "ivf_pq_index_upsert")
+    # --- slots 2-23: last green r11, the round-13 sacrifice cohort ------
+    stale_r11 = {
+        **_pop("analytics", "sessionize_native"),
+        **_pop("curation", "shuffle_shards"),
+        **_pop("selection", "token_budget_select"),
+        **_pop("similarity", "embedding_topk"),
+        **_pop("multimodal", "media_features"),
+        **_pop_sql(
+            "q2",
+            "q13",
+            "q15",
+            "q17",
+            "q20",
+            "q21",
+            "q22",
+            "q1_decimal",
+            "events_agg_count",
+            "events_cte_join",
+            "events_daily",
+            "events_latest",
+            "events_median",
+            "events_rolling",
+            "events_rollup",
+            "events_setops",
+            "events_topk",
         ),
-        **_pop("text", "token_count", "quality_score"),
-        **_pop("multimodal", "media_frames", "media_meta_stats"),
-        **_pop("stateful", "sessionize", "user_sessions"),
     }
-    # slots 19-22 continued: the four r10-stale micro-batch queries (named
-    # "streaming" so the bench's measure-last rule isolates their RocksDB
-    # maintenance threads from subsequent batch timings)
-    stale_r10_streaming = _pop(
-        "streaming", "stream_click_attr", "stream_dedup", "stream_enrich", "stream_sliding"
-    )
-    # --- slots 23-33: r11-green with one to three green rows -------------
-    shallow_r11 = {
-        **_pop("sketches", "events_quantile_sketch", "cms_heavy_hitters"),
-        **_pop("graph", "bfs_hops_t3", "lpa_communities_t3", "triangle_count"),
-        **_pop("retrieval", "bm25_topk"),
-        **_pop("bpe", "bpe_merges_t2"),
-        **_pop("selection", "dsir_weights"),
-        **_pop("dedup", "span_scrub", "winnow_fingerprints"),
+    # --- slots 24-28: r12-green with one to three green rows -------------
+    shallow_r12 = {
+        **_pop("similarity", "ivf_pq_topk"),
+        **_pop("sketches", "domain_token_profile", "hll_distinct"),
+        **_pop("bpe", "bpe_apply"),
+        **_pop("curation", "weighted_sample"),
     }
-    shallow_r11_streaming = _pop("streaming", "stream_topk")
-    # --- slots 34-50: the seventeen alphabetically-first 4x-green r11 ----
-    mid_r11 = {
-        **_pop("joins", "bloom_semi_agg"),
-        **_pop("cdc", "cdc_apply_changes"),
+    # --- slots 29-50: the 22 alphabetically-first 4x-green r12 -----------
+    mid_r12 = {
         **_pop(
-            "curation",
-            "chunk_documents",
-            "decontaminate",
-            "domain_mix",
-            "domain_resample",
-            "pack_sequences",
-            "pii_scrub",
-            "repetition_stats",
+            "analytics",
+            "anomaly_days",
+            "basket_pairs",
+            "event_sequences",
+            "events_json",
+            "events_percentiles",
+            "events_percentiles_hist",
+            "events_pivot",
+            "events_unpivot",
+            "funnel",
+            "retention",
         ),
-        **_pop("pipeline", "corpus_pipeline"),
-        **_pop("custom", "custom_source_scan"),
-        **_pop("dedup", "dedup_clusters_star"),
-        **_pop("similarity", "embedding_quantize"),
-        **_pop("selection", "kmeans_assign"),
-        **_pop("multimodal", "media_dedup"),
-        **_pop("graph", "pagerank_nations"),
-        **_pop("analytics", "rollup_incremental"),
+        **_pop("dedup", "chunk_overlap", "minhash_pairs_skew", "ngram_span_dedup"),
+        **_pop_sql("events_window_funcs"),
+        **_pop("selection", "kmeans_lloyd_t3"),
+        **_pop("multimodal", "media_resize"),
+        **_pop("curation", "ngram_top", "split_assign", "stratified_sample"),
+        **_pop("joins", "salted_events_enrich"),
+        **_pop("similarity", "semantic_dedup"),
+        **_pop("profile", "table_profile"),
     }
-    # `sql` holds the full sacrificed SQL cohort this round (no window pops)
+    # `sql` now holds only the sacrificed SQL cohort (q1, q3-q12, q14,
+    # q16, q18, q19, events_cube — all 6x-green, the deepest evidence)
     tail_tiers = (
         "selection",
         "dedup",
@@ -295,11 +293,9 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     )
     out = [
         ("promoted", promoted),
-        ("stale-r10", stale_r10),
-        ("stale-r10-streaming", stale_r10_streaming),
-        ("shallow-r11", shallow_r11),
-        ("shallow-r11-streaming", shallow_r11_streaming),
-        ("mid-r11", mid_r11),
+        ("stale-r11", stale_r11),
+        ("shallow-r12", shallow_r12),
+        ("mid-r12", mid_r12),
         # ---- window boundary: exactly 50 entries above this line ----
         ("sql", sql),
         *[(n, by_name[n]) for n in tail_tiers],

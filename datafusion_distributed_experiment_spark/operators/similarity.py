@@ -1116,22 +1116,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": ivf_pq_topk,
         # staged at round 12, promoted into the gate window at round 13
         "ivf_pq_index_build": ivf_pq_index_build,
+        # staged at round 13, promoted into the gate window at round 14
+        "ivf_pq_index_upsert": ivf_pq_index_upsert,
     }
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Round 13 promoted :func:`ivf_pq_index_build` (the round-12 staged
-    operator) into :func:`queries` and stages
-    :func:`ivf_pq_index_upsert` (the one staged slot the round-12 VERDICT
-    budgeted — incremental maintenance of the persisted index: encode only
-    the CDC delta, rewrite only the touched inverted lists, serve
-    bit-identically to a frozen-model rebuild); it awaits a gate-window
-    slot at the round-14 rotation."""
-    return {"ivf_pq_index_upsert": ivf_pq_index_upsert}
+    """Round 14 promoted :func:`ivf_pq_index_upsert` (the round-13 staged
+    operator — incremental maintenance of the persisted IVF-PQ index) into
+    :func:`queries`. The ANN lifecycle (build → serve → maintain) is now
+    fully declared; the round-14 staged slot lives in the dedup tier
+    (``dedup.staged_queries`` — the persisted MinHash LSH index maintain
+    step, completing the dedup lifecycle the same way)."""
+    return {}
 
 
 def staged_oracles() -> dict[str, str]:
-    return {"ivf_pq_index_upsert": _ivf_pq_upsert_oracle()}
+    return {}
 
 
 _DOT_QV = DUCK_DOT.format(a="qv", b="v", n=DIM)
@@ -1425,6 +1426,7 @@ def oracles() -> dict[str, str]:
     return {
         "ivf_pq_topk": _ivf_pq_oracle(),
         "ivf_pq_index_build": _ivf_pq_index_oracle(),
+        "ivf_pq_index_upsert": _ivf_pq_upsert_oracle(),
         "embedding_quantize": """
             WITH base AS (
                 SELECT vec_id,

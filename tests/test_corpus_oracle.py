@@ -104,50 +104,47 @@ def test_gate_window_rotation_leaves_no_query_unverified():
     )
 
 
-def test_round13_window_composition():
-    """Round-13 rotation, pinned by name: the promoted round-12 staged
-    operator (ivf_pq_index_build — never driver-verified) leads, then the
-    21 queries whose last green row is CORRECTNESS_r10 (the round-12
-    sacrifice cohort — the rotation contract's re-entry point, and the
-    dedup tier's first driver run since the a469a0f codepoint-exact hash
-    core), then the 28 shallowest r11-green by total green-row depth (the
-    once-green events_quantile_sketch, all ten thrice-green, and the
-    seventeen alphabetically-first four-times-green). Nothing r12-green
-    occupies a window slot, and the 22 sacrificed queries re-enter at
-    round 14.
+def test_round14_window_composition():
+    """Round-14 rotation, pinned by name: the promoted round-13 staged
+    operator (ivf_pq_index_upsert — never driver-verified) leads, then
+    the 22 queries whose last green row is CORRECTNESS_r11 (the round-13
+    sacrifice cohort — the rotation contract's re-entry point), then the
+    27 shallowest r12-green by total green-row depth (the once-green
+    ivf_pq_topk, the twice-green domain_token_profile, the three
+    thrice-green, and the 22 alphabetically-first four-times-green —
+    top_terms, the alphabetically last, sits out one more round).
+    Nothing r13-green occupies a window slot, and the 23 sacrificed
+    queries re-enter at round 15.
 
-    STALE BUDGET restated at the 122-query surface: 122 queries over a
-    50-slot window is a ceil(122/50) = 3-round full cycle, so the bound
+    STALE BUDGET restated at the 123-query surface: 123 queries over a
+    50-slot window is a ceil(123/50) = 3-round full cycle, so the bound
     remains "outside-window queries green within the THREE most recent
-    committed CORRECTNESS artifacts" — at this round that is r10 ∪ r11 ∪
-    r12, with the r10-only cohort occupying window slots (re-entering)
+    committed CORRECTNESS artifacts" — at this round that is r11 ∪ r12 ∪
+    r13, with the r11-only cohort occupying window slots (re-entering)
     rather than sitting outside."""
     names = list(entry_mod.queries())
     gated = set(names[:50])
-    assert names[0] == "ivf_pq_index_build", (
+    assert names[0] == "ivf_pq_index_upsert", (
         f"the promoted staged operator must lead the window; head is {names[0]}"
     )
-    stale_r10 = {
-        "ann_ivf", "ann_lsh", "dedup_exact", "embedding_dedup",
-        "minhash_dedup_pairs", "minhash_signatures", "ngram_jaccard_pairs",
-        "simhash_dedup_pairs", "simhash_signatures", "token_count",
-        "dedup_clusters", "dedup_incremental", "quality_score",
-        "media_frames", "media_meta_stats", "sessionize", "user_sessions",
-        "stream_click_attr", "stream_dedup", "stream_enrich",
-        "stream_sliding",
+    stale_r11 = {
+        "sessionize_native", "shuffle_shards", "token_budget_select",
+        "embedding_topk", "media_features",
+        "q2", "q13", "q15", "q17", "q20", "q21", "q22", "q1_decimal",
+        "events_agg_count", "events_cte_join", "events_daily",
+        "events_latest", "events_median", "events_rolling",
+        "events_rollup", "events_setops", "events_topk",
     }
-    assert set(names[1:22]) == stale_r10, (
-        f"the 21 r10-stale re-entries must follow the promoted op; slots "
-        f"2-22 are {names[1:22]}"
+    assert set(names[1:23]) == stale_r11, (
+        f"the 22 r11-stale re-entries must follow the promoted op; slots "
+        f"2-23 are {names[1:23]}"
     )
-    shallow_r11 = {
-        "events_quantile_sketch", "bfs_hops_t3", "bm25_topk",
-        "bpe_merges_t2", "cms_heavy_hitters", "dsir_weights",
-        "lpa_communities_t3", "span_scrub", "stream_topk",
-        "triangle_count", "winnow_fingerprints",
+    shallow_r12 = {
+        "ivf_pq_topk", "domain_token_profile", "bpe_apply", "hll_distinct",
+        "weighted_sample",
     }
-    assert shallow_r11 <= gated, (
-        f"once/thrice-green r11 ops not all in window: {shallow_r11 - gated}"
+    assert shallow_r12 <= gated, (
+        f"once/twice/thrice-green r12 ops not all in window: {shallow_r12 - gated}"
     )
     by_round = _green_rows_by_round()
     # nothing verified in the freshest committed artifact wastes a slot
@@ -156,21 +153,21 @@ def test_round13_window_composition():
     assert not fresh_in_window, (
         f"freshest-round-verified queries occupying window slots: {fresh_in_window}"
     )
-    # the sacrificed cohort is exactly the documented 22: the three
-    # alphabetically-last 4x-green (their families stay window-covered)
-    # and all nineteen 6x-green
+    # the sacrificed cohort is exactly the documented 23, deepest-evidence
+    # first: top_terms (4x, alphabetically last of its depth), the four
+    # 5x-green, the fifteen 6x-green TPC-H, and the three 7x-green
     sacrificed = {
-        "sessionize_native", "shuffle_shards", "token_budget_select",
-        "embedding_topk", "events_agg_count", "events_cte_join",
-        "events_daily", "events_latest", "events_median", "events_rolling",
-        "events_rollup", "events_setops", "events_topk", "media_features",
-        "q13", "q15", "q17", "q1_decimal", "q2", "q20", "q21", "q22",
+        "top_terms", "events_asof", "events_cube", "events_kmv_distinct",
+        "events_range_join",
+        "q1", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
+        "q12", "q14", "q16", "q18", "q19",
+        "fingerprint", "lang_id", "text_stats",
     }
     outside = set(names[50:])
-    r11_outside = outside & by_round[11] - by_round[12]
-    assert r11_outside == sacrificed, (
-        f"stale-budget drift: r11-green queries outside the window "
-        f"unexpected={r11_outside - sacrificed} missing={sacrificed - r11_outside}"
+    r12_outside = outside & by_round[12] - by_round[13]
+    assert r12_outside == sacrificed, (
+        f"stale-budget drift: r12-green queries outside the window "
+        f"unexpected={r12_outside - sacrificed} missing={sacrificed - r12_outside}"
     )
 
 
