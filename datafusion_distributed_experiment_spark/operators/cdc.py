@@ -15,8 +15,12 @@ batch-query-only); the daily-batch scale shape mirrors
   exchange.
 
 Assumes at most one change row per key in the batch (the usual compacted
-CDC contract; compact upstream with ``events_latest``'s keep-latest kernel
-when the feed has intra-batch churn).
+CDC contract), with ONE documented exception: a delete-then-reinsert
+``{D, I}`` pair per key — the standard key-replacement sequence an
+uncompacted feed emits — is accepted and composes safely (round-14
+review). Any other multi-op combination raises loudly; compact upstream
+with ``events_latest``'s keep-latest kernel when the feed has richer
+intra-batch churn.
 """
 
 from __future__ import annotations
@@ -48,7 +52,17 @@ def cdc_merge(snapshot: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     (round-12 review). The error therefore surfaces at ACTION time on the
     executor→driver propagation path (``errors.map_exception`` types it
     ``ExecutionError``, message intact). The snapshot side stays
-    map-only."""
+    map-only.
+
+    UPGRADE PIN (round-14 review): both guards depend on Catalyst
+    evaluating the ``raise_error`` branches of CASE expressions that
+    downstream filters consume; a future optimizer change that simplifies
+    conditionals under predicates could silently disarm them.
+    ``test_cdc_unknown_op_raises`` / ``test_cdc_duplicate_change_key_raises``
+    are the designated regression pins across Spark upgrades — if either
+    fails after a version bump, re-spell the guard as an ``assert_true``
+    over a separately-projected validation column before weakening the
+    tests."""
     checked_op = F.when(
         F.col(OP_COL).isin("I", "U", "D"), F.col(OP_COL)
     ).otherwise(
@@ -69,20 +83,35 @@ def cdc_merge(snapshot: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     # derived from the same batch. The count window rides the batch's own
     # evaluation (ONE delta-sized exchange on the broadcast side; the
     # snapshot side stays map-only) and raises before a corrupt merge can
-    # be observed. Compact upstream with events_latest's keep-latest
-    # kernel when the feed has intra-batch churn.
+    # be observed.
+    #
+    # ONE multi-op shape is accepted (round-14 review — the round-13
+    # guard over-tightened the public contract): exactly a {D, I} pair
+    # per key, the standard delete-then-reinsert CDC sequence an
+    # uncompacted feed emits for a key replacement. It composes safely in
+    # this dataflow regardless of row order — the D removes the snapshot
+    # row via the broadcast lookup, the I appends the new image — so
+    # rejecting it broke legitimate callers loudly for no integrity gain.
+    # Every other multi-op combination (U+U, I+I, U+D, D+D, ...) still
+    # raises; compact upstream with events_latest's keep-latest kernel
+    # when the feed has richer intra-batch churn.
     from pyspark.sql import Window
 
+    w = Window.partitionBy(key)
+    ops_for_key = F.sort_array(F.collect_list(OP_COL).over(w))
     checked_op = F.when(
-        F.count("*").over(Window.partitionBy(key)) == 1, checked_op
+        (F.count("*").over(w) == 1)
+        | (ops_for_key == F.array(F.lit("D"), F.lit("I"))),
+        checked_op,
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("cdc_merge: change batch carries DUPLICATE rows for key "),
                 F.col(key).cast("string"),
                 F.lit(
-                    " (the compacted-CDC contract is one change per key); "
-                    "refusing to double-apply — compact the feed first"
+                    " (the compacted-CDC contract is one change per key, or "
+                    "exactly a delete-then-reinsert D+I pair); refusing to "
+                    "double-apply — compact the feed first"
                 ),
             )
         )

@@ -777,14 +777,48 @@ def _pq_serve(
 # repo non-relocatable and let two concurrent invocations at different
 # scales clobber each other between the bucketed write and the oracle's
 # read of the same files): the warehouse ROOT is repo-relative (override
-# via $SPARK_GRAFT_WAREHOUSE), and each corpus size gets an ISOLATED
-# hive-style subdirectory n=<corpus row count>. The count is derivable by
-# BOTH engines from the embeddings table alone, so the STATIC oracle SQL
-# (the driver captures it before running anything) selects its own
-# scale's partition out of the shared glob with a scalar subquery —
-# no path needs to be known at oracle-build time.
+# via $SPARK_GRAFT_WAREHOUSE), and each corpus gets an ISOLATED two-level
+# hive subdirectory n=<row count>/f=<vec_id fingerprint> (the fingerprint
+# closes the same-count clobber race the count alone left — round-14
+# review). Both keys are derivable by BOTH engines from the embeddings
+# table alone, so the STATIC oracle SQL (the driver captures it before
+# running anything) selects its own corpus's partition out of the shared
+# glob with scalar subqueries — no path needs to be known at
+# oracle-build time.
 IVF_PQ_INDEX_BUCKETS = 32
 IVF_PQ_INDEX_TABLE = "ivf_pq_index"
+
+# Fingerprint modulus for the persisted-index partition key (prime, small
+# enough that a sum of per-row residues stays far from int64 overflow at
+# any realistic corpus size on the Spark side; DuckDB sums in HUGEINT).
+FP_MOD = 1_000_003
+
+
+def _fp_fold(mn: int, mx: int, s: int) -> int:
+    return (mn + 31 * mx + 17 * s) % FP_MOD
+
+
+def corpus_fingerprint(vecs: DataFrame) -> tuple[int, int]:
+    """(row count, content fingerprint) of the filtered corpus — the
+    two-level partition key of every persisted index. Round-14 review fix
+    (ADVICE low): keying the location on row count ALONE left two
+    same-count corpora (or two concurrent same-count invocations over
+    different data) sharing one ``n=<count>`` partition, so the
+    write/read clobber race was only closed across *different* scales.
+    The fingerprint folds min/max/sum-of-residues of ``vec_id`` — one
+    extra column in the agg pass the caller already pays, and derivable
+    identically by the STATIC DuckDB oracle from the embeddings view
+    (``_DUCK_FP``) — so same-count-different-content corpora land in
+    disjoint ``n=<count>/f=<fp>`` partitions. Two invocations over the
+    IDENTICAL corpus still share a partition, and produce identical
+    bytes, so that residual race is benign."""
+    row = vecs.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.min("vec_id"), F.lit(0)).alias("mn"),
+        F.coalesce(F.max("vec_id"), F.lit(0)).alias("mx"),
+        F.coalesce(F.sum(F.col("vec_id") % FP_MOD), F.lit(0)).alias("s"),
+    ).collect()[0]
+    return int(row["n"]), _fp_fold(int(row["mn"]), int(row["mx"]), int(row["s"]))
 
 
 def _warehouse_root() -> str:
@@ -799,14 +833,15 @@ def _warehouse_root() -> str:
     return os.environ.get("SPARK_GRAFT_WAREHOUSE", default)
 
 
-def ivf_pq_index_location(n_corpus: int) -> tuple[str, str]:
-    """(catalog table name, on-disk path) for the persisted index of an
-    ``n_corpus``-vector corpus. Table names carry the same suffix as the
-    path so a session running two scales holds two live catalog entries
-    instead of silently re-pointing one name."""
+def ivf_pq_index_location(n_corpus: int, fp: int) -> tuple[str, str]:
+    """(catalog table name, on-disk path) for the persisted index of a
+    corpus with ``corpus_fingerprint() == (n_corpus, fp)``. Table names
+    carry the same suffix as the path so a session running two scales
+    holds two live catalog entries instead of silently re-pointing one
+    name."""
     return (
-        f"{IVF_PQ_INDEX_TABLE}_n{n_corpus}",
-        f"{_warehouse_root()}/{IVF_PQ_INDEX_TABLE}/n={n_corpus}",
+        f"{IVF_PQ_INDEX_TABLE}_n{n_corpus}_f{fp}",
+        f"{_warehouse_root()}/{IVF_PQ_INDEX_TABLE}/n={n_corpus}/f={fp}",
     )
 
 
@@ -844,11 +879,12 @@ def ivf_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, cb, seed_rows = _pq_fit(vecs)
     from ..engine import Engine
 
-    # scale-isolated location: the count is one scalar over the already-
-    # checkpointed corpus, and the SAME value is what the oracle's scalar
-    # subquery computes from the embeddings view — the two engines agree
-    # on which partition holds this invocation's index by construction
-    table, path = ivf_pq_index_location(vecs.count())
+    # scale- AND content-isolated location: count + vec_id fingerprint in
+    # one agg over the already-checkpointed corpus, and the SAME values
+    # are what the oracle's scalar subqueries compute from the embeddings
+    # view — the two engines agree on which partition holds this
+    # invocation's index by construction
+    table, path = ivf_pq_index_location(*corpus_fingerprint(vecs))
     index = Engine(spark).write_bucketed(
         _pq_encode(vecs, centroids, cb),
         table,
@@ -910,12 +946,12 @@ def serve_pq_index(
 IVF_PQ_UPSERT_TABLE = "ivf_pq_index_upsert"
 
 
-def ivf_pq_upsert_location(n_corpus: int) -> str:
-    """On-disk path for the maintained index of an ``n_corpus``-vector
-    ORIGINAL corpus (the count before the change batch — the oracle keys
-    its partition selection on ``COUNT(*) FROM embeddings``, which only
-    ever sees the original table)."""
-    return f"{_warehouse_root()}/{IVF_PQ_UPSERT_TABLE}/n={n_corpus}"
+def ivf_pq_upsert_location(n_corpus: int, fp: int) -> str:
+    """On-disk path for the maintained index of an ORIGINAL corpus with
+    ``corpus_fingerprint() == (n_corpus, fp)`` (stats taken before the
+    change batch — the oracle keys its partition selection on the
+    embeddings view, which only ever sees the original table)."""
+    return f"{_warehouse_root()}/{IVF_PQ_UPSERT_TABLE}/n={n_corpus}/f={fp}"
 
 
 def _upsert_change_batch(vecs: DataFrame, max_id: int) -> DataFrame:
@@ -1036,10 +1072,13 @@ def _apply_index_delta(
         int(r["list_id"]) for r in rewrite.select("list_id").distinct().collect()
     }
     overwrite_partitions(rewrite, path, ["list_id"])
-    import shutil
+    # emptied lists dropped via the Hadoop FS API, verified gone, loud on
+    # failure (round-14 review, ADVICE medium — see drop_partition_dirs)
+    from ..sources.tables import drop_partition_dirs
 
-    for emptied in set(touched) - survivors:
-        shutil.rmtree(f"{path}/list_id={emptied}", ignore_errors=True)
+    drop_partition_dirs(
+        spark, [f"{path}/list_id={emptied}" for emptied in set(touched) - survivors]
+    )
     return touched
 
 
@@ -1064,8 +1103,14 @@ def ivf_pq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _with_xp(_vectors(spark, sf_dir)).localCheckpoint()
     centroids, cb, seed_rows = _pq_fit(vecs)
-    head = vecs.agg(F.count("*").alias("n"), F.max("vec_id").alias("mx")).collect()[0]
-    n_orig, max_id = int(head["n"]), int(head["mx"] or 0)
+    head = vecs.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.min("vec_id"), F.lit(0)).alias("mn"),
+        F.coalesce(F.max("vec_id"), F.lit(0)).alias("mx"),
+        F.coalesce(F.sum(F.col("vec_id") % FP_MOD), F.lit(0)).alias("s"),
+    ).collect()[0]
+    n_orig, max_id = int(head["n"]), int(head["mx"])
+    fp = _fp_fold(int(head["mn"]), max_id, int(head["s"]))
     if n_orig == 0:
         # EMPTY corpus (round-13 empty-input review): a zero-row
         # partitionBy write leaves NO parquet files, so the read-back
@@ -1077,7 +1122,7 @@ def ivf_pq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id bigint, neighbor_id bigint, adc_score bigint, "
             "cos_ppm bigint, rank bigint",
         )
-    path = ivf_pq_upsert_location(n_orig)
+    path = ivf_pq_upsert_location(n_orig, fp)
     _write_base_index(vecs, centroids, cb, path)
 
     changes = _upsert_change_batch(vecs, max_id).localCheckpoint()
@@ -1151,6 +1196,15 @@ _DUCK_VECS = f"""vecs AS (
 
 _DUCK_BUCKET = " + ".join(
     f"(CASE WHEN v[{i}] >= 0 THEN {1 << (i - 1)} ELSE 0 END)" for i in range(1, 9)
+)
+
+# DuckDB twin of corpus_fingerprint's fold (over the SAME filtered vecs
+# CTE): selects the content partition alongside the count partition —
+# HUGEINT-safe (DuckDB sums integers in HUGEINT; the modulus keeps the
+# Spark-side int64 sum of residues far from overflow)
+_DUCK_FP = (
+    f"(COALESCE(MIN(vec_id), 0) + 31 * COALESCE(MAX(vec_id), 0)"
+    f" + 17 * COALESCE(SUM(vec_id % {FP_MOD}), 0)) % {FP_MOD}"
 )
 
 
@@ -1267,18 +1321,21 @@ def _ivf_pq_index_oracle() -> str:
                    list_transform(v, x -> CAST(FLOOR(1e6 * x) AS BIGINT)) AS xp
             FROM vecs
         ), idx AS (
-            -- scale-isolated partition selection: the hive glob spans every
-            -- corpus size ever built under the warehouse root; the scalar
-            -- subquery picks THIS scale's partition by the same row count
-            -- the Spark build keyed the path on (round-13 review)
+            -- scale- AND content-isolated partition selection: the hive
+            -- glob spans every corpus ever built under the warehouse root;
+            -- the scalar subqueries pick THIS corpus's partition by the
+            -- same (row count, vec_id fingerprint) pair the Spark build
+            -- keyed the path on (round-13/14 reviews — the fingerprint
+            -- closes the same-count clobber race the count alone left)
             SELECT vec_id, list_id, codes
             FROM read_parquet(
-                '{_warehouse_root()}/{IVF_PQ_INDEX_TABLE}/*/*.parquet',
+                '{_warehouse_root()}/{IVF_PQ_INDEX_TABLE}/*/*/*.parquet',
                 hive_partitioning = true
             )
-            -- count over vecs, not raw embeddings: the Spark build keys the
-            -- location on the FILTERED corpus count (exclusion contract)
+            -- stats over vecs, not raw embeddings: the Spark build keys the
+            -- location on the FILTERED corpus (exclusion contract)
             WHERE CAST(n AS BIGINT) = (SELECT COUNT(*) FROM vecs)
+              AND CAST(f AS BIGINT) = (SELECT CAST({_DUCK_FP} AS BIGINT) FROM vecs)
         ), cent AS (
             SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs
             WHERE vec_id < (SELECT GREATEST({IVF_K_MIN}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM vecs)
@@ -1369,12 +1426,15 @@ def _ivf_pq_upsert_oracle() -> str:
         ), idx AS (
             SELECT vec_id, CAST(list_id AS BIGINT) AS list_id, codes
             FROM read_parquet(
-                '{_warehouse_root()}/{IVF_PQ_UPSERT_TABLE}/*/*/*.parquet',
+                '{_warehouse_root()}/{IVF_PQ_UPSERT_TABLE}/*/*/*/*.parquet',
                 hive_partitioning = true
             )
-            -- count over vecs, not raw embeddings: the Spark build keys the
-            -- location on the FILTERED corpus count (exclusion contract)
+            -- stats over vecs, not raw embeddings: the Spark build keys the
+            -- location on the FILTERED ORIGINAL corpus (exclusion contract;
+            -- the fingerprint closes the same-count clobber race — round-14
+            -- review)
             WHERE CAST(n AS BIGINT) = (SELECT COUNT(*) FROM vecs)
+              AND CAST(f AS BIGINT) = (SELECT CAST({_DUCK_FP} AS BIGINT) FROM vecs)
         ), cent AS (
             SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs
             WHERE vec_id < (SELECT GREATEST({IVF_K_MIN}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM vecs)

@@ -179,6 +179,35 @@ def overwrite_partitions(
     )
 
 
+def drop_partition_dirs(spark: SparkSession, dirs: list[str]) -> None:
+    """Drop emptied hive partition directories via the Hadoop FileSystem
+    API — the DROP PARTITION companion of :func:`overwrite_partitions`
+    (dynamic overwrite only replaces partitions PRESENT in the output, so
+    a partition whose every row was removed keeps its stale directory
+    unless dropped explicitly). The same FS abstraction every other
+    read/write goes through, so the drop works wherever the table lives
+    (HDFS/S3A/local), unlike a local-only ``shutil.rmtree`` (round-14
+    review, ADVICE medium). A drop that fails must be LOUD, and the
+    directory must be VERIFIED gone before returning: a stale partition
+    would be served by every later read of the maintained table —
+    swallowing the error converts a crash into silent corruption."""
+    from ..errors import StorageError
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for d in dirs:
+        p = jvm.org.apache.hadoop.fs.Path(d)
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)  # recursive
+        if fs.exists(p):
+            raise StorageError(
+                f"failed to drop emptied partition directory {d}; a stale "
+                "partition would be served by every later read of the "
+                "maintained table"
+            )
+
+
 def read_tbl_table(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
     """TPC-H ``.tbl``: pipe-delimited, no header, trailing ``|`` producing a
     placeholder column dropped on load (reference benchmarks/src/tpch/

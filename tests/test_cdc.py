@@ -252,6 +252,8 @@ def test_cdc_duplicate_change_key_raises(spark):
         [(1, "x", 1, "U"), (1, "y", 2, "U")],   # double update
         [(9, "x", 1, "I"), (9, "y", 2, "I")],   # duplicate insert key
         [(1, "x", 1, "U"), (1, None, None, "D")],  # update + delete same key
+        [(1, None, None, "D"), (1, None, None, "D")],  # double delete
+        [(1, "x", 1, "U"), (1, "y", 2, "I")],   # update + insert same key
     ]
     for batch in dup_batches:
         with pytest.raises(Exception, match="DUPLICATE rows for key"):
@@ -259,3 +261,19 @@ def test_cdc_duplicate_change_key_raises(spark):
     # distinct keys across ops still merge fine
     ok = _merge(spark, snapshot, [(1, "x", 1, "U"), (2, None, None, "D"), (3, "c", 30, "I")])
     assert ok == [(1, "x", 1), (3, "c", 30)]
+
+
+def test_cdc_delete_then_reinsert_pair_is_accepted(spark):
+    """Round-14 review fix: the round-13 duplicate-key guard
+    over-tightened the public contract — a {D, I} pair for one key is the
+    standard delete-then-reinsert sequence an uncompacted CDC feed emits
+    for a key replacement, and it composes safely in this dataflow (D
+    removes the snapshot row, I appends the new image) regardless of row
+    order. Accepted in BOTH orders; richer combos still raise (pinned in
+    test_cdc_duplicate_change_key_raises)."""
+    snapshot = [(1, "a", 10), (2, "b", 20)]
+    want = [(1, "z", 99), (2, "b", 20)]
+    di = _merge(spark, snapshot, [(1, None, None, "D"), (1, "z", 99, "I")])
+    assert di == want
+    id_ = _merge(spark, snapshot, [(1, "z", 99, "I"), (1, None, None, "D")])
+    assert id_ == want

@@ -31,6 +31,7 @@ from datafusion_distributed_experiment_spark.operators.similarity import (
 from pyspark.sql import functions as F
 
 from datafusion_distributed_experiment_spark.operators.similarity import (
+    corpus_fingerprint,
     ivf_pq_index_location,
 )
 
@@ -42,10 +43,10 @@ def _rows(df):
 
 
 def _index_table(spark):
-    # per-scale catalog name (round-13 review: the location is keyed by
-    # corpus row count so concurrent scales cannot clobber each other)
-    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
-    return ivf_pq_index_location(n)[0]
+    # per-corpus catalog name (round-13/14 reviews: the location is keyed
+    # by (row count, vec_id fingerprint) so concurrent scales — and
+    # same-count different-content corpora — cannot clobber each other)
+    return ivf_pq_index_location(*corpus_fingerprint(_vectors(spark, SF_DIR)))[0]
 
 
 def test_index_serve_equals_inflight_topk(spark):
@@ -139,7 +140,7 @@ def test_index_location_is_scale_isolated_and_relocatable(spark, duck, tmp_path)
 
     n_base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     ivf_pq_index_build(spark, SF_DIR).collect()
-    base_path = ivf_pq_index_location(n_base)[1]
+    base_path = ivf_pq_index_location(*corpus_fingerprint(_vectors(spark, SF_DIR)))[1]
     assert os.path.isdir(base_path)
     base_files = sorted(os.listdir(base_path))
 
@@ -157,7 +158,10 @@ def test_index_location_is_scale_isolated_and_relocatable(spark, duck, tmp_path)
     ).write.parquet(str(syn_dir / "embeddings.parquet"))
     got = ivf_pq_index_build(spark, str(syn_dir)).toPandas()
     assert len(got) > 0
-    syn_path = ivf_pq_index_location(n_syn)[1]
+    syn_path = ivf_pq_index_location(
+        *corpus_fingerprint(_vectors(spark, str(syn_dir)))
+    )[1]
+    assert corpus_fingerprint(_vectors(spark, str(syn_dir)))[0] == n_syn
     assert os.path.isdir(syn_path) and syn_path != base_path
     # the base scale's partition is untouched by the synthetic build
     assert sorted(os.listdir(base_path)) == base_files
@@ -174,3 +178,60 @@ def test_index_location_is_scale_isolated_and_relocatable(spark, duck, tmp_path)
     )
     odf = con.execute(_ivf_pq_index_oracle()).df()
     assert_frames_match(got, odf, "ivf_pq_index_build[synthetic-scale]")
+
+
+def test_index_location_is_content_isolated_at_same_count(spark, duck, tmp_path):
+    """Round-14 review fix (ADVICE low): keying the location on row count
+    alone left two SAME-COUNT corpora sharing one partition — the clobber
+    race was only closed across different scales. The vec_id fingerprint
+    in the partition key closes it: two same-count, different-content
+    corpora land in DISJOINT partitions, and the oracle's fingerprint
+    subquery picks the right one while both exist on disk."""
+    import os
+
+    from datafusion_distributed_experiment_spark.operators.similarity import (
+        DIM,
+        _ivf_pq_index_oracle,
+        _vectors,
+    )
+
+    from ._compare import assert_frames_match
+
+    n = 48
+
+    def corpus(dirname, ids):
+        d = tmp_path / dirname
+        d.mkdir()
+        rows = [
+            (i, [((i * 37 + j * 11) % 200 - 100) / 100.0 for j in range(DIM)])
+            for i in ids
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+        return str(d)
+
+    # same count, different vec_id content (different max and sum)
+    dir_a = corpus("a", list(range(n)))
+    dir_b = corpus("b", list(range(n - 1)) + [n + 12])
+
+    ivf_pq_index_build(spark, dir_a).collect()
+    path_a = ivf_pq_index_location(*corpus_fingerprint(_vectors(spark, dir_a)))[1]
+    files_a = sorted(os.listdir(path_a))
+
+    got_b = ivf_pq_index_build(spark, dir_b).toPandas()
+    path_b = ivf_pq_index_location(*corpus_fingerprint(_vectors(spark, dir_b)))[1]
+    assert path_b != path_a, "same-count corpora must not share a partition"
+    # corpus A's partition is untouched by corpus B's build
+    assert sorted(os.listdir(path_a)) == files_a
+
+    # the static oracle picks corpus B's partition while BOTH exist
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{dir_b}/embeddings.parquet/*.parquet'"
+    )
+    odf = con.execute(_ivf_pq_index_oracle()).df()
+    assert_frames_match(got_b, odf, "ivf_pq_index_build[same-count-content]")

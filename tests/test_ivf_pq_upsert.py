@@ -36,6 +36,7 @@ from datafusion_distributed_experiment_spark.operators.similarity import (
     _with_xp,
     _write_base_index,
     ivf_pq_index_upsert,
+    corpus_fingerprint,
     ivf_pq_upsert_location,
     norm,
 )
@@ -77,7 +78,7 @@ def test_upsert_equals_frozen_model_rebuild(spark):
         (int(r["vec_id"]), int(r["list_id"]), tuple(r["codes"]))
         for r in rebuild_enc.collect()
     )
-    path = ivf_pq_upsert_location(vecs.count())
+    path = ivf_pq_upsert_location(*corpus_fingerprint(vecs))
     got_index = sorted(
         (int(r["vec_id"]), int(r["list_id"]), tuple(r["codes"]))
         for r in spark.read.parquet(path).collect()
@@ -99,7 +100,7 @@ def test_upsert_rewrites_only_touched_partitions(spark):
     partition-replacement machinery under test is _apply_index_delta
     either way."""
     vecs, centroids, cb, seed_rows = _frozen_fit(spark)
-    path = ivf_pq_upsert_location(vecs.count())
+    path = ivf_pq_upsert_location(*corpus_fingerprint(vecs))
     _write_base_index(vecs, centroids, cb, path)
 
     def snapshot():
@@ -160,7 +161,7 @@ def test_delta_apply_never_shuffles_the_index(spark):
     from datafusion_distributed_experiment_spark.plans import plan_string
 
     vecs, centroids, cb, _ = _frozen_fit(spark)
-    path = ivf_pq_upsert_location(vecs.count())
+    path = ivf_pq_upsert_location(*corpus_fingerprint(vecs))
     _write_base_index(vecs, centroids, cb, path)
     max_id = int(vecs.agg(F.max("vec_id")).collect()[0][0])
     changes = _upsert_change_batch(vecs, max_id).localCheckpoint()
@@ -228,7 +229,7 @@ def test_single_query_serve_prunes_partitions(spark):
     ivf_pq_index_upsert(spark, SF_DIR).collect()  # maintain side effect
     vecs, centroids, cb, seed_rows = _frozen_fit(spark)
     merged = _merged_corpus(spark, vecs).localCheckpoint()
-    path = ivf_pq_upsert_location(vecs.count())
+    path = ivf_pq_upsert_location(*corpus_fingerprint(vecs))
     index = spark.read.parquet(path).withColumn(
         "list_id", F.col("list_id").cast("long")
     )
@@ -274,6 +275,32 @@ def test_emptied_list_directory_is_dropped(spark, tmp_path):
         int(r["vec_id"]) for r in spark.read.parquet(path).collect()
     )
     assert kept == [1, 2], "untouched list must survive intact"
+
+
+def test_drop_partition_dirs_uses_hadoop_fs(spark, tmp_path):
+    """Round-14 review fix (ADVICE medium): the emptied-partition drop
+    goes through the Hadoop FileSystem API — the same FS abstraction
+    every other read/write uses, so it works on non-local filesystems —
+    and VERIFIES the directory is gone instead of swallowing failures
+    (a silently-surviving stale list directory would be served by every
+    later probe). Pinned: a nested directory is removed recursively, a
+    missing path is a no-op (idempotent re-runs), and sibling
+    directories survive."""
+    from datafusion_distributed_experiment_spark.sources.tables import (
+        drop_partition_dirs as _drop_partition_dirs,
+    )
+
+    keep = tmp_path / "idx" / "list_id=1"
+    drop = tmp_path / "idx" / "list_id=9"
+    keep.mkdir(parents=True)
+    drop.mkdir(parents=True)
+    (keep / "part-0.parquet").write_bytes(b"k")
+    (drop / "part-0.parquet").write_bytes(b"d")
+    _drop_partition_dirs(spark, [str(drop)])
+    assert not drop.exists(), "directory (with contents) must be gone"
+    assert (keep / "part-0.parquet").exists(), "siblings must survive"
+    # missing path: no-op, no raise — the drop is idempotent
+    _drop_partition_dirs(spark, [str(drop)])
 
 
 def test_noop_change_batch_is_noop(spark, tmp_path):
