@@ -100,10 +100,11 @@ def staged_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Da
 
     Round 10 staged events_quantile_sketch (promoted r11); round 11
     staged ivf_pq_topk (promoted r12); round 12 staged ivf_pq_index_build
-    (promoted r13); round 13 stages ivf_pq_index_upsert. Each round's
-    VERDICT budgets at most ONE new staged operator (the 122-query
-    surface already cycles the gate window every 3 rounds; growth is
-    deliberately near-frozen)."""
+    (promoted r13); round 13 staged ivf_pq_index_upsert (promoted r14);
+    round 14 stages minhash_index_upsert (the dedup-tier lifecycle
+    completion). Each round's VERDICT budgets at most ONE new staged
+    operator (the 123-query surface already cycles the gate window every
+    3 rounds; growth is deliberately near-frozen)."""
     from ..streaming import events as streaming_events
     from . import bpe, curation, dedup, graph, retrieval, selection, similarity, sketches
 

@@ -1236,6 +1236,356 @@ def _cluster_output(labels: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --------------------------------------------------------------------- #
+# persisted MinHash LSH band index: build once, maintain under CDC
+# (minhash_index_upsert, staged round 14)
+# --------------------------------------------------------------------- #
+# The dedup-tier twin of the ANN lifecycle (similarity.ivf_pq_index_build
+# -> ivf_pq_index_upsert; the reference's register-then-query shape,
+# benchmarks/src/tpch/run.rs:311-345, extended in time):
+# :func:`dedup_incremental` proves the probe SHAPE (incoming bands
+# broadcast onto the historical corpus) but recomputes the index
+# signatures from parquet on every run; at 100 TB the banded signature
+# index is a PERSISTED table, built once and MAINTAINED under the daily
+# CDC feed. Layout: hive-partitioned by (band_idx, bucket) where
+# bucket = (x*31 + y) % MINHASH_INDEX_BUCKETS — a pure integer function
+# of the band key (x, y in [0, P): non-negative, so both engines agree on
+# the modulus), which gives the two properties the maintain/serve split
+# rides on: (a) a band bucket (band_idx, x, y) lives wholly inside ONE
+# partition directory, so frequent-bucket cap counts are correct over any
+# partition-pruned scan; (b) a probe's partition set is computable from
+# its OWN band rows before the index scan is planned, so the serve scan
+# partition-prunes (PartitionFilters — the dedup twin of the IVF
+# SelectedBucketsCount pruning).
+MINHASH_INDEX_TABLE = "minhash_band_index"
+MINHASH_INDEX_BUCKETS = 8
+
+
+def minhash_index_location(n_hist: int, fp: int) -> str:
+    """On-disk path for the persisted band index of a historical corpus
+    with ``(row count, doc_id fingerprint) == (n_hist, fp)`` — the same
+    scale- and content-isolated two-level key as the IVF-PQ index
+    (``sources.tables.fp_fold``; the oracle re-derives both values from
+    the documents view with scalar subqueries)."""
+    from ..sources.tables import warehouse_root
+
+    return f"{warehouse_root()}/{MINHASH_INDEX_TABLE}/n={n_hist}/f={fp}"
+
+
+def _hist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The historical (already-ingested) half of the documents table —
+    the ``_incremental_sides`` index predicate, shared verbatim."""
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 0))
+    )
+
+
+def _bands_with_bucket(sigs: DataFrame) -> DataFrame:
+    """Slim persisted-index rows from a signature frame: (doc_id,
+    band_idx, x, y, bucket) — map-only."""
+    b = _band_rows(sigs)
+    return b.select(
+        "doc_id",
+        "x",
+        "y",
+        F.col("band_idx").cast("long").alias("band_idx"),
+        ((F.col("x") * 31 + F.col("y")) % MINHASH_INDEX_BUCKETS)
+        .cast("long")
+        .alias("bucket"),
+    )
+
+
+def _minhash_change_batch(hist: DataFrame, max_id: int) -> DataFrame:
+    """Deterministic CDC batch over the historical half (the
+    ``_upsert_change_batch`` derivation pattern, so the DuckDB oracle
+    reproduces it exactly; doc_ids here are all even, hence the even
+    residues of % 20):
+
+    - ``doc_id % 20 == 0``     -> DELETE
+    - ``doc_id % 20 in (2,4)`` -> UPDATE (text || AUG_SUFFIX — a near-dup
+      image whose trailing shingles genuinely move between band buckets)
+    - ``doc_id % 20 == 6``     -> INSERT of doc_id + max_id with
+      text || AUG_SUFFIX — a near-dup of an index member, so the serve
+      probe has observable pairs to find
+    """
+    k = F.col("doc_id")
+    dele = hist.filter(k % 20 == 0).select("doc_id", "text", F.lit("D").alias("__op"))
+    upd = hist.filter((k % 20).isin(2, 4)).select(
+        "doc_id",
+        F.concat("text", F.lit(AUG_SUFFIX)).alias("text"),
+        F.lit("U").alias("__op"),
+    )
+    ins = hist.filter(k % 20 == 6).select(
+        (k + F.lit(max_id)).alias("doc_id"),
+        F.concat("text", F.lit(AUG_SUFFIX)).alias("text"),
+        F.lit("I").alias("__op"),
+    )
+    return dele.unionAll(upd).unionAll(ins)
+
+
+def _write_base_band_index(hist: DataFrame, path: str) -> None:
+    """Base index: full STATIC write partitioned by (band_idx, bucket) —
+    the build-once step a production pipeline amortizes across every
+    later refresh. The repartition on the partition columns is the
+    one-file-per-partition write-layout lesson from the IVF base write
+    (without it every input task writes a sliver into every directory —
+    n_tasks x 32 small files taxing the write, every pruned read, and
+    the oracle's glob)."""
+    (
+        _bands_with_bucket(_with_signature(hist).select("doc_id", "sig"))
+        .repartition(F.col("band_idx"), F.col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("band_idx", "bucket")
+        .parquet(path)
+    )
+
+
+def _partition_predicate(parts: list[tuple[int, int]]):
+    """(band_idx, bucket) IN set as a disjunction of per-partition
+    conjunctions — the spelling Catalyst turns into PartitionFilters on a
+    hive layout (a struct-isin does not prune)."""
+    from functools import reduce as _reduce
+
+    return _reduce(
+        lambda a, b: a | b,
+        [(F.col("band_idx") == b) & (F.col("bucket") == k) for b, k in parts],
+    )
+
+
+def _read_band_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).select(
+        "doc_id",
+        "x",
+        "y",
+        F.col("band_idx").cast("long").alias("band_idx"),
+        F.col("bucket").cast("long").alias("bucket"),
+    )
+
+
+def _apply_band_delta(
+    spark: SparkSession,
+    path: str,
+    delta_bands: DataFrame,
+    rm_keys: DataFrame,
+) -> list[tuple[int, int]]:
+    """Rewrite ONLY the touched (band_idx, bucket) partitions of the
+    persisted band index at ``path``: touched = (partitions holding a
+    removed/updated doc's band rows) ∪ (partitions the delta band rows
+    land in). Mirrors ``similarity._apply_index_delta`` step for step:
+
+    - finding old partitions is ONE map-only index scan (slim integer
+      columns) against the broadcast delta key set — the historical index
+      NEVER shuffles;
+    - the touched-partition sets are bounded by 4 bands x
+      MINHASH_INDEX_BUCKETS = 32, so the driver collects are fixed-size;
+    - the rewrite reads only the touched partitions (PartitionFilters),
+      anti-joins the broadcast removal keys map-side, unions the delta,
+      and dynamic-partition-overwrite replaces exactly those directories;
+    - an emptied partition is dropped via the Hadoop FS API, verified
+      gone, loud on failure (``sources.tables.drop_partition_dirs``).
+
+    Returns the sorted touched (band_idx, bucket) pairs."""
+    from ..sources.tables import drop_partition_dirs, overwrite_partitions
+
+    index = _read_band_index(spark, path)
+    old_parts = {
+        (int(r["band_idx"]), int(r["bucket"]))
+        for r in index.join(F.broadcast(rm_keys), "doc_id")
+        .select("band_idx", "bucket")
+        .distinct()
+        .collect()
+    }
+    new_parts = {
+        (int(r["band_idx"]), int(r["bucket"]))
+        for r in delta_bands.select("band_idx", "bucket").distinct().collect()
+    }
+    touched = sorted(old_parts | new_parts)
+    if not touched:
+        return touched
+    rewrite = (
+        index.filter(_partition_predicate(touched))
+        .join(F.broadcast(rm_keys), "doc_id", "left_anti")
+        .unionByName(delta_bands.select("doc_id", "x", "y", "band_idx", "bucket"))
+        # one file per touched partition (the base-write shuffle analog —
+        # the exchange is bounded by touched-partition bytes, never the
+        # index)
+        .repartition(F.col("band_idx"), F.col("bucket"))
+        .localCheckpoint()  # consumed twice: emptied-partition probe + write
+    )
+    survivors = {
+        (int(r["band_idx"]), int(r["bucket"]))
+        for r in rewrite.select("band_idx", "bucket").distinct().collect()
+    }
+    overwrite_partitions(rewrite, path, ["band_idx", "bucket"])
+    drop_partition_dirs(
+        spark,
+        [
+            f"{path}/band_idx={b}/bucket={k}"
+            for (b, k) in set(touched) - survivors
+        ],
+    )
+    return touched
+
+
+def probe_band_index(
+    spark: SparkSession,
+    path: str,
+    probe_sigs: DataFrame,
+    corpus: DataFrame,
+) -> DataFrame:
+    """Serve half: near-dup pairs of the probe batch against the PERSISTED
+    band index, verified by exact Jaccard over the maintained corpus.
+
+    Scale shape: the probe's own band rows determine the partition set, so
+    the index scan partition-prunes at plan time (plan-pinned); probe
+    bands broadcast onto the pruned scan (the ``dedup_incremental``
+    asymmetry — the index side never shuffles); index buckets are capped
+    like every LSH path (a bucket lives wholly in one partition, so the
+    cap count is pruning-safe); index-side token sets are tokenized only
+    for CANDIDATE documents (broadcast semi onto the corpus scan).
+    Output one row per verified pair: (probe_id, index_id, jaccard_ppm)."""
+    probe_bands = _bands_with_bucket(probe_sigs.select("doc_id", "sig"))
+    probed = sorted(
+        {
+            (int(r["band_idx"]), int(r["bucket"]))
+            for r in probe_bands.select("band_idx", "bucket").distinct().collect()
+        }
+    )
+    if not probed:
+        return spark.createDataFrame(
+            [], "probe_id bigint, index_id bigint, jaccard_ppm bigint"
+        )
+    idx = _read_band_index(spark, path).filter(_partition_predicate(probed))
+    idx_capped = _cap_buckets(idx, ["band_idx", "x", "y"])
+    cand = (
+        idx_capped.alias("i")
+        .join(
+            F.broadcast(probe_bands.alias("p")),
+            (F.col("i.band_idx") == F.col("p.band_idx"))
+            & (F.col("i.x") == F.col("p.x"))
+            & (F.col("i.y") == F.col("p.y"))
+            & (F.col("i.doc_id") != F.col("p.doc_id")),
+        )
+        .select(
+            F.col("p.doc_id").alias("probe_id"), F.col("i.doc_id").alias("index_id")
+        )
+        .dropDuplicates(["probe_id", "index_id"])
+    )
+    idx_toks = (
+        corpus.join(
+            F.broadcast(
+                cand.select("index_id").distinct().withColumnRenamed(
+                    "index_id", "doc_id"
+                )
+            ),
+            "doc_id",
+        )
+        .select(
+            F.col("doc_id").alias("index_id"),
+            F.array_distinct(tokens(F.col("text"))).alias("toks_i"),
+        )
+    )
+    pairs = cand.join(F.broadcast(idx_toks), "index_id").join(
+        F.broadcast(
+            probe_sigs.select(
+                F.col("doc_id").alias("probe_id"), F.col("toks").alias("toks_p")
+            )
+        ),
+        "probe_id",
+    )
+    jaccard = F.floor(
+        F.lit(1e6)
+        * F.size(F.array_intersect("toks_p", "toks_i"))
+        / F.greatest(F.size(F.array_union("toks_p", "toks_i")), F.lit(1))
+    ).cast("long")  # greatest(.,1): ANSI-safe; 0/0 and 0/1 both drop
+    return (
+        pairs.select("probe_id", "index_id", jaccard.alias("jaccard_ppm"))
+        .filter(F.col("jaccard_ppm") >= JACCARD_MIN_PPM)
+        .orderBy("probe_id", "index_id")
+    )
+
+
+def minhash_index_spill_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spill-bearing stage of the maintain cycle, spelled measurably
+    for the forced-spill sweep: the band rows sorted by the partition
+    columns within each task — exactly the UnsafeExternalSorter pass a
+    dynamic-partition parquet write runs inside every task before opening
+    files, which is where this operator's buffers live. The probe the
+    operator RETURNS is broadcast-only with candidate volume bounded by
+    |delta bands| x MAX_BAND_BUCKET (the scale property under test), so
+    its executed plan legitimately shows zero spill at sweep scale; the
+    sweep hash-checks the declared query against the post-upsert oracle
+    as usual and takes its spill measurement from this frame."""
+    hist = _hist_docs(spark, sf_dir).localCheckpoint()
+    return (
+        _bands_with_bucket(_with_signature(hist).select("doc_id", "sig"))
+        .sortWithinPartitions("band_idx", "bucket", "doc_id")
+    )
+
+
+def minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the persisted MinHash LSH band index
+    (staged round 14): build the partitioned index from the historical
+    corpus once, apply a CDC-shaped document change batch
+    (insert/update/delete, derived deterministically — see
+    :func:`_minhash_change_batch`) by rewriting only the touched
+    (band_idx, bucket) partitions, then serve a near-dup probe of the
+    delta batch from the maintained on-disk index. Completes the dedup
+    lifecycle (signatures -> pairs -> clusters -> incremental ->
+    MAINTAINED index) exactly as rounds 12-14 completed the ANN lifecycle
+    — the production daily-ingest dedup shape at 100 TB, mirroring the
+    reference's register-then-query lifecycle
+    (``benchmarks/src/tpch/run.rs:311-345``) extended in time.
+
+    The maintained index is BIT-IDENTICAL to a from-scratch rebuild over
+    the merged corpus (pinned by pytest — MinHash has no fitted model, so
+    rebuild equivalence is exact), and the DuckDB oracle replays the
+    band-probe + Jaccard verification from the POST-UPSERT persisted
+    parquet — a green row proves the maintained on-disk state, not the
+    logical dataflow. The merged corpus rides the verified
+    :func:`cdc.cdc_merge` kernel. Work per refresh is
+    O(delta + touched-partition bytes), never O(index)."""
+    from .cdc import cdc_merge
+
+    hist = _hist_docs(spark, sf_dir).localCheckpoint()
+    from ..sources.tables import FP_MOD, fp_fold
+
+    head = hist.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.min("doc_id"), F.lit(0)).alias("mn"),
+        F.coalesce(F.max("doc_id"), F.lit(0)).alias("mx"),
+        F.coalesce(F.sum(F.col("doc_id") % FP_MOD), F.lit(0)).alias("s"),
+    ).collect()[0]
+    n_hist, max_id = int(head["n"]), int(head["mx"])
+    if n_hist == 0:
+        # EMPTY corpus: a zero-row partitionBy write leaves no files to
+        # read back — the probe of an empty index is the typed empty frame
+        return spark.createDataFrame(
+            [], "probe_id bigint, index_id bigint, jaccard_ppm bigint"
+        )
+    path = minhash_index_location(
+        n_hist, fp_fold(int(head["mn"]), max_id, int(head["s"]))
+    )
+    _write_base_band_index(hist, path)
+
+    changes = _minhash_change_batch(hist, max_id).localCheckpoint()
+    merged = cdc_merge(hist, changes, key="doc_id").localCheckpoint()
+    delta_docs = changes.filter(F.col("__op").isin("I", "U")).select("doc_id", "text")
+    # probe == delta: signatures computed ONCE, map-only, shared by the
+    # delta apply and the serve probe
+    delta_sigs = (
+        _with_signature(delta_docs).select("doc_id", "toks", "sig").localCheckpoint()
+    )
+    rm_keys = changes.filter(F.col("__op").isin("U", "D")).select("doc_id")
+    _apply_band_delta(
+        spark, path, _bands_with_bucket(delta_sigs.select("doc_id", "sig")), rm_keys
+    )
+    return probe_band_index(spark, path, delta_sigs, merged)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": dedup_exact,
@@ -1385,14 +1735,99 @@ def oracles() -> dict[str, str]:
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Empty since the round-7 promotion: winnow_fingerprints and span_scrub
-    moved into :func:`queries` and the driver gate window."""
-    return {}
+    """Round 14 stages :func:`minhash_index_upsert` (the one staged slot
+    the round-13 VERDICT budgeted — the persisted MinHash LSH band index
+    build/maintain split, completing the dedup lifecycle the way rounds
+    12-14 completed the ANN lifecycle); it awaits a gate-window slot at
+    the round-15 rotation."""
+    return {"minhash_index_upsert": minhash_index_upsert}
 
 
 def staged_oracles() -> dict[str, str]:
-    """Empty since the round-7 promotion (see :func:`staged_queries`)."""
-    return {}
+    return {"minhash_index_upsert": _minhash_index_upsert_oracle()}
+
+
+def _minhash_index_upsert_oracle() -> str:
+    """DuckDB replay of the maintain-then-probe pipeline reading
+    ``(doc_id, x, y, band_idx, bucket)`` from the POST-UPSERT persisted
+    parquet — a hash match proves the MAINTAINED on-disk state: every
+    inserted and updated document present with its new band rows in the
+    right partitions, every deleted/moved row absent, every untouched
+    partition intact (a stale or missing band row changes the candidate
+    set). The probe signatures, the merged corpus, and the frequent-bucket
+    cap are re-derived in SQL from the documents view via the shared
+    ``_DUCK_SIG`` machinery; partition selection uses the same
+    (count, doc_id fingerprint) scalar subqueries the Spark build keyed
+    the path on."""
+    from ..sources.tables import FP_MOD, warehouse_root
+
+    nb = MINHASH_INDEX_BUCKETS
+    duck_fp = (
+        f"(COALESCE(MIN(doc_id), 0) + 31 * COALESCE(MAX(doc_id), 0)"
+        f" + 17 * COALESCE(SUM(doc_id % {FP_MOD}), 0)) % {FP_MOD}"
+    )
+    bands_sel = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, sig[{lo + 1}] AS x, sig[{hi + 1}] AS y FROM sig"
+        for i, (lo, hi) in enumerate(BANDS)
+    )
+    return f"""
+        WITH hist AS (
+            SELECT doc_id, text FROM documents
+            WHERE text IS NOT NULL AND doc_id % 2 = 0
+        ), corpus AS (
+            -- the delta batch (U images + I rows) IS the probe side;
+            -- named corpus so _DUCK_SIG reads it
+            SELECT doc_id, text || '{AUG_SUFFIX}' AS text FROM hist
+            WHERE doc_id % 20 IN (2, 4)
+            UNION ALL
+            SELECT doc_id + (SELECT COALESCE(MAX(doc_id), 0) FROM hist) AS doc_id,
+                   text || '{AUG_SUFFIX}' AS text
+            FROM hist WHERE doc_id % 20 = 6
+        ), {_DUCK_SIG}, probe_bands AS (
+            SELECT doc_id, band_idx, x, y, (x * 31 + y) % {nb} AS bucket
+            FROM ({bands_sel})
+        ), merged AS (
+            -- the maintained corpus: survivors + U images + I rows
+            SELECT doc_id, text FROM hist
+            WHERE doc_id % 20 NOT IN (0, 2, 4)
+            UNION ALL
+            SELECT doc_id, text FROM corpus
+        ), idx AS (
+            SELECT doc_id, x, y,
+                   CAST(band_idx AS BIGINT) AS band_idx,
+                   CAST(bucket AS BIGINT) AS bucket
+            FROM read_parquet(
+                '{warehouse_root()}/{MINHASH_INDEX_TABLE}/*/*/*/*/*.parquet',
+                hive_partitioning = true
+            )
+            -- stats over hist: the Spark build keys the location on the
+            -- FILTERED historical corpus (count + doc_id fingerprint)
+            WHERE CAST(n AS BIGINT) = (SELECT COUNT(*) FROM hist)
+              AND CAST(f AS BIGINT) = (SELECT CAST({duck_fp} AS BIGINT) FROM hist)
+        ), idx_capped AS (
+            SELECT * FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band_idx, x, y) AS bucket_n
+                FROM idx
+            ) WHERE bucket_n <= {MAX_BAND_BUCKET}
+        ), cand AS (
+            SELECT DISTINCT p.doc_id AS probe_id, i.doc_id AS index_id
+            FROM probe_bands p JOIN idx_capped i
+              ON i.band_idx = p.band_idx AND i.x = p.x AND i.y = p.y
+             AND i.doc_id <> p.doc_id
+        ), itoks AS (
+            SELECT doc_id, list_distinct({_TOKS}) AS toks FROM merged
+        ), pairs AS (
+            SELECT probe_id, index_id,
+                   CAST(FLOOR(1e6 * len(list_intersect(s.dtoks, it.toks))
+                        / GREATEST(len(list_distinct(list_concat(s.dtoks, it.toks))), 1)) AS BIGINT) AS jaccard_ppm
+            FROM cand
+            JOIN sig s ON s.doc_id = cand.probe_id
+            JOIN itoks it ON it.doc_id = cand.index_id
+        )
+        SELECT probe_id, index_id, jaccard_ppm FROM pairs
+        WHERE jaccard_ppm >= {JACCARD_MIN_PPM}
+        ORDER BY probe_id, index_id
+    """
 
 
 def _winnow_span_oracles() -> dict[str, str]:

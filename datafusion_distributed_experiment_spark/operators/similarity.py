@@ -788,14 +788,10 @@ def _pq_serve(
 IVF_PQ_INDEX_BUCKETS = 32
 IVF_PQ_INDEX_TABLE = "ivf_pq_index"
 
-# Fingerprint modulus for the persisted-index partition key (prime, small
-# enough that a sum of per-row residues stays far from int64 overflow at
-# any realistic corpus size on the Spark side; DuckDB sums in HUGEINT).
-FP_MOD = 1_000_003
-
-
-def _fp_fold(mn: int, mx: int, s: int) -> int:
-    return (mn + 31 * mx + 17 * s) % FP_MOD
+# fingerprint + warehouse-root helpers shared with the dedup tier's
+# persisted band index (sources/tables.py is the home; the aliases keep
+# this module's public surface stable)
+from ..sources.tables import FP_MOD, fp_fold as _fp_fold, warehouse_root as _warehouse_root  # noqa: E402
 
 
 def corpus_fingerprint(vecs: DataFrame) -> tuple[int, int]:
@@ -810,8 +806,11 @@ def corpus_fingerprint(vecs: DataFrame) -> tuple[int, int]:
     identically by the STATIC DuckDB oracle from the embeddings view
     (``_DUCK_FP``) — so same-count-different-content corpora land in
     disjoint ``n=<count>/f=<fp>`` partitions. Two invocations over the
-    IDENTICAL corpus still share a partition, and produce identical
-    bytes, so that residual race is benign."""
+    IDENTICAL corpus still share a partition and produce identical bytes,
+    so the residual race is benign for READERS; concurrent writers of the
+    same partition can still fail LOUDLY at task-commit time (one job's
+    temp-dir cleanup racing the other's commit) — a crash, never silent
+    corruption."""
     row = vecs.agg(
         F.count("*").alias("n"),
         F.coalesce(F.min("vec_id"), F.lit(0)).alias("mn"),
@@ -819,18 +818,6 @@ def corpus_fingerprint(vecs: DataFrame) -> tuple[int, int]:
         F.coalesce(F.sum(F.col("vec_id") % FP_MOD), F.lit(0)).alias("s"),
     ).collect()[0]
     return int(row["n"]), _fp_fold(int(row["mn"]), int(row["mx"]), int(row["s"]))
-
-
-def _warehouse_root() -> str:
-    import os
-
-    default = os.path.join(
-        os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        ),
-        "spark-warehouse",
-    )
-    return os.environ.get("SPARK_GRAFT_WAREHOUSE", default)
 
 
 def ivf_pq_index_location(n_corpus: int, fp: int) -> tuple[str, str]:

@@ -179,6 +179,32 @@ def overwrite_partitions(
     )
 
 
+# Fingerprint modulus for persisted-table partition keys (prime, small
+# enough that a sum of per-row residues stays far from int64 overflow at
+# any realistic corpus size on the Spark side; DuckDB sums in HUGEINT).
+FP_MOD = 1_000_003
+
+
+def fp_fold(mn: int, mx: int, s: int) -> int:
+    """Fold (min, max, sum-of-residues) of a key column into the content
+    fingerprint used in persisted-table partition keys — must match the
+    oracle-side SQL fold exactly (see the ``_DUCK_FP`` twins)."""
+    return (mn + 31 * mx + 17 * s) % FP_MOD
+
+
+def warehouse_root() -> str:
+    """Root directory for persisted index tables: repo-relative by
+    default, overridable via ``$SPARK_GRAFT_WAREHOUSE`` (round-13 review
+    — a fixed absolute path made the repo non-relocatable)."""
+    import os
+
+    default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )
+    return os.environ.get("SPARK_GRAFT_WAREHOUSE", default)
+
+
 def drop_partition_dirs(spark: SparkSession, dirs: list[str]) -> None:
     """Drop emptied hive partition directories via the Hadoop FileSystem
     API — the DROP PARTITION companion of :func:`overwrite_partitions`

@@ -74,6 +74,7 @@ SHOWCASE = [
     ("stream_topk", "streaming top-k split: the STATEFUL micro-batch plan (below, captured from the executed drain) is partial agg -> ONE REQUIRED_BY_STATEFUL_OPERATOR exchange -> StateStoreRestore/Save; rank is a batch window over the windows*types memory sink, zero parquet"),
     ("ivf_pq_topk", "IVF-PQ+refine ANN (promoted r12) (Jegou et al. ADC + FAISS-style exact rerank): codebook/centroids are literal model state, encode+assign is ONE map-only projection (zero pre-join exchanges), the (query x probe x LUT) side BROADCASTS so the corpus never shuffles (BuildLeft BHJ over PQ_M-byte codes); the shortlist then broadcasts back onto a second map-side corpus pass for the exact integer-cosine re-score — the only hash exchanges are the two partial/final WindowGroupLimit top-k's over candidate rows"),
     ("ivf_pq_index_build", "IVF-PQ index build/serve split (promoted r13) (FAISS on-disk IndexIVFPQ lifecycle): the encode corpus pass is persisted ONCE as a parquet table BUCKETED on list_id (the probe shuffle paid at write time); the serve half's probed-list IN-filter prunes whole buckets at plan time (SelectedBucketsCount in the ONLY FileScan of the returned plan — at scale a query batch reads a vanishing fraction of the index bytes) and the ADC/shortlist/refine pipeline is the shared _pq_serve kernel, bit-identical to ivf_pq_topk"),
+    ("minhash_index_upsert", "staged (r14) persisted MinHash LSH band-index maintenance (signatures -> pairs -> clusters -> incremental -> MAINTAINED index, the dedup-lifecycle completion): the CDC delta's band rows come from ONE map-only signature pass; finding old band assignments is ONE map-only index scan against the BROADCAST removal key set (the historical index never shuffles); the rewrite reads only the touched (band_idx, bucket) partitions (PartitionFilters) before a dynamic-partition-overwrite replaces exactly those directories; the serve probe partition-prunes to the probe's own band partitions, broadcasts the probe bands onto the pruned scan (the dedup_incremental asymmetry), caps frequent buckets, and tokenizes only CANDIDATE index docs — O(delta + touched-partition bytes) per refresh, never O(index)"),
     ("ivf_pq_index_upsert", "staged IVF-PQ incremental index maintenance (build -> serve -> MAINTAIN): the CDC delta is encoded by ONE map-only pass under the frozen model, finding old list assignments is ONE map-only index scan against the BROADCAST delta key set (the historical index never shuffles), and the rewrite reads only the touched partitions (PartitionFilters on list_id) before a dynamic-partition-overwrite replaces exactly those directories; the serve half partition-prunes to the probed lists and runs the shared _pq_serve kernel — O(delta + touched-list bytes) per refresh, never O(index)"),
     ("events_quantile_sketch", "mergeable rank sketch (promoted r11): BOTH bottom-k levels plan as partial/final WindowGroupLimit pairs (every input partition forwards <= k rows per group into its exchange); rank selection runs on the k-row sample; types-sized totals broadcast"),
     ("stream_sliding", "sliding windows (micro-batch plan below): each event expands to its covering windows MAP-side, then partial agg -> ONE REQUIRED_BY_STATEFUL_OPERATOR exchange -> StateStoreRestore/Save — state is one counter per (window, type), never per event; batch half reads the memory sink, zero parquet"),

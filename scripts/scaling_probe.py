@@ -97,6 +97,12 @@ PROBE_OPS = [
     # growth must track ivf_pq_index_build's (the delta is a fixed
     # fraction of the corpus in the derived change batch)
     "ivf_pq_index_upsert",
+    # round-14 staged: the dedup-tier maintain cycle — base band write
+    # (linear in corpus tokens) + delta signature encode + touched-
+    # partition rewrite + partition-pruned probe; candidate volume is
+    # bounded by |delta bands| x bucket cap, so growth must stay linear
+    # (never the pair explosion the cap exists to prevent)
+    "minhash_index_upsert",
 ]
 
 

@@ -70,6 +70,12 @@ SPILL_QUERIES = (
     # touched-partition overwrite) before serving; a spill-corrupted
     # rewrite or serve would break the hash
     "ivf_pq_index_upsert",
+    # round-14 staged: the dedup-tier maintain cycle — the candidate
+    # dedup (pair dropDuplicates), the bucket-cap count aggregate and the
+    # rewrite's layout exchange all buffer above the 128-row forced
+    # threshold; a spill-corrupted band rewrite or probe would break the
+    # hash against the post-upsert on-disk oracle
+    "minhash_index_upsert",
 )
 FORCE_SPILL_ROWS = "128"
 
@@ -105,6 +111,18 @@ def main() -> int:
 
     queries = {**entry_mod.queries(), **staged_queries()}
     oracles = {**entry_mod.oracle_sql(), **staged_oracles()}
+
+    # Queries whose spill-bearing stage is a side-effect write (the
+    # RETURNED probe is broadcast-only by design, so its executed plan
+    # legitimately shows zero spill): the hash check runs on the declared
+    # query as usual, and the spill measurement comes from an explicit
+    # spelling of the writer's internal partition-column sort.
+    from datafusion_distributed_experiment_spark.operators.dedup import (
+        minhash_index_spill_evidence,
+    )
+
+    spill_evidence = {"minhash_index_upsert": minhash_index_spill_evidence}
+
     failures: list[str] = []
     for name in SPILL_QUERIES:
         try:
@@ -117,6 +135,10 @@ def main() -> int:
         finally:
             spark.catalog.clearCache()
         spill = sum(m.get("spillSize") or 0 for m in executed_metrics(df))
+        if spill <= 0 and name in spill_evidence:
+            ev = spill_evidence[name](spark, sf_dir)
+            ev.collect()
+            spill = sum(m.get("spillSize") or 0 for m in executed_metrics(ev))
         try:
             # guarded like verify_correctness: one bad oracle must record a
             # FAIL and let the rest of the sweep run, not abort it

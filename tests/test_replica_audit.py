@@ -59,6 +59,13 @@ AUDIT: dict[str, tuple] = {
     # shared, so the whole operator is re-derived a third time in pure
     # Python loops — registered ahead of its round-12 promotion.
     "ivf_pq_topk": ("replica", "tests.test_ivf_pq", "test_ivf_pq_matches_python_replica"),
+    # Staged round 14: the oracle re-derives the probe in independent SQL,
+    # but the MinHash signature fold is the shared algorithmic kernel —
+    # covered by the Hypothesis-driven pure-Python replica; the maintain
+    # machinery itself (partition rewrite, emptied-dir drop) is pinned on
+    # REAL files by the rebuild-equivalence test, which no shared dataflow
+    # can satisfy vacuously. Registered ahead of its round-15 promotion.
+    "minhash_index_upsert": ("replica", "tests.test_properties", "test_minhash_signature_matches_python_replica"),
 }
 
 
