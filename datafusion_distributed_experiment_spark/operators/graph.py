@@ -118,10 +118,11 @@ def pagerank_frame(
     # Guard the documented int64 headroom instead of trusting it: the
     # per-edge product ((r*85) DIV 100) * w is bounded by PPB * max(w)
     # (each rank <= the total 1e9 mass), so max(w) must stay under
-    # int64_max / PPB (~9.2e9) or the contribution silently wraps. The
-    # check is one MAX over the already-collapsed |E|-row edge table —
+    # int64_max / PPB (~9.2e9) or the contribution silently wraps. ONE
+    # (max, min) aggregate over the already-collapsed |E|-row edge table —
     # KB-scale model state, not a data collect.
-    max_w = wedges.agg(F.max("w")).collect()[0][0] or 0
+    head_w = wedges.agg(F.max("w").alias("mx"), F.min("w").alias("mn")).collect()[0]
+    max_w = int(head_w["mx"] or 0)
     if max_w > (2**63 - 1) // PPB:
         from ..errors import PlanningError
 
@@ -129,6 +130,23 @@ def pagerank_frame(
             f"pagerank edge weight {max_w} exceeds the int64 ppb headroom "
             f"({(2**63 - 1) // PPB}); rescale edge weights (e.g. divide by a "
             "constant) or switch the rank arithmetic to decimal(38,0)"
+        )
+    # Non-positive weights guarded LOUDLY (round-14 graph/edge hardening):
+    # a node whose out-weight sums to 0 makes `w DIV out_w` divide by zero
+    # — NULL on Spark (silently vanishing contributions) but a hard error
+    # on the DuckDB oracle's unrolled twin, the worst cross-engine shape;
+    # negative weights break the rank-mass invariant the ppb arithmetic
+    # assumes. The declared query's weights are COUNT(*) >= 1 by
+    # construction; this guards the public frame API.
+    if head_w["mn"] is not None and int(head_w["mn"]) <= 0:
+        from ..errors import PlanningError
+
+        raise PlanningError(
+            f"pagerank edge weights must be positive (observed "
+            f"{int(head_w['mn'])}): a zero out-weight divides by zero — "
+            "NULL on Spark, an error on the SQL oracle — and negative "
+            "weights break the rank-mass invariant; filter or rescale the "
+            "edge weights first"
         )
 
     base = (DAMP_DEN - DAMP_NUM) * PPB // DAMP_DEN // n  # (0.15e9) DIV N
@@ -269,6 +287,14 @@ def triangle_frame(kept: DataFrame) -> DataFrame:
     KB-scale aggregate over the collapsed graph) because a violation does
     not crash — colliding keys break the total order, edges orient
     arbitrarily, and the strict wedge join silently drops triangles."""
+    # self-loop rows dropped defensively (a u==u row would inflate u's
+    # degree and seed degenerate wedges; the declared query's
+    # _undirected_collapse already excludes them — the frame API now
+    # enforces the same contract; round-14). Duplicate (u, v) rows remain
+    # a documented precondition: deduping here would cost a shuffle on
+    # the declared path for a condition _undirected_collapse's groupBy
+    # already guarantees.
+    kept = kept.filter(F.col("u") != F.col("v"))
     head = kept.agg(
         F.greatest(F.max("u"), F.max("v")).alias("mx"),
         F.least(F.min("u"), F.min("v")).alias("mn"),
@@ -384,6 +410,12 @@ def lpa_frame(nodes: DataFrame, und: DataFrame, iters: int = LPA_ITERS) -> DataF
     constructed graphs."""
     from pyspark.sql import Window as W
 
+    # self-loops dropped defensively (round-14 graph/edge hardening): a
+    # self-edge is not a neighbor relation — left in, it would double-vote
+    # a node's own label through both union branches. The declared queries
+    # already canonicalize via _undirected_collapse; the public frame API
+    # now enforces the same contract instead of assuming it.
+    und = und.filter(F.col("u") != F.col("v"))
     bi = und.select(
         F.col("u").alias("a"), F.col("v").alias("b"), "w"
     ).unionAll(und.select(F.col("v").alias("a"), F.col("u").alias("b"), "w"))
@@ -451,6 +483,10 @@ def bfs_frame(seeds: DataFrame, und: DataFrame, iters: int = BFS_ITERS) -> DataF
     after ``iters`` synchronous rounds — see :func:`bfs_hops_t3`. Exposed
     separately so the relaxation semantics (multi-source min, round budget,
     unreached sentinel) are testable on constructed graphs."""
+    # self-loop rows dropped defensively (a self-edge relaxes d(v) to
+    # d(v)+1 — a no-op under min, but the frame API enforces the
+    # _undirected_collapse contract rather than assuming it; round-14)
+    und = und.filter(F.col("u") != F.col("v"))
     bi = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         und.select(F.col("v").alias("a"), F.col("u").alias("b"))
     ).localCheckpoint()  # reused every round

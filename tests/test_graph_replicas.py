@@ -134,3 +134,162 @@ def test_triangle_count_matches_brute_force(spark, edges):
 
     got = {r["node"]: r["n_triangles"] for r in triangle_frame(und).collect()}
     assert got == per_node, (edges, got, per_node)
+
+
+# ------------------------------------------------------------------ #
+# round-14 graph/edge adversarial hardening: isolated nodes, dangling
+# edge endpoints, self-loop rows, non-positive weights
+# ------------------------------------------------------------------ #
+
+
+@given(edges=_EDGES, n_isolated=st.integers(min_value=1, max_value=3))
+@settings(max_examples=10, deadline=None)
+def test_isolated_nodes_keep_label_and_stay_unreached(spark, edges, n_isolated):
+    """Nodes present in ``nodes`` but touching no edge: LPA must keep
+    their own label (no neighbor ever outvotes it) and BFS must report the
+    unreached sentinel — previously only nodes derived FROM edges were
+    property-tested, so the isolated case rode on the declared query's
+    data shape alone."""
+    from pyspark.sql import functions as F
+
+    nodes, und, node_ids = _frames(spark, edges)
+    isolated = [100 + i for i in range(n_isolated)]  # disjoint from 0..9
+    nodes = nodes.unionAll(
+        spark.createDataFrame([(i,) for i in isolated], "v long")
+    )
+    lpa = {r["v"]: r["community"] for r in lpa_frame(nodes, und).collect()}
+    for i in isolated:
+        assert lpa[i] == i, (i, lpa)
+    seeds = nodes.select(
+        "v",
+        F.when(F.col("v") == node_ids[0], F.lit(0))
+        .otherwise(F.lit(BFS_INF))
+        .cast("long")
+        .alias("d"),
+    )
+    hops = {r["v"]: r["hops"] for r in bfs_frame(seeds, und).collect()}
+    for i in isolated:
+        assert hops[i] == BFS_INF, (i, hops)
+
+
+@given(edges=_EDGES)
+@settings(max_examples=10, deadline=None)
+def test_dangling_edge_endpoints_equal_removing_the_edge(spark, edges):
+    """Edges whose endpoint is NOT in ``nodes`` (a dangling reference —
+    upstream key drift): LPA and BFS must behave exactly as if the
+    dangling edge were absent, because an unknown endpoint never holds a
+    label/distance to propagate and never appears in the output. Pinned by
+    equality with the same kernel over the filtered edge list."""
+    nodes, und, node_ids = _frames(spark, edges)
+    dangling = spark.createDataFrame(
+        [(node_ids[0], 999, 7), (998, node_ids[-1], 5)], "u long, v long, w long"
+    )
+    poisoned = und.unionAll(dangling)
+
+    want = sorted(tuple(r) for r in lpa_frame(nodes, und).collect())
+    got = sorted(tuple(r) for r in lpa_frame(nodes, poisoned).collect())
+    assert got == want
+
+    from pyspark.sql import functions as F
+
+    seeds = nodes.select(
+        "v",
+        F.when(F.col("v") == node_ids[0], F.lit(0))
+        .otherwise(F.lit(BFS_INF))
+        .cast("long")
+        .alias("d"),
+    )
+    want_b = sorted(tuple(r) for r in bfs_frame(seeds, und).collect())
+    got_b = sorted(tuple(r) for r in bfs_frame(seeds, poisoned).collect())
+    assert got_b == want_b
+
+
+@given(edges=_EDGES)
+@settings(max_examples=10, deadline=None)
+def test_self_loop_rows_are_ignored_by_frame_kernels(spark, edges):
+    """A ``u == v`` row in the frame-API edge input (the declared queries
+    canonicalize via _undirected_collapse, but the frame API is public):
+    a self-edge is not a neighbor relation — left in, it would double-vote
+    a node's own LPA label through both union branches and seed degenerate
+    triangle wedges. The kernels now drop it defensively; pinned by
+    equality with the loop-free graph."""
+    nodes, und, node_ids = _frames(spark, edges)
+    loops = spark.createDataFrame(
+        [(node_ids[0], node_ids[0], 50), (node_ids[-1], node_ids[-1], 1)],
+        "u long, v long, w long",
+    )
+    poisoned = und.unionAll(loops)
+
+    assert sorted(tuple(r) for r in lpa_frame(nodes, poisoned).collect()) == sorted(
+        tuple(r) for r in lpa_frame(nodes, und).collect()
+    )
+    from pyspark.sql import functions as F
+
+    seeds = nodes.select(
+        "v",
+        F.when(F.col("v") == node_ids[0], F.lit(0))
+        .otherwise(F.lit(BFS_INF))
+        .cast("long")
+        .alias("d"),
+    )
+    assert sorted(tuple(r) for r in bfs_frame(seeds, poisoned).collect()) == sorted(
+        tuple(r) for r in bfs_frame(seeds, und).collect()
+    )
+    assert sorted(
+        tuple(r) for r in triangle_frame(poisoned.select("u", "v")).collect()
+    ) == sorted(tuple(r) for r in triangle_frame(und.select("u", "v")).collect())
+
+
+def test_pagerank_dangling_dst_leak_is_deterministic(spark):
+    """PageRank with an edge toward an UNKNOWN node: the out-weight of the
+    source still counts the dangling edge (mass genuinely leaks through
+    it, the same simplification as dangling NODES), and the leaked inflow
+    is discarded with the unknown id. Pinned against a hand-rolled
+    replica of exactly that semantics — neither 'ignore the edge' nor
+    'KeyError', both of which a refactor could silently introduce."""
+    from datafusion_distributed_experiment_spark.operators.graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        PPB,
+        pagerank_frame,
+    )
+
+    known = [0, 1]
+    edge_list = [(0, 1, 1), (0, 99, 3), (1, 0, 1)]  # (0, 99) leaks 3/4 of 0's mass
+    nodes = spark.createDataFrame([(v,) for v in known], "v long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long, w long")
+
+    n = len(known)
+    out_w = {0: 4, 1: 1}
+    base = (DAMP_DEN - DAMP_NUM) * PPB // DAMP_DEN // n
+    r = {v: PPB // n for v in known}
+    for _ in range(2):
+        inflow = {v: 0 for v in known}
+        for s, d, w in edge_list:
+            if d in inflow:  # the 99-bound contribution is discarded
+                inflow[d] += ((r[s] * DAMP_NUM) // DAMP_DEN) * w // out_w[s]
+        r = {v: base + inflow[v] for v in known}
+
+    got = {row["v"]: row["rank_ppb"] for row in pagerank_frame(nodes, edges, iters=2).collect()}
+    assert got == r, (got, r)
+
+
+def test_pagerank_rejects_non_positive_weights(spark):
+    """Round-14 hardening: a zero edge weight can sum a node's out-weight
+    to zero, and `w DIV out_w` then divides by zero — NULL on Spark
+    (contributions silently vanish) but a hard error on the DuckDB
+    oracle's unrolled twin, the worst cross-engine divergence shape;
+    negative weights break the rank-mass invariant. Both now raise
+    PlanningError loudly."""
+    import pytest
+
+    from datafusion_distributed_experiment_spark.errors import PlanningError
+    from datafusion_distributed_experiment_spark.operators.graph import pagerank_frame
+
+    nodes = spark.createDataFrame([(0,), (1,)], "v long")
+    for bad_w in (0, -5):
+        edges = spark.createDataFrame(
+            [(0, 1, bad_w), (1, 0, 1)], "src long, dst long, w long"
+        )
+        with pytest.raises(PlanningError, match="must be positive"):
+            pagerank_frame(nodes, edges, iters=1)

@@ -306,3 +306,70 @@ def test_synthetic_media_modality_matches_oracle_case_on_negative_ids(spark, tmp
 
     for doc_id, modality in got.items():
         assert modality == oracle_case(doc_id), (doc_id, modality)
+
+
+# ------------------------------------------------------------------ #
+# round-14 payload-bytes adversarial hardening: hostile headers
+# ------------------------------------------------------------------ #
+
+
+def test_decode_ppm_rejects_allocation_bomb_headers_fast():
+    """A header declaring billion-pixel dimensions over a tiny payload
+    must fail with the truncation ValueError BEFORE any raster allocation
+    — the byte-level avail check runs ahead of np.frombuffer, so a
+    hostile header costs microseconds and a few bytes, never
+    width*height*channels of memory."""
+    import time
+
+    bomb = b"P6\n999999999 999999999\n255\n" + b"\x00" * 64
+    t = time.time()
+    with pytest.raises(ValueError, match="truncated Netpbm raster"):
+        mm.decode_ppm(bomb)
+    assert time.time() - t < 1.0, "hostile header must fail fast, not allocate"
+
+
+def test_decode_ppm_rejects_malformed_header_tokens():
+    """Non-numeric header tokens raise ValueError (Python's int parse),
+    EOF inside a '#' comment raises the explicit truncated-header message,
+    and maxval outside (0, 65536) raises the range message — every hostile
+    header path ends in a typed ValueError, never an index error or a
+    silent misparse."""
+    with pytest.raises(ValueError):
+        mm.decode_ppm(b"P5\nwide 4\n255\n" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="truncated Netpbm header"):
+        mm.decode_ppm(b"P5\n# comment that never ends")
+    with pytest.raises(ValueError, match="truncated Netpbm header"):
+        mm.decode_ppm(b"P5\n4 4")  # EOF before maxval
+    for bad_maxval in (b"0", b"65536", b"70000"):
+        with pytest.raises(ValueError, match="outside the Netpbm range"):
+            mm.decode_ppm(b"P5\n2 2\n" + bad_maxval + b"\n" + b"\x00" * 16)
+
+
+def test_corrupt_payload_error_surfaces_intact_through_executors(spark):
+    """A corrupt Netpbm payload inside the Arrow-batched mapInPandas
+    pipeline (pixel_embed installed): the decode ValueError must surface
+    on the driver with its message intact — a payload that silently
+    embedded as zeros would poison downstream similarity search with
+    plausible-looking vectors."""
+    import numpy as np
+
+    from datafusion_distributed_experiment_spark.errors import map_exception
+
+    good = _ppm_bytes(np.arange(12, dtype=np.uint8).reshape(3, 4))
+    rows = [
+        (1, "image", good, 4, 3),
+        (2, "image", good[:-5], 4, 3),  # truncated raster
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, content binary, width int, height int"
+    )
+    prev = mm.set_decoder(mm.pixel_embed)
+    try:
+        with pytest.raises(Exception) as excinfo:
+            mm.extract_features(media).collect()
+    finally:
+        mm.set_decoder(prev)
+    assert "truncated Netpbm raster" in str(excinfo.value)
+    # and the taxonomy maps it to a typed engine error, message intact
+    mapped = map_exception(excinfo.value)
+    assert "truncated Netpbm raster" in str(mapped)
