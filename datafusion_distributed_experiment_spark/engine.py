@@ -204,12 +204,16 @@ class Engine:
         df.createOrReplaceTempView(name)
         return df
 
-    def register_tbl(self, name: str, path: str, schema: StructType | str) -> DataFrame:
+    def register_tbl(
+        self, name: str, path: str, schema: StructType | str, strict: bool = True
+    ) -> DataFrame:
         """Register a TPC-H ``.tbl`` file: ``|``-delimited, no header, with a
         trailing ``|`` producing a placeholder column that is dropped
         (reference ``benchmarks/src/tpch/mod.rs:41-45``,
-        ``convert.rs:97-106``)."""
-        df = sources.read_tbl_table(self.spark, path, schema)
+        ``convert.rs:97-106``). ``strict`` (default) raises on malformed
+        rows instead of silently nulling them — see
+        :func:`..sources.read_tbl_table`."""
+        df = sources.read_tbl_table(self.spark, path, schema, strict=strict)
         df.createOrReplaceTempView(name)
         return df
 

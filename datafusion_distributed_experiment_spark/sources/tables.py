@@ -123,8 +123,18 @@ def read_csv_table(
     schema: StructType | str | None = None,
     sep: str = ",",
     header: bool = True,
+    mode: str = "PERMISSIVE",
 ) -> DataFrame:
-    reader = spark.read.option("sep", sep).option("header", str(header).lower())
+    """``mode`` passes through to the CSV parser (round-14 reader
+    hardening): the PERMISSIVE default nulls the columns of a malformed
+    row SILENTLY — the right exploration default, but a pipeline joining
+    on a nulled key loses rows invisibly; pass ``mode="FAILFAST"`` to
+    make malformed input loud."""
+    reader = (
+        spark.read.option("sep", sep)
+        .option("header", str(header).lower())
+        .option("mode", mode)
+    )
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -133,12 +143,17 @@ def read_csv_table(
 
 
 def read_json_table(
-    spark: SparkSession, path: str, schema: StructType | str | None = None
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    mode: str = "PERMISSIVE",
 ) -> DataFrame:
     """Newline-delimited JSON. Schema should be supplied in production:
     inference scans the data once extra, and at 100 TB that doubles the read
-    — the inferred path is for exploration only."""
-    reader = spark.read
+    — the inferred path is for exploration only. ``mode`` passes through
+    to the JSON parser (``"FAILFAST"`` makes corrupt lines raise instead
+    of silently nulling the row — round-14 reader hardening)."""
+    reader = spark.read.option("mode", mode)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
@@ -234,12 +249,60 @@ def drop_partition_dirs(spark: SparkSession, dirs: list[str]) -> None:
             )
 
 
-def read_tbl_table(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+def read_tbl_table(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    strict: bool = True,
+) -> DataFrame:
     """TPC-H ``.tbl``: pipe-delimited, no header, trailing ``|`` producing a
     placeholder column dropped on load (reference benchmarks/src/tpch/
-    mod.rs:41-45, convert.rs:97-106)."""
+    mod.rs:41-45, convert.rs:97-106).
+
+    ``strict`` (default, round-14 reader hardening) makes a row with
+    missing or extra fields RAISE at scan time instead of silently
+    parsing to NULLs — a .tbl row whose key column nulls out just
+    vanishes from every downstream join, the worst failure shape for
+    benchmark data whose row counts are the ground truth. The CSV parser
+    cannot express this check: Spark documents that a token-count
+    mismatch is NOT "corruption" (FAILFAST ignores it), and Univocity
+    normalizes the empty trailing token to NULL regardless of
+    nullValue/emptyValue, so a padding-column probe cannot tell a
+    well-formed row from a short one. ``.tbl`` has no quoting or escapes,
+    so strict mode parses structurally instead — ``spark.read.text`` +
+    ``split`` on ``|`` IS a faithful parser for this format — and
+    validates that every line carries exactly ``n_fields`` pipe-terminated
+    tokens, raising through a ``raise_error`` CASE wrapped around every
+    projected column (the cdc_merge guard pattern: fires on any
+    row-materializing read). Pass ``strict=False`` to salvage a
+    known-dirty dump through the old permissive CSV path (malformed rows
+    null out)."""
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
+    if strict and schema.fields:
+        nf = len(schema.fields)
+        raw = spark.read.text(path).filter(F.col("value") != "")
+        parts = F.split(F.col("value"), r"\|", -1)
+        ok = (F.size(parts) == nf + 1) & (F.element_at(parts, nf + 1) == "")
+        err = F.raise_error(
+            F.concat(
+                F.lit(
+                    f"malformed .tbl row in {path} (every row must carry "
+                    f"exactly {nf} |-terminated fields; pass strict=False "
+                    "to salvage a dirty dump): "
+                ),
+                F.col("value"),
+            )
+        )
+        return raw.select(
+            *[
+                F.when(ok, F.element_at(parts, i + 1))
+                .otherwise(err)
+                .cast(f.dataType)
+                .alias(f.name)
+                for i, f in enumerate(schema.fields)
+            ]
+        )
     padded = StructType(schema.fields[:]).add("__placeholder", "string")
     return (
         spark.read.option("sep", "|")

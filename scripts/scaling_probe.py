@@ -135,6 +135,11 @@ XSTEP_OPS = [
     # round-9: sharded HLL register merge — state capped at m x shards per
     # source; the 10x vocabulary step grows only the register OCCUPANCY
     "domain_token_profile",
+    # round-14: the staged dedup maintain cycle — documents-only, and the
+    # op whose candidate volume a 10x corpus most wants to blow up; the
+    # rotated-copy fixture grows the corpus by genuinely-new documents, so
+    # band buckets stay small and growth must track the base write
+    "minhash_index_upsert",
 ]
 XSTEP_FACTOR = 10
 XSTEP_DIR = "/tmp/scaling_docs_x10"

@@ -644,3 +644,60 @@ def test_compact_recovers_from_interrupted_swap(engine, spark, tmp_path):
     compact_parquet(spark, path)
     assert os.path.exists(path) and not os.path.exists(backup)
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_tbl_malformed_rows_raise_in_strict_mode(engine, tmp_path):
+    """Round-14 reader hardening: a .tbl row with missing or extra fields
+    must RAISE at scan time (FAILFAST default) — the PERMISSIVE parse
+    nulls the whole row silently, and a nulled key column just vanishes
+    from every downstream join (the worst failure shape for benchmark
+    data whose row counts are ground truth). strict=False still offers
+    the salvage path, pinned to the old nulling behavior."""
+    import pytest
+
+    good = "0|ALGERIA|\n1|ARGENTINA|\n"
+    short = good + "2\n"            # missing field + no trailing pipe
+    long_ = good + "2|BRAZIL|x|y|\n"  # extra fields
+    for body in (short, long_):
+        tbl = tmp_path / "bad.tbl"
+        tbl.write_text(body)
+        engine.register_tbl("bad_tbl", str(tbl), "n_nationkey INT, n_name STRING")
+        with pytest.raises(Exception, match="malformed .tbl row"):
+            engine.table("bad_tbl").collect()
+    # salvage path: PERMISSIVE keeps the well-formed rows, nulls the bad
+    tbl = tmp_path / "bad2.tbl"
+    tbl.write_text(short)
+    engine.register_tbl(
+        "bad_tbl_loose", str(tbl), "n_nationkey INT, n_name STRING", strict=False
+    )
+    rows = engine.table("bad_tbl_loose").collect()
+    assert len(rows) == 3
+    assert sum(1 for r in rows if r.n_name is None) == 1
+
+
+def test_csv_and_json_mode_passthrough(engine, spark, tmp_path):
+    """read_csv_table/read_json_table accept a parser mode: FAILFAST makes
+    corrupt input loud; the PERMISSIVE default (exploration) still nulls.
+    Pinned so the pass-through cannot silently drop."""
+    import pytest
+
+    from datafusion_distributed_experiment_spark.sources.tables import (
+        read_csv_table,
+        read_json_table,
+    )
+
+    csv = tmp_path / "t.csv"
+    csv.write_text("a,b\n1,2\n3\n")  # second data row short
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_csv_table(
+            spark, str(csv), schema="a INT, b INT", mode="FAILFAST"
+        ).collect()
+    ok = read_csv_table(spark, str(csv), schema="a INT, b INT").collect()
+    assert len(ok) == 2  # permissive keeps both, nulls the short row
+
+    js = tmp_path / "t.jsonl"
+    js.write_text('{"a": 1}\n{not json\n')
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_json_table(spark, str(js), schema="a INT", mode="FAILFAST").collect()
+    loose = read_json_table(spark, str(js), schema="a INT").collect()
+    assert len(loose) == 2
