@@ -147,6 +147,17 @@ def staged_oracles() -> dict[str, str]:
     return out
 
 
+def spill_evidence() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Per-query spill-measurement companions for the forced-spill sweep:
+    a query whose RETURNED frame is broadcast-only by design (bounded
+    candidates — the scale property itself) legitimately shows zero
+    spill in its executed plan, so its module declares a companion frame
+    spelling the write-side sort where its buffers actually live."""
+    from . import dedup
+
+    return dict(dedup.spill_evidence())
+
+
 def pipeline_oracles() -> dict[str, str]:
     from ..streaming import events as streaming_events
     from ..streaming import stateful

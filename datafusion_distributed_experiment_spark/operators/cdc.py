@@ -15,11 +15,16 @@ batch-query-only); the daily-batch scale shape mirrors
   exchange.
 
 Assumes at most one change row per key in the batch (the usual compacted
-CDC contract), with ONE documented exception: a delete-then-reinsert
-``{D, I}`` pair per key — the standard key-replacement sequence an
-uncompacted feed emits — is accepted and composes safely (round-14
-review). Any other multi-op combination raises loudly; compact upstream
-with ``events_latest``'s keep-latest kernel when the feed has richer
+CDC contract), with ONE documented exception: a ``{D, I}`` pair per key
+is accepted and ALWAYS interpreted as delete-then-reinsert (the key ends
+up present with the I image) — the standard key-replacement sequence an
+uncompacted feed emits (round-14 review). NOTE the interpretation is a
+deliberate choice: the batch carries no sequence column, so a feed that
+meant insert-then-RETRACT (key ends up absent) is indistinguishable and
+will be resurrected — such feeds MUST compact upstream (or carry the
+retraction as a lone D in the next batch) before calling this merge.
+Any other multi-op combination raises loudly; compact with
+``events_latest``'s keep-latest kernel when the feed has richer
 intra-batch churn.
 """
 

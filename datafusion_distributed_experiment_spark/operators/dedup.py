@@ -122,6 +122,19 @@ _DUCK_CORPUS = f"""corpus AS (
 )"""
 
 
+def _jaccard_ppm(a: str, b: str):
+    """The ONE spelling of exact-Jaccard verification in ppm over two
+    distinct-token array columns (round-14 review: four hand-copied
+    spellings risked drift in load-bearing cross-engine arithmetic).
+    greatest(., 1): ANSI-safe — 0/0 and 0/1 both floor to 0 and drop at
+    the JACCARD_MIN_PPM filter."""
+    return F.floor(
+        F.lit(1e6)
+        * F.size(F.array_intersect(a, b))
+        / F.greatest(F.size(F.array_union(a, b)), F.lit(1))
+    ).cast("long")
+
+
 def _cap_buckets(df: DataFrame, keys: list[str], cap: int = MAX_BAND_BUCKET) -> DataFrame:
     """Drop rows in oversized LSH buckets (frequent-bucket suppression).
 
@@ -269,11 +282,7 @@ def _mine_minhash_pairs(corpus: DataFrame) -> DataFrame:
         cand.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
         .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
     )
-    jaccard = F.floor(
-        F.lit(1e6)
-        * F.size(F.array_intersect("toks_a", "toks_b"))
-        / F.greatest(F.size(F.array_union("toks_a", "toks_b")), F.lit(1))
-    ).cast("long")  # greatest(.,1): ANSI-safe; 0/0 and 0/1 both drop
+    jaccard = _jaccard_ppm("toks_a", "toks_b")
     return (
         cand.select("doc_a", "doc_b", jaccard.alias("jaccard_ppm"))
         .filter(F.col("jaccard_ppm") >= JACCARD_MIN_PPM)
@@ -725,11 +734,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_id",
         )
     )
-    jaccard = F.floor(
-        F.lit(1e6)
-        * F.size(F.array_intersect("toks_i", "toks_n"))
-        / F.greatest(F.size(F.array_union("toks_i", "toks_n")), F.lit(1))
-    ).cast("long")  # greatest(.,1): ANSI-safe; 0/0 and 0/1 both drop
+    jaccard = _jaccard_ppm("toks_i", "toks_n")
     dups = (
         pairs.select("new_id", jaccard.alias("jaccard_ppm"))
         .filter(F.col("jaccard_ppm") >= JACCARD_MIN_PPM)
@@ -855,11 +860,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     keyed = _cap_buckets(keyed, ["k1", "k2"])
     a, b = keyed.alias("a"), keyed.alias("b")
-    jaccard = F.floor(
-        F.lit(1e6)
-        * F.size(F.array_intersect("a.toks", "b.toks"))
-        / F.greatest(F.size(F.array_union("a.toks", "b.toks")), F.lit(1))
-    ).cast("long")  # greatest(.,1): ANSI-safe; 0/0 and 0/1 both drop
+    jaccard = _jaccard_ppm("a.toks", "b.toks")
     return (
         a.join(
             b,
@@ -1496,11 +1497,7 @@ def probe_band_index(
         ),
         "probe_id",
     )
-    jaccard = F.floor(
-        F.lit(1e6)
-        * F.size(F.array_intersect("toks_p", "toks_i"))
-        / F.greatest(F.size(F.array_union("toks_p", "toks_i")), F.lit(1))
-    ).cast("long")  # greatest(.,1): ANSI-safe; 0/0 and 0/1 both drop
+    jaccard = _jaccard_ppm("toks_p", "toks_i")
     return (
         pairs.select("probe_id", "index_id", jaccard.alias("jaccard_ppm"))
         .filter(F.col("jaccard_ppm") >= JACCARD_MIN_PPM)
@@ -1551,24 +1548,16 @@ def minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .cdc import cdc_merge
 
     hist = _hist_docs(spark, sf_dir).localCheckpoint()
-    from ..sources.tables import FP_MOD, fp_fold
+    from ..sources.tables import frame_fingerprint_stats
 
-    head = hist.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.min("doc_id"), F.lit(0)).alias("mn"),
-        F.coalesce(F.max("doc_id"), F.lit(0)).alias("mx"),
-        F.coalesce(F.sum(F.col("doc_id") % FP_MOD), F.lit(0)).alias("s"),
-    ).collect()[0]
-    n_hist, max_id = int(head["n"]), int(head["mx"])
+    n_hist, fp, max_id = frame_fingerprint_stats(hist, "doc_id")
     if n_hist == 0:
         # EMPTY corpus: a zero-row partitionBy write leaves no files to
         # read back — the probe of an empty index is the typed empty frame
         return spark.createDataFrame(
             [], "probe_id bigint, index_id bigint, jaccard_ppm bigint"
         )
-    path = minhash_index_location(
-        n_hist, fp_fold(int(head["mn"]), max_id, int(head["s"]))
-    )
+    path = minhash_index_location(n_hist, fp)
     _write_base_band_index(hist, path)
 
     changes = _minhash_change_batch(hist, max_id).localCheckpoint()
@@ -1747,6 +1736,15 @@ def staged_oracles() -> dict[str, str]:
     return {"minhash_index_upsert": _minhash_index_upsert_oracle()}
 
 
+def spill_evidence() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Spill-measurement companions for queries whose RETURNED frame is
+    broadcast-only by design (see :func:`minhash_index_spill_evidence`);
+    aggregated by ``operators.spill_evidence`` for the forced-spill
+    sweep — the declaration lives next to the operator it describes
+    (round-14 review)."""
+    return {"minhash_index_upsert": minhash_index_spill_evidence}
+
+
 def _minhash_index_upsert_oracle() -> str:
     """DuckDB replay of the maintain-then-probe pipeline reading
     ``(doc_id, x, y, band_idx, bucket)`` from the POST-UPSERT persisted
@@ -1759,13 +1757,12 @@ def _minhash_index_upsert_oracle() -> str:
     ``_DUCK_SIG`` machinery; partition selection uses the same
     (count, doc_id fingerprint) scalar subqueries the Spark build keyed
     the path on."""
-    from ..sources.tables import FP_MOD, warehouse_root
+    from ..sources.tables import duck_fp_sql, warehouse_root
 
     nb = MINHASH_INDEX_BUCKETS
-    duck_fp = (
-        f"(COALESCE(MIN(doc_id), 0) + 31 * COALESCE(MAX(doc_id), 0)"
-        f" + 17 * COALESCE(SUM(doc_id % {FP_MOD}), 0)) % {FP_MOD}"
-    )
+    # ONE shared fold spelling (sources.tables.duck_fp_sql) — see the
+    # round-14 review note there on the %-sign divergence it prevents
+    duck_fp = duck_fp_sql("doc_id")
     bands_sel = " UNION ALL ".join(
         f"SELECT doc_id, {i} AS band_idx, sig[{lo + 1}] AS x, sig[{hi + 1}] AS y FROM sig"
         for i, (lo, hi) in enumerate(BANDS)
@@ -1803,7 +1800,7 @@ def _minhash_index_upsert_oracle() -> str:
             -- stats over hist: the Spark build keys the location on the
             -- FILTERED historical corpus (count + doc_id fingerprint)
             WHERE CAST(n AS BIGINT) = (SELECT COUNT(*) FROM hist)
-              AND CAST(f AS BIGINT) = (SELECT CAST({duck_fp} AS BIGINT) FROM hist)
+              AND CAST(f AS BIGINT) = (SELECT {duck_fp} FROM hist)
         ), idx_capped AS (
             SELECT * FROM (
                 SELECT *, COUNT(*) OVER (PARTITION BY band_idx, x, y) AS bucket_n

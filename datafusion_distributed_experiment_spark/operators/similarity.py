@@ -811,13 +811,9 @@ def corpus_fingerprint(vecs: DataFrame) -> tuple[int, int]:
     same partition can still fail LOUDLY at task-commit time (one job's
     temp-dir cleanup racing the other's commit) — a crash, never silent
     corruption."""
-    row = vecs.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.min("vec_id"), F.lit(0)).alias("mn"),
-        F.coalesce(F.max("vec_id"), F.lit(0)).alias("mx"),
-        F.coalesce(F.sum(F.col("vec_id") % FP_MOD), F.lit(0)).alias("s"),
-    ).collect()[0]
-    return int(row["n"]), _fp_fold(int(row["mn"]), int(row["mx"]), int(row["s"]))
+    from ..sources.tables import frame_fingerprint
+
+    return frame_fingerprint(vecs, "vec_id")
 
 
 def ivf_pq_index_location(n_corpus: int, fp: int) -> tuple[str, str]:
@@ -1090,14 +1086,9 @@ def ivf_pq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _with_xp(_vectors(spark, sf_dir)).localCheckpoint()
     centroids, cb, seed_rows = _pq_fit(vecs)
-    head = vecs.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.min("vec_id"), F.lit(0)).alias("mn"),
-        F.coalesce(F.max("vec_id"), F.lit(0)).alias("mx"),
-        F.coalesce(F.sum(F.col("vec_id") % FP_MOD), F.lit(0)).alias("s"),
-    ).collect()[0]
-    n_orig, max_id = int(head["n"]), int(head["mx"])
-    fp = _fp_fold(int(head["mn"]), max_id, int(head["s"]))
+    from ..sources.tables import frame_fingerprint_stats
+
+    n_orig, fp, max_id = frame_fingerprint_stats(vecs, "vec_id")
     if n_orig == 0:
         # EMPTY corpus (round-13 empty-input review): a zero-row
         # partitionBy write leaves NO parquet files, so the read-back
@@ -1186,13 +1177,13 @@ _DUCK_BUCKET = " + ".join(
 )
 
 # DuckDB twin of corpus_fingerprint's fold (over the SAME filtered vecs
-# CTE): selects the content partition alongside the count partition —
-# HUGEINT-safe (DuckDB sums integers in HUGEINT; the modulus keeps the
-# Spark-side int64 sum of residues far from overflow)
-_DUCK_FP = (
-    f"(COALESCE(MIN(vec_id), 0) + 31 * COALESCE(MAX(vec_id), 0)"
-    f" + 17 * COALESCE(SUM(vec_id % {FP_MOD}), 0)) % {FP_MOD}"
-)
+# CTE): selects the content partition alongside the count partition.
+# ONE shared spelling (sources.tables.duck_fp_sql — round-14 review:
+# hand-copied folds used C-style % where Python's is non-negative, a
+# silent divergence on negative key ids)
+from ..sources.tables import duck_fp_sql as _duck_fp_sql  # noqa: E402
+
+_DUCK_FP = _duck_fp_sql("vec_id")
 
 
 def _ivf_pq_oracle() -> str:
@@ -1322,7 +1313,7 @@ def _ivf_pq_index_oracle() -> str:
             -- stats over vecs, not raw embeddings: the Spark build keys the
             -- location on the FILTERED corpus (exclusion contract)
             WHERE CAST(n AS BIGINT) = (SELECT COUNT(*) FROM vecs)
-              AND CAST(f AS BIGINT) = (SELECT CAST({_DUCK_FP} AS BIGINT) FROM vecs)
+              AND CAST(f AS BIGINT) = (SELECT {_DUCK_FP} FROM vecs)
         ), cent AS (
             SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs
             WHERE vec_id < (SELECT GREATEST({IVF_K_MIN}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM vecs)
@@ -1421,7 +1412,7 @@ def _ivf_pq_upsert_oracle() -> str:
             -- the fingerprint closes the same-count clobber race — round-14
             -- review)
             WHERE CAST(n AS BIGINT) = (SELECT COUNT(*) FROM vecs)
-              AND CAST(f AS BIGINT) = (SELECT CAST({_DUCK_FP} AS BIGINT) FROM vecs)
+              AND CAST(f AS BIGINT) = (SELECT {_DUCK_FP} FROM vecs)
         ), cent AS (
             SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs
             WHERE vec_id < (SELECT GREATEST({IVF_K_MIN}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM vecs)

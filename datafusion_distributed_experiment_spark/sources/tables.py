@@ -202,9 +202,49 @@ FP_MOD = 1_000_003
 
 def fp_fold(mn: int, mx: int, s: int) -> int:
     """Fold (min, max, sum-of-residues) of a key column into the content
-    fingerprint used in persisted-table partition keys — must match the
-    oracle-side SQL fold exactly (see the ``_DUCK_FP`` twins)."""
+    fingerprint used in persisted-table partition keys — must match
+    :func:`duck_fp_sql`'s oracle-side fold exactly."""
     return (mn + 31 * mx + 17 * s) % FP_MOD
+
+
+def duck_fp_sql(col: str) -> str:
+    """The ONE DuckDB spelling of :func:`fp_fold` over key column ``col``
+    (round-14 review: the fold was hand-copied per module, and each copy
+    used DuckDB's C-style ``%`` — sign of the dividend — where Python's
+    ``%`` is always non-negative, so NEGATIVE key ids would derive a
+    different partition value per engine and the oracle would silently
+    read zero rows). The outer fold is pmod-spelled; the per-row residues
+    inside SUM stay C-style on BOTH engines (Spark's ``%`` matches
+    DuckDB's there), so only the final fold needed the sign fix."""
+    inner = (
+        f"(COALESCE(MIN({col}), 0) + 31 * COALESCE(MAX({col}), 0)"
+        f" + 17 * COALESCE(SUM({col} % {FP_MOD}), 0))"
+    )
+    return f"CAST((({inner} % {FP_MOD}) + {FP_MOD}) % {FP_MOD} AS BIGINT)"
+
+
+def frame_fingerprint_stats(df: DataFrame, key: str) -> tuple[int, int, int]:
+    """(row count, content fingerprint, max key) of ``df`` over integer
+    column ``key`` — ONE aggregate pass shared by every persisted-table
+    location keyer (the max rides along because the upsert callers need
+    it for insert-id offsets anyway)."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.min(key), F.lit(0)).alias("mn"),
+        F.coalesce(F.max(key), F.lit(0)).alias("mx"),
+        F.coalesce(F.sum(F.col(key) % FP_MOD), F.lit(0)).alias("s"),
+    ).collect()[0]
+    return (
+        int(row["n"]),
+        fp_fold(int(row["mn"]), int(row["mx"]), int(row["s"])),
+        int(row["mx"]),
+    )
+
+
+def frame_fingerprint(df: DataFrame, key: str) -> tuple[int, int]:
+    """(row count, content fingerprint) — see :func:`frame_fingerprint_stats`."""
+    n, fp, _ = frame_fingerprint_stats(df, key)
+    return n, fp
 
 
 def warehouse_root() -> str:
@@ -294,15 +334,36 @@ def read_tbl_table(
                 F.col("value"),
             )
         )
-        return raw.select(
-            *[
-                F.when(ok, F.element_at(parts, i + 1))
-                .otherwise(err)
-                .cast(f.dataType)
+
+        def _field(i, f):
+            # Three strict checks per field (round-14 review): bad token
+            # COUNT raises; an EMPTY token parses to NULL (parity with the
+            # CSV salvage path, whose nullValue='' did the same — flipping
+            # the default must not silently change IS NULL semantics); a
+            # NON-EMPTY token the type cast nulls out raises — under this
+            # session's ANSI-off conf a plain cast would swallow a garbage
+            # value into NULL, the exact vanishing-key failure strict mode
+            # exists to prevent.
+            tok = F.element_at(parts, i + 1)
+            val = tok.cast(f.dataType)
+            bad_value = F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"corrupt .tbl value in {path}: field '{f.name}' "
+                        f"cannot parse as {f.dataType.simpleString()} in row: "
+                    ),
+                    F.col("value"),
+                )
+            )
+            return (
+                F.when(~ok, err)
+                .when(tok == "", F.lit(None).cast(f.dataType))
+                .when(val.isNull(), bad_value)
+                .otherwise(val)
                 .alias(f.name)
-                for i, f in enumerate(schema.fields)
-            ]
-        )
+            )
+
+        return raw.select(*[_field(i, f) for i, f in enumerate(schema.fields)])
     padded = StructType(schema.fields[:]).add("__placeholder", "string")
     return (
         spark.read.option("sep", "|")

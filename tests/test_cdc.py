@@ -269,8 +269,12 @@ def test_cdc_delete_then_reinsert_pair_is_accepted(spark):
     standard delete-then-reinsert sequence an uncompacted CDC feed emits
     for a key replacement, and it composes safely in this dataflow (D
     removes the snapshot row, I appends the new image) regardless of row
-    order. Accepted in BOTH orders; richer combos still raise (pinned in
-    test_cdc_duplicate_change_key_raises)."""
+    order. Accepted in BOTH orders — DELIBERATELY: the batch carries no
+    sequence column, so insert-then-retract (net absent) is
+    indistinguishable and the contract documents that such feeds must
+    compact upstream; this test pins the resurrection interpretation so
+    the choice can never drift silently. Richer combos still raise
+    (pinned in test_cdc_duplicate_change_key_raises)."""
     snapshot = [(1, "a", 10), (2, "b", 20)]
     want = [(1, "z", 99), (2, "b", 20)]
     di = _merge(spark, snapshot, [(1, None, None, "D"), (1, "z", 99, "I")])

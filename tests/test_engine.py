@@ -701,3 +701,56 @@ def test_csv_and_json_mode_passthrough(engine, spark, tmp_path):
         read_json_table(spark, str(js), schema="a INT", mode="FAILFAST").collect()
     loose = read_json_table(spark, str(js), schema="a INT").collect()
     assert len(loose) == 2
+
+
+def test_tbl_strict_rejects_type_corrupt_values_and_nulls_empty_fields(
+    engine, spark, tmp_path
+):
+    """Round-14 review fix: the strict token-count guard alone still let a
+    well-formed-SHAPED row with a garbage value cast silently to NULL
+    (ANSI is off in this session), re-creating the vanishing-key failure
+    strict mode exists to prevent. Pinned: a non-empty token the type
+    cast nulls out raises with the field name; an EMPTY token parses to
+    NULL (parity with the permissive CSV path's nullValue='' — flipping
+    the strict default must not change IS NULL semantics)."""
+    import pytest
+
+    from datafusion_distributed_experiment_spark.sources.tables import read_tbl_table
+
+    bad = tmp_path / "bad_vals.tbl"
+    bad.write_text("0|ALGERIA|\n1x2|BOGUS|\n")
+    df = read_tbl_table(spark, str(bad), "n_nationkey INT, n_name STRING")
+    with pytest.raises(Exception, match="corrupt .tbl value.*n_nationkey"):
+        df.collect()
+
+    empties = tmp_path / "empties.tbl"
+    empties.write_text("0||\n|NONAME|\n")
+    rows = read_tbl_table(
+        spark, str(empties), "n_nationkey INT, n_name STRING"
+    ).collect()
+    assert [(r.n_nationkey, r.n_name) for r in rows] == [(0, None), (None, "NONAME")]
+
+
+def test_fingerprint_fold_matches_duckdb_on_negative_ids(spark):
+    """Round-14 review fix: the oracle-side fingerprint fold used DuckDB's
+    C-style % (sign of the dividend) where Python's % is non-negative, so
+    NEGATIVE key ids derived different partition values per engine — the
+    oracle would silently read zero rows. duck_fp_sql's pmod spelling is
+    pinned against fp_fold over adversarial id sets including negatives."""
+    import duckdb
+
+    from datafusion_distributed_experiment_spark.sources.tables import (
+        FP_MOD,
+        duck_fp_sql,
+        frame_fingerprint,
+    )
+
+    con = duckdb.connect()
+    for ids in ([1, 2, 3], [-5, -2, 0, 7], [-1_000_000, -999], [0]):
+        df = spark.createDataFrame([(i,) for i in ids], "k long")
+        n_spark, fp_spark = frame_fingerprint(df, "k")
+        con.execute("CREATE OR REPLACE TABLE t AS SELECT * FROM (VALUES "
+                    + ", ".join(f"({i})" for i in ids) + ") v(k)")
+        fp_duck = con.execute(f"SELECT {duck_fp_sql('k')} FROM t").fetchone()[0]
+        assert fp_spark == int(fp_duck), (ids, fp_spark, fp_duck)
+        assert 0 <= fp_spark < FP_MOD

@@ -44,7 +44,9 @@ from datafusion_distributed_experiment_spark.operators.dedup import (
     minhash_index_upsert,
     probe_band_index,
 )
-from datafusion_distributed_experiment_spark.sources.tables import FP_MOD, fp_fold
+from datafusion_distributed_experiment_spark.sources.tables import (
+    frame_fingerprint_stats,
+)
 
 from .conftest import SF_DIR
 
@@ -55,16 +57,8 @@ def _rows(df):
 
 def _hist_stats(spark):
     hist = _hist_docs(spark, SF_DIR).localCheckpoint()
-    head = hist.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.min("doc_id"), F.lit(0)).alias("mn"),
-        F.coalesce(F.max("doc_id"), F.lit(0)).alias("mx"),
-        F.coalesce(F.sum(F.col("doc_id") % FP_MOD), F.lit(0)).alias("s"),
-    ).collect()[0]
-    path = minhash_index_location(
-        int(head["n"]), fp_fold(int(head["mn"]), int(head["mx"]), int(head["s"]))
-    )
-    return hist, int(head["mx"]), path
+    n, fp, mx = frame_fingerprint_stats(hist, "doc_id")
+    return hist, mx, minhash_index_location(n, fp)
 
 
 def _merged_corpus(spark, hist, max_id):

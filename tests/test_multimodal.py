@@ -325,7 +325,11 @@ def test_decode_ppm_rejects_allocation_bomb_headers_fast():
     t = time.time()
     with pytest.raises(ValueError, match="truncated Netpbm raster"):
         mm.decode_ppm(bomb)
-    assert time.time() - t < 1.0, "hostile header must fail fast, not allocate"
+    # generous bound: allocating the declared raster (2.7e18 bytes) would
+    # OOM/fail differently long before this, so the assertion is about
+    # code PATH (the pre-frombuffer byte check), not microbenchmarks —
+    # a loaded CI box must not flake it
+    assert time.time() - t < 30.0, "hostile header must fail without allocating"
 
 
 def test_decode_ppm_rejects_malformed_header_tokens():
