@@ -316,3 +316,76 @@ def test_noop_change_batch_is_noop(spark, tmp_path):
     no_rm = spark.createDataFrame([], "vec_id long")
     assert _apply_index_delta(spark, path, empty_delta, no_rm) == []
     assert [int(r["vec_id"]) for r in spark.read.parquet(path).collect()] == [1]
+
+
+# ------------------------------------------------------------------ #
+# Hypothesis: the partition-rewrite machinery preserves set semantics
+# for ARBITRARY deltas (the dedup band-index twin lives in
+# tests/test_minhash_index_upsert.py)
+# ------------------------------------------------------------------ #
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_IDX_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),   # vec_id
+        st.integers(min_value=0, max_value=7),    # list_id
+        st.integers(min_value=0, max_value=255),  # one code byte (expanded below)
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],  # one row per vec
+)
+
+
+@given(
+    base=_IDX_ROWS,
+    delta=_IDX_ROWS,
+    rm_seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=8, deadline=None)
+def test_apply_index_delta_equals_set_semantics_on_random_inputs(
+    spark, tmp_path_factory, base, delta, rm_seed
+):
+    """For ARBITRARY base indexes, delta encodings, and removal key sets:
+    after _apply_index_delta the on-disk index is EXACTLY
+    (base \\ rm_keys) ∪ delta — the frozen-model derived batch in the
+    pinned rebuild-equivalence test is one point in this space; the
+    property covers removals of absent vecs, empty deltas, deltas into
+    untouched lists, and total emptying of a list."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(rm_seed)
+    base_rows = [(v, [c, (c * 7) % 256], l) for v, l, c in base]
+    delta_rows = [(v + 1000, [c, (c * 11) % 256], l) for v, l, c in delta]
+    base_ids = [v for v, _, _ in base_rows]
+    rm_ids = {v for v in base_ids if rng.random() < 0.4} | (
+        {999} if rng.random() < 0.3 else set()
+    )
+    path = str(tmp_path_factory.mktemp("ivfidx") / "idx")
+    schema = "vec_id long, codes array<int>, list_id long"
+    (
+        spark.createDataFrame(base_rows, schema)
+        .repartition(F.col("list_id"))
+        .write.partitionBy("list_id")
+        .parquet(path)
+    )
+    delta_df = spark.createDataFrame(delta_rows, schema)
+    rm_df = spark.createDataFrame(
+        [(i,) for i in sorted(rm_ids)] or [(-1,)], "vec_id long"
+    )
+    _apply_index_delta(spark, path, delta_df, rm_df)
+
+    got = sorted(
+        (int(r["vec_id"]), tuple(r["codes"]), int(r["list_id"]))
+        for r in spark.read.parquet(path).collect()
+    )
+    rm_effective = rm_ids if rm_ids else {-1}
+    want = sorted(
+        [(v, tuple(c), l) for v, c, l in base_rows if v not in rm_effective]
+        + [(v, tuple(c), l) for v, c, l in delta_rows]
+    )
+    assert got == want, (base_rows, delta_rows, sorted(rm_effective))

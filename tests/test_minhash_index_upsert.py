@@ -328,3 +328,81 @@ def test_empty_corpus_returns_typed_empty_frame(spark, tmp_path):
     out = minhash_index_upsert(spark, str(d))
     assert out.columns == ["probe_id", "index_id", "jaccard_ppm"]
     assert out.count() == 0
+
+
+# ------------------------------------------------------------------ #
+# Hypothesis: the partition-rewrite machinery preserves set semantics
+# for ARBITRARY deltas, not just the derived deterministic batch
+# ------------------------------------------------------------------ #
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_BAND_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),    # doc_id
+        st.integers(min_value=0, max_value=200),   # x
+        st.integers(min_value=0, max_value=200),   # y
+        st.integers(min_value=0, max_value=3),     # band_idx
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: (t[0], t[3]),  # one row per (doc, band)
+)
+
+
+@given(
+    base=_BAND_ROWS,
+    delta=_BAND_ROWS,
+    rm_seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=8, deadline=None)
+def test_apply_band_delta_equals_set_semantics_on_random_inputs(
+    spark, tmp_path_factory, base, delta, rm_seed
+):
+    """For ARBITRARY base band sets, delta rows, and removal key sets:
+    after _apply_band_delta the on-disk index is EXACTLY
+    (base \\ rm_keys) ∪ delta — the derived CDC batch in the pinned
+    rebuild-equivalence test is one point in this space; the property
+    covers the machinery against deltas the derivation can never emit
+    (removals of absent keys, deltas landing only in untouched
+    partitions, total removal of a partition, delta == base)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(rm_seed)
+    base_ids = sorted({d for d, _, _, _ in base})
+    rm_ids = {i for i in base_ids if rng.random() < 0.4} | (
+        {99} if rng.random() < 0.3 else set()  # removal of an absent key
+    )
+    # delta doc_ids must not collide with surviving base ids (an upsert
+    # delta replaces removed ids or adds new ones — the cdc contract)
+    delta_rows = [
+        (d + 1000, x, y, b, (x * 31 + y) % MINHASH_INDEX_BUCKETS)
+        for d, x, y, b in delta
+    ]
+    base_rows = [
+        (d, x, y, b, (x * 31 + y) % MINHASH_INDEX_BUCKETS) for d, x, y, b in base
+    ]
+    path = str(tmp_path_factory.mktemp("bandidx") / "idx")
+    schema = "doc_id long, x long, y long, band_idx long, bucket long"
+    (
+        spark.createDataFrame(base_rows, schema)
+        .repartition(F.col("band_idx"), F.col("bucket"))
+        .write.partitionBy("band_idx", "bucket")
+        .parquet(path)
+    )
+    delta_df = spark.createDataFrame(delta_rows, schema)
+    rm_df = spark.createDataFrame([(i,) for i in sorted(rm_ids)] or [(-1,)], "doc_id long")
+    _apply_band_delta(spark, path, delta_df, rm_df)
+
+    got = sorted(
+        (int(r["doc_id"]), int(r["x"]), int(r["y"]), int(r["band_idx"]), int(r["bucket"]))
+        for r in _read_band_index(spark, path).collect()
+    )
+    rm_effective = rm_ids if rm_ids else {-1}
+    want = sorted(
+        [t for t in base_rows if t[0] not in rm_effective] + delta_rows
+    )
+    assert got == want, (base_rows, delta_rows, sorted(rm_effective))
