@@ -1371,6 +1371,7 @@ def _apply_band_delta(
     path: str,
     delta_bands: DataFrame,
     rm_keys: DataFrame,
+    new_parts: set[tuple[int, int]] | None = None,
 ) -> list[tuple[int, int]]:
     """Rewrite ONLY the touched (band_idx, bucket) partitions of the
     persisted band index at ``path``: touched = (partitions holding a
@@ -1380,11 +1381,24 @@ def _apply_band_delta(
     - finding old partitions is ONE map-only index scan (slim integer
       columns) against the broadcast delta key set — the historical index
       NEVER shuffles;
-    - the touched-partition sets are bounded by 4 bands x
-      MINHASH_INDEX_BUCKETS = 32, so the driver collects are fixed-size;
+    - ONE per-partition stats aggregate (optimization round 14, the
+      ``_apply_index_delta`` restructure mirrored): per (band_idx,
+      bucket), the count of index rows matching a removal key (>0 →
+      touched-by-removal) and of index rows surviving — the old shape's
+      four driver actions (old-parts collect, new-parts collect, rewrite
+      localCheckpoint, survivor collect) fold into one fixed-size
+      aggregate; the shuffle carries 4 x MINHASH_INDEX_BUCKETS partial
+      rows per task, never index rows. A partition survives iff it keeps
+      an index row or receives a delta row, so per-partition delta counts
+      reduce to ``new_parts`` membership;
+    - ``new_parts`` (the delta rows' distinct partition set) may be
+      passed in when the caller already collected it — the upsert shares
+      ONE collect between the delta apply and the serve probe, whose
+      partition sets are identical by construction;
     - the rewrite reads only the touched partitions (PartitionFilters),
       anti-joins the broadcast removal keys map-side, unions the delta,
-      and dynamic-partition-overwrite replaces exactly those directories;
+      and dynamic-partition-overwrite replaces exactly those directories
+      — consumed exactly once, no checkpoint materialization;
     - an emptied partition is dropped via the Hadoop FS API, verified
       gone, loud on failure (``sources.tables.drop_partition_dirs``).
 
@@ -1392,20 +1406,30 @@ def _apply_band_delta(
     from ..sources.tables import drop_partition_dirs, overwrite_partitions
 
     index = _read_band_index(spark, path)
-    old_parts = {
-        (int(r["band_idx"]), int(r["bucket"]))
-        for r in index.join(F.broadcast(rm_keys), "doc_id")
-        .select("band_idx", "bucket")
-        .distinct()
+    if new_parts is None:
+        new_parts = {
+            (int(r["band_idx"]), int(r["bucket"]))
+            for r in delta_bands.select("band_idx", "bucket").distinct().collect()
+        }
+    stats = (
+        index.join(F.broadcast(rm_keys.withColumn("__rm", F.lit(True))), "doc_id", "left")
+        .groupBy("band_idx", "bucket")
+        .agg(
+            F.count_if(F.col("__rm").isNotNull()).alias("n_rm"),
+            F.count_if(F.col("__rm").isNull()).alias("n_keep"),
+        )
         .collect()
-    }
-    new_parts = {
-        (int(r["band_idx"]), int(r["bucket"]))
-        for r in delta_bands.select("band_idx", "bucket").distinct().collect()
+    )
+    old_parts = {
+        (int(r["band_idx"]), int(r["bucket"])) for r in stats if r["n_rm"] > 0
     }
     touched = sorted(old_parts | new_parts)
     if not touched:
         return touched
+    keepers = {
+        (int(r["band_idx"]), int(r["bucket"])) for r in stats if r["n_keep"] > 0
+    }
+    survivors = new_parts | (set(touched) & keepers)
     rewrite = (
         index.filter(_partition_predicate(touched))
         .join(F.broadcast(rm_keys), "doc_id", "left_anti")
@@ -1414,12 +1438,7 @@ def _apply_band_delta(
         # the exchange is bounded by touched-partition bytes, never the
         # index)
         .repartition(F.col("band_idx"), F.col("bucket"))
-        .localCheckpoint()  # consumed twice: emptied-partition probe + write
     )
-    survivors = {
-        (int(r["band_idx"]), int(r["bucket"]))
-        for r in rewrite.select("band_idx", "bucket").distinct().collect()
-    }
     overwrite_partitions(rewrite, path, ["band_idx", "bucket"])
     drop_partition_dirs(
         spark,
@@ -1436,6 +1455,7 @@ def probe_band_index(
     path: str,
     probe_sigs: DataFrame,
     corpus: DataFrame,
+    probed: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Serve half: near-dup pairs of the probe batch against the PERSISTED
     band index, verified by exact Jaccard over the maintained corpus.
@@ -1447,14 +1467,22 @@ def probe_band_index(
     like every LSH path (a bucket lives wholly in one partition, so the
     cap count is pruning-safe); index-side token sets are tokenized only
     for CANDIDATE documents (broadcast semi onto the corpus scan).
-    Output one row per verified pair: (probe_id, index_id, jaccard_ppm)."""
+    Output one row per verified pair: (probe_id, index_id, jaccard_ppm).
+
+    ``probed`` (the probe bands' distinct partition set) may be passed in
+    when the caller already collected it — the maintain cycle's probe IS
+    the delta batch, so its partition set was already in hand from the
+    delta apply (optimization round 14: one collect instead of two)."""
     probe_bands = _bands_with_bucket(probe_sigs.select("doc_id", "sig"))
-    probed = sorted(
-        {
-            (int(r["band_idx"]), int(r["bucket"]))
-            for r in probe_bands.select("band_idx", "bucket").distinct().collect()
-        }
-    )
+    if probed is None:
+        probed = sorted(
+            {
+                (int(r["band_idx"]), int(r["bucket"]))
+                for r in probe_bands.select("band_idx", "bucket").distinct().collect()
+            }
+        )
+    else:
+        probed = sorted(set(probed))
     if not probed:
         return spark.createDataFrame(
             [], "probe_id bigint, index_id bigint, jaccard_ppm bigint"
@@ -1569,10 +1597,16 @@ def minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_signature(delta_docs).select("doc_id", "toks", "sig").localCheckpoint()
     )
     rm_keys = changes.filter(F.col("__op").isin("U", "D")).select("doc_id")
-    _apply_band_delta(
-        spark, path, _bands_with_bucket(delta_sigs.select("doc_id", "sig")), rm_keys
-    )
-    return probe_band_index(spark, path, delta_sigs, merged)
+    delta_bands = _bands_with_bucket(delta_sigs.select("doc_id", "sig"))
+    # the probe IS the delta batch, so the delta rows' partition set doubles
+    # as the probe's partition-pruning set — collect it ONCE and share it
+    # between the delta apply and the serve probe (optimization round 14)
+    new_parts = {
+        (int(r["band_idx"]), int(r["bucket"]))
+        for r in delta_bands.select("band_idx", "bucket").distinct().collect()
+    }
+    _apply_band_delta(spark, path, delta_bands, rm_keys, new_parts=new_parts)
+    return probe_band_index(spark, path, delta_sigs, merged, probed=sorted(new_parts))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -420,6 +420,12 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "is_t",
+            # per-doc bigram count carried through the explode: every
+            # doc-level statistic the headroom guard needs then rides a
+            # MAP-ONLY aggregate instead of a groupBy(doc_id) shuffle
+            # (optimization round 14 — the guard pass previously paid a
+            # doc_id hash exchange plus a recomputed groupBy(f)+crossJoin)
+            (F.size("th") - 1).cast("long").alias("nb"),
             F.explode(
                 F.zip_with(
                     F.slice("th", 1, F.size("th") - 1),
@@ -431,34 +437,33 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two consumers (count build + scoring join): tokenize once
         .localCheckpoint()
     )
+    # Guard the documented int64 headroom instead of trusting it (the
+    # pagerank_frame / bm25 pattern): the weight numerator is
+    # 1e6 * (cnt + 1) with cnt <= tr, and the per-doc score is
+    # sum(w) <= n_bigrams_doc * 1e12. The totals ARE whole-stream counts
+    # (sum over the f-bucket table == count over the stream), so this is
+    # ONE map-side-combined aggregate over the checkpointed bigram stream
+    # — zero exchanges — and the totals become plan literals, removing
+    # the old crossJoin from the weight table.
+    head = big.agg(
+        F.count("*").cast("long").alias("tr"),
+        F.sum(F.col("is_t").cast("long")).cast("long").alias("tt"),
+        F.max("nb").alias("max_nb"),
+    ).collect()[0]
+    if head["max_nb"] is not None:
+        check_weight_headroom(int(head["tr"]), int(head["max_nb"]))
+    tr = int(head["tr"] or 0)
+    tt = int(head["tt"] or 0)
     counts = big.groupBy("f").agg(
         F.count("*").cast("long").alias("cnt_r"),
         F.sum(F.col("is_t").cast("long")).cast("long").alias("cnt_t"),
     )
-    tot = counts.agg(
-        F.sum("cnt_r").cast("long").alias("tr"),
-        F.sum("cnt_t").cast("long").alias("tt"),
-    )
-    # Guard the documented int64 headroom instead of trusting it (the
-    # pagerank_frame / bm25 pattern): the weight numerator is
-    # 1e6 * (cnt + 1) with cnt <= tr, and the per-doc score is
-    # sum(w) <= n_bigrams_doc * 1e12. One KB-scale aggregate over the
-    # checkpointed bigram stream + the 1-row totals.
-    head = (
-        big.groupBy("doc_id")
-        .agg(F.count("*").alias("nb"))
-        .agg(F.max("nb").alias("max_nb"))
-        .crossJoin(F.broadcast(tot))
-        .collect()[0]
-    )
-    if head["max_nb"] is not None:
-        check_weight_headroom(head["tr"], head["max_nb"])
-    wts = counts.crossJoin(F.broadcast(tot)).select(
+    wts = counts.select(
         "f",
         F.expr(
             f"""
-            (1000000 * (1000000 * (cnt_t + 1) DIV (tt + {DSIR_NBUCK})))
-            DIV ((1000000 * (cnt_r + 1) DIV (tr + {DSIR_NBUCK})) + 1)
+            (1000000 * (1000000 * (cnt_t + 1) DIV ({tt} + {DSIR_NBUCK})))
+            DIV ((1000000 * (cnt_r + 1) DIV ({tr} + {DSIR_NBUCK})) + 1)
             """
         ).alias("w"),
     )

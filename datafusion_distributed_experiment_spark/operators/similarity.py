@@ -626,18 +626,32 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_serve(spark, vecs, enc, centroids, cb, seed_rows)
 
 
-def _pq_fit(vecs: DataFrame) -> tuple[list, list, list]:
+def _pq_fit(
+    vecs: DataFrame, with_key_stats: bool = False
+) -> tuple[list, list, list] | tuple[list, list, list, tuple[int, int, int]]:
     """The PQ model fit: headroom guard + ONE KB-scale model-state collect
     via the shared :func:`_ivf_fit` step — coarse centroids (vec_id < k),
     PQ codebook seeds (vec_id < PQ_CODES), query vectors
     (vec_id < PQ_QUERIES); the count rides the headroom aggregate, so the
     fit stays one pass + one collect. Returns
-    ``(centroids, codebook, seed_rows)``."""
+    ``(centroids, codebook, seed_rows)``.
+
+    ``with_key_stats=True`` additionally returns the persisted-index
+    location key ``(n, fingerprint, max_vec_id)`` as a 4th element — the
+    ``frame_fingerprint_stats`` columns RIDE the head aggregate the fit
+    already pays (optimization round 14, guide §1.2: the index build and
+    upsert previously ran a SECOND full aggregate pass over the corpus
+    just to derive the location key)."""
+    from ..sources.tables import FP_MOD as _FPM, fp_fold as _fold
+
     head = vecs.agg(
         F.count("*").alias("n"),
         F.max(F.expr("array_max(transform(xp, a -> abs(a)))")).alias("mx"),
         F.min(F.size("v")).alias("dmin"),
         F.max(F.size("v")).alias("dmax"),
+        F.coalesce(F.min("vec_id"), F.lit(0)).alias("kmn"),
+        F.coalesce(F.max("vec_id"), F.lit(0)).alias("kmx"),
+        F.coalesce(F.sum(F.col("vec_id") % _FPM), F.lit(0)).alias("ks"),
     ).collect()[0]
     check_adc_headroom(int(head["mx"] or 0))
     if head["dmin"] is not None and (head["dmin"] != DIM or head["dmax"] != DIM):
@@ -656,6 +670,13 @@ def _pq_fit(vecs: DataFrame) -> tuple[list, list, list]:
         extra_cols=("xp",),
     )
     cb = _pq_codebook([list(r["xp"]) for r in seed_rows if r["vec_id"] < PQ_CODES])
+    if with_key_stats:
+        stats = (
+            int(head["n"]),
+            _fold(int(head["kmn"]), int(head["kmx"]), int(head["ks"])),
+            int(head["kmx"]),
+        )
+        return centroids, cb, seed_rows, stats
     return centroids, cb, seed_rows
 
 
@@ -859,15 +880,15 @@ def ivf_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("xp", F.expr("transform(v, x -> CAST(FLOOR(1e6 * x) AS BIGINT))"))
         .localCheckpoint()  # fit + encode + serve-side fetch share the scan
     )
-    centroids, cb, seed_rows = _pq_fit(vecs)
+    # scale- AND content-isolated location: count + vec_id fingerprint RIDE
+    # the fit's head aggregate (one pass, not two — optimization round 14),
+    # and the SAME values are what the oracle's scalar subqueries compute
+    # from the embeddings view — the two engines agree on which partition
+    # holds this invocation's index by construction
+    centroids, cb, seed_rows, (n_corpus, fp, _) = _pq_fit(vecs, with_key_stats=True)
     from ..engine import Engine
 
-    # scale- AND content-isolated location: count + vec_id fingerprint in
-    # one agg over the already-checkpointed corpus, and the SAME values
-    # are what the oracle's scalar subqueries compute from the embeddings
-    # view — the two engines agree on which partition holds this
-    # invocation's index by construction
-    table, path = ivf_pq_index_location(*corpus_fingerprint(vecs))
+    table, path = ivf_pq_index_location(n_corpus, fp)
     index = Engine(spark).write_bucketed(
         _pq_encode(vecs, centroids, cb),
         table,
@@ -1011,11 +1032,25 @@ def _apply_index_delta(
     - finding old lists is ONE map-only index scan (8 B/vector columns)
       against the broadcast delta key set — the historical index NEVER
       shuffles;
-    - the touched-list sets are bounded by K = ceil(sqrt(N)) (there are
-      only K lists), so the two driver collects are model-state scale;
+    - ONE per-list stats aggregate (optimization round 14, guide §1.2 /
+      §2.4) derives touched AND survivors together: the old shape ran
+      four driver actions per refresh (old-list collect, new-list
+      collect, a rewrite localCheckpoint, survivor collect); the new
+      shape folds them into a single K-row aggregate — per list, the
+      count of index rows matching a removal key (>0 → touched-by-
+      removal), of index rows surviving the removal, and of delta rows
+      landing there. The aggregate's shuffle carries K partial rows per
+      task (map-side combine), never index rows, so the
+      index-never-shuffles property is intact. K = ceil(sqrt(N)) lists
+      bound the collect at model-state scale. ``rm_keys`` is a KEY SET
+      (unique — both callers derive it from a duplicate-key-guarded CDC
+      batch); survivor counts use the match-free row count, which stays
+      exact even if a caller ever passed duplicates;
     - the rewrite reads only the touched partitions (PartitionFilters),
       anti-joins the broadcast removal keys map-side, unions the delta,
-      and dynamic-partition-overwrite replaces exactly those directories;
+      and dynamic-partition-overwrite replaces exactly those directories
+      — consumed exactly ONCE now, so the old two-consumer checkpoint
+      materialization is gone;
     - a touched list whose every row was removed is dropped explicitly
       (dynamic overwrite only replaces partitions PRESENT in the output —
       an emptied list would otherwise keep its stale directory), the
@@ -1027,20 +1062,37 @@ def _apply_index_delta(
     index = spark.read.parquet(path).withColumn(
         "list_id", F.col("list_id").cast("long")
     )
-    old_lists = [
-        int(r["list_id"])
-        for r in index.join(F.broadcast(rm_keys), "vec_id")
-        .select("list_id")
-        .distinct()
+    marked = index.join(
+        F.broadcast(rm_keys.withColumn("__rm", F.lit(True))), "vec_id", "left"
+    ).select(
+        "list_id",
+        F.coalesce(F.col("__rm"), F.lit(False)).alias("rm"),
+        F.lit(False).alias("is_new"),
+    )
+    stats = (
+        marked.unionByName(
+            delta_enc.select(
+                "list_id", F.lit(False).alias("rm"), F.lit(True).alias("is_new")
+            )
+        )
+        .groupBy("list_id")
+        .agg(
+            F.count_if(F.col("rm")).alias("n_rm"),
+            F.count_if(~F.col("rm") & ~F.col("is_new")).alias("n_keep"),
+            F.count_if(F.col("is_new")).alias("n_new"),
+        )
         .collect()
-    ]
-    new_lists = [
-        int(r["list_id"])
-        for r in delta_enc.select("list_id").distinct().collect()
-    ]
-    touched = sorted(set(old_lists) | set(new_lists))
+    )
+    touched = sorted(
+        int(r["list_id"]) for r in stats if r["n_rm"] > 0 or r["n_new"] > 0
+    )
     if not touched:
         return touched
+    survivors = {
+        int(r["list_id"])
+        for r in stats
+        if (r["n_rm"] > 0 or r["n_new"] > 0) and (r["n_keep"] + r["n_new"]) > 0
+    }
     rewrite = (
         index.filter(F.col("list_id").isin(touched))
         .join(F.broadcast(rm_keys), "vec_id", "left_anti")
@@ -1049,11 +1101,7 @@ def _apply_index_delta(
         # one file per touched list (the base-write shuffle analog — the
         # exchange is bounded by touched-list bytes, never the index)
         .repartition(F.col("list_id"))
-        .localCheckpoint()  # consumed twice: emptied-list probe + write
     )
-    survivors = {
-        int(r["list_id"]) for r in rewrite.select("list_id").distinct().collect()
-    }
     overwrite_partitions(rewrite, path, ["list_id"])
     # emptied lists dropped via the Hadoop FS API, verified gone, loud on
     # failure (round-14 review, ADVICE medium — see drop_partition_dirs)
@@ -1085,10 +1133,11 @@ def ivf_pq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .cdc import cdc_merge
 
     vecs = _with_xp(_vectors(spark, sf_dir)).localCheckpoint()
-    centroids, cb, seed_rows = _pq_fit(vecs)
-    from ..sources.tables import frame_fingerprint_stats
-
-    n_orig, fp, max_id = frame_fingerprint_stats(vecs, "vec_id")
+    # location key + insert-id offset ride the fit aggregate (one corpus
+    # pass, not two — optimization round 14)
+    centroids, cb, seed_rows, (n_orig, fp, max_id) = _pq_fit(
+        vecs, with_key_stats=True
+    )
     if n_orig == 0:
         # EMPTY corpus (round-13 empty-input review): a zero-row
         # partitionBy write leaves NO parquet files, so the read-back

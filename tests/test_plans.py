@@ -480,8 +480,11 @@ def test_bm25_scoring_broadcasts_every_small_side(spark):
 
 def test_dsir_weight_table_broadcasts_onto_bigrams(spark):
     """The NBUCK-row feature-weight table must broadcast; the checkpointed
-    bigram stream is read by both consumers (no re-tokenize: zero scans);
-    the only single-partition exchange is the 1-row totals aggregate."""
+    bigram stream is read by both consumers (no re-tokenize: zero scans).
+    Since the round-14 optimization the corpus totals are collected once in
+    the fit-time headroom aggregate and folded into the weight expression
+    as LITERALS, so the served plan carries NO single-partition exchange
+    at all (the old shape cross-joined a 1-row totals aggregate)."""
     from datafusion_distributed_experiment_spark.operators.selection import dsir_weights
 
     from .conftest import SF_DIR
@@ -490,8 +493,8 @@ def test_dsir_weight_table_broadcasts_onto_bigrams(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     s = stage_summary(df)
     assert s["scans"] == 0, (s, plan[:2000])
-    assert s["broadcasts"] >= 2, (s, plan[:2000])  # totals + weight table
-    assert plan.count("Exchange SinglePartition") <= 1, plan[:2000]
+    assert s["broadcasts"] >= 1, (s, plan[:2000])  # the weight table
+    assert plan.count("Exchange SinglePartition") == 0, plan[:2000]
 
 
 def test_triangle_count_reuses_checkpointed_oriented_edges(spark):
