@@ -1333,10 +1333,21 @@ def _write_base_band_index(hist: DataFrame, path: str) -> None:
     one-file-per-partition write-layout lesson from the IVF base write
     (without it every input task writes a sliver into every directory —
     n_tasks x 32 small files taxing the write, every pruned read, and
-    the oracle's glob)."""
+    the oracle's glob). The width is pinned explicitly
+    (``partitioned_write_width``: min(session width, partition count))
+    so AQE cannot stage-and-coalesce the exchange into one serial writer
+    task (the IVF base-write measurement, similarity._write_base_index)."""
+    from ..sources.tables import partitioned_write_width
+
     (
         _bands_with_bucket(_with_signature(hist).select("doc_id", "sig"))
-        .repartition(F.col("band_idx"), F.col("bucket"))
+        .repartition(
+            partitioned_write_width(
+                hist.sparkSession, len(BANDS) * MINHASH_INDEX_BUCKETS
+            ),
+            F.col("band_idx"),
+            F.col("bucket"),
+        )
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")
         .partitionBy("band_idx", "bucket")
@@ -1403,7 +1414,11 @@ def _apply_band_delta(
       gone, loud on failure (``sources.tables.drop_partition_dirs``).
 
     Returns the sorted touched (band_idx, bucket) pairs."""
-    from ..sources.tables import drop_partition_dirs, overwrite_partitions
+    from ..sources.tables import (
+        drop_partition_dirs,
+        overwrite_partitions,
+        partitioned_write_width,
+    )
 
     index = _read_band_index(spark, path)
     if new_parts is None:
@@ -1436,8 +1451,13 @@ def _apply_band_delta(
         .unionByName(delta_bands.select("doc_id", "x", "y", "band_idx", "bucket"))
         # one file per touched partition (the base-write shuffle analog —
         # the exchange is bounded by touched-partition bytes, never the
-        # index)
-        .repartition(F.col("band_idx"), F.col("bucket"))
+        # index); explicit width so AQE cannot stage-and-coalesce the
+        # write into one serial writer task (see _write_base_band_index)
+        .repartition(
+            partitioned_write_width(spark, len(touched)),
+            F.col("band_idx"),
+            F.col("bucket"),
+        )
     )
     overwrite_partitions(rewrite, path, ["band_idx", "bucket"])
     drop_partition_dirs(
