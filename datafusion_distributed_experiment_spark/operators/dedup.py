@@ -256,10 +256,17 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mine_minhash_pairs(_corpus(spark, sf_dir))
 
 
-def _mine_minhash_pairs(corpus: DataFrame) -> DataFrame:
+def _mine_minhash_pairs(corpus: DataFrame, ordered: bool = True) -> DataFrame:
     """Signature -> capped band rows -> bucket self-join -> Jaccard verify,
     over any ``(doc_id, text)`` frame — shared by the standard and the
-    skew-fixture pair miners so the capped plan is the only plan."""
+    skew-fixture pair miners so the capped plan is the only plan.
+
+    ``ordered=False`` drops the declared queries' presentation sort for
+    INTERNAL consumers (the CC pair graph, corpus_pipeline's drop set):
+    they checkpoint or aggregate the pairs immediately, so the checkpoint
+    boundary would otherwise EXECUTE the range exchange + its sampling
+    pass for rows whose order is then discarded (optimization round 14,
+    guide §2.4 — "an orderBy used only to make output deterministic")."""
     # localCheckpoint, not persist: three consumers (both self-join sides +
     # the bucket-cap count) race a lazily-populated cache and recompute the
     # HOF chain concurrently on miss; eager checkpoint materializes once.
@@ -283,11 +290,10 @@ def _mine_minhash_pairs(corpus: DataFrame) -> DataFrame:
         .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
     )
     jaccard = _jaccard_ppm("toks_a", "toks_b")
-    return (
-        cand.select("doc_a", "doc_b", jaccard.alias("jaccard_ppm"))
-        .filter(F.col("jaccard_ppm") >= JACCARD_MIN_PPM)
-        .orderBy("doc_a", "doc_b")
+    out = cand.select("doc_a", "doc_b", jaccard.alias("jaccard_ppm")).filter(
+        F.col("jaccard_ppm") >= JACCARD_MIN_PPM
     )
+    return out.orderBy("doc_a", "doc_b") if ordered else out
 
 
 def _skew_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -907,8 +913,22 @@ def _cc_scope(pairs: DataFrame):
     SIBLING session (shared context/cache, own SQLConf) so concurrent
     queries on the caller's session never observe it; the checkpointed
     pairs cross sessions via a global temp view whose lifetime is this
-    scope. Yields ``(pairs_in_scope, scoped_spark)``."""
-    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+    scope. Yields ``(pairs_in_scope, scoped_spark)``.
+
+    An input that is ALREADY a checkpointed (doc_a, doc_b) frame (the
+    memoized :func:`_shared_pair_graph`) is passed through unchanged —
+    re-checkpointing it would materialize a byte-identical copy of the
+    pair RDD per query invocation (one extra job + duplicate executor
+    storage; optimization round 14)."""
+    already = False
+    if pairs.columns == ["doc_a", "doc_b"]:
+        try:
+            plan = pairs._jdf.queryExecution().analyzed()
+            already = plan.getClass().getSimpleName() == "LogicalRDD"
+        except Exception:  # noqa: BLE001 - fall through to a fresh checkpoint
+            already = False
+    if not already:
+        pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
     spark = pairs.sparkSession
     n_edges = pairs.count()
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -963,11 +983,16 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         edges = pairs_cc.unionAll(
             pairs_cc.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
+        # eager=False everywhere in this loop: the convergence aggregate is
+        # the action that forces (and persists) each round's checkpoint, so
+        # every round costs ONE driver job instead of two — the lineage
+        # truncation the eager checkpoint existed for is identical
+        # (optimization round 14, guide §1.2: fewer driver actions)
         labels = (
             edges.select(F.col("doc_a").alias("doc_id"))
             .distinct()
             .withColumn("cluster_id", F.col("doc_id"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         converged = prev_sum is None  # empty graph is trivially converged
@@ -992,7 +1017,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
                         "cluster_id"
                     ),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
             if new_sum == prev_sum:
@@ -1030,18 +1055,22 @@ def connected_components_star(pairs: DataFrame, max_iters: int = 32) -> DataFram
     final nodes-join would emit duplicate doc_ids with conflicting
     cluster_ids."""
     with _cc_scope(pairs) as (base, _):
+        # eager=False: nodes is consumed once by the final join (forced
+        # there), and each L checkpoint is forced by the round's checksum
+        # aggregate — one driver job per round instead of two, identical
+        # lineage truncation (optimization round 14, guide §1.2)
         nodes = (
             base.select(F.col("doc_a").alias("doc_id"))
             .unionAll(base.select(F.col("doc_b").alias("doc_id")))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # edge list L, self-loops dropped; (u, v) is undirected
         L = (
             base.filter(F.col("doc_a") != F.col("doc_b"))
             .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
         def _checksum(df: DataFrame) -> tuple:
@@ -1083,7 +1112,7 @@ def connected_components_star(pairs: DataFrame, max_iters: int = 32) -> DataFram
                 .unionAll(m2.select("u", F.col("m").alias("v")))
                 .filter(F.col("u") != F.col("v"))
                 .distinct()
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             cur = _checksum(L)
             if cur == prev:
@@ -1196,9 +1225,11 @@ def _shared_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         return memo[0]
     # build OUTSIDE the lock (the LSH mine is the expensive part); two
     # concurrent first-callers may both build, and the loser releases its
-    # duplicate — never another entry's blocks (see the memo comment)
+    # duplicate — never another entry's blocks (see the memo comment).
+    # ordered=False: the checkpoint discards order, so the declared query's
+    # presentation sort would execute for nothing (see _mine_minhash_pairs)
     pairs = (
-        minhash_dedup_pairs(spark, sf_dir)
+        _mine_minhash_pairs(_corpus(spark, sf_dir), ordered=False)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )

@@ -28,8 +28,8 @@ from .dedup import (
     _DUCK_MINHASH_PAIRS,
     _DUCK_SIG,
     _corpus,
+    _mine_minhash_pairs,
     connected_components,
-    minhash_dedup_pairs,
 )
 from .text import (
     _QUALITY_SCORE_SQL,
@@ -51,8 +51,11 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = quality_frame(
         features_frame(corpus), keep_cols=("n_bpe_tokens", "n_ws_tokens")
     )
+    # ordered=False: CC checkpoints the pairs immediately, so the declared
+    # pair query's presentation sort would execute its range exchange +
+    # sampling pass for rows whose order is then discarded (round 14)
     drop = (
-        connected_components(minhash_dedup_pairs(spark, sf_dir))
+        connected_components(_mine_minhash_pairs(_corpus(spark, sf_dir), ordered=False))
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )
