@@ -326,11 +326,23 @@ def _centroid_scores(centroids: list[tuple[int, list[float]]]) -> F.Column:
     )
 
 
-def _ivf_assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+def _ivf_assign(
+    vecs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    scores: F.Column | None = None,
+) -> DataFrame:
     """Tag every vector with its nearest centroid (``list_id``) as a pure
     map-side projection — zero shuffles, linear in the corpus, the shape a
-    100 TB IVF build needs."""
-    best = F.array_max(_centroid_scores(centroids))
+    100 TB IVF build needs.
+
+    ``scores`` lets a caller that ALSO probes reuse one parsed
+    :func:`_centroid_scores` column: the K x DIM literal matrix costs
+    ~0.25 s of driver-side parse/analysis at K=45, and a Column is an
+    immutable expression tree, safely shared across frames (optimization
+    round 14, guide §7.3 — plan-construction time is driver time)."""
+    best = F.array_max(
+        scores if scores is not None else _centroid_scores(centroids)
+    )
     return vecs.withColumn("list_id", (-best["neg_id"]).cast("long"))
 
 
@@ -357,8 +369,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build pipelines the index once the same way, against durable storage.)
     vecs = _vectors(spark, sf_dir).localCheckpoint()
     _, _, centroids = _ivf_fit(vecs)
-    assigned = _ivf_assign(vecs, centroids)
-    probes = _ivf_probes(vecs.filter(F.col("vec_id") < IVF_QUERIES), centroids)
+    scores = _centroid_scores(centroids)  # parsed once, shared assign/probe
+    assigned = _ivf_assign(vecs, centroids, scores=scores)
+    probes = _ivf_probes(
+        vecs.filter(F.col("vec_id") < IVF_QUERIES), centroids, scores=scores
+    )
     pairs = probes.join(assigned, on="list_id").filter(F.col("vec_id") != F.col("query_id"))
     # No dedup needed: every vector lives in exactly one inverted list and a
     # query probes IVF_PROBE *distinct* lists, so (query, neighbor) pairs are
@@ -376,10 +391,18 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_probes(queries: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+def _ivf_probes(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    scores: F.Column | None = None,
+) -> DataFrame:
     """(query_id, qv, qn) x IVF_PROBE nearest centroid list_ids — explode of
-    the literal-scored centroid array; map-only like assignment."""
-    top = F.slice(F.reverse(F.array_sort(_centroid_scores(centroids))), 1, IVF_PROBE)
+    the literal-scored centroid array; map-only like assignment. ``scores``
+    shares one parsed centroid matrix with the assign side (see
+    :func:`_ivf_assign`)."""
+    if scores is None:
+        scores = _centroid_scores(centroids)
+    top = F.slice(F.reverse(F.array_sort(scores)), 1, IVF_PROBE)
     return queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -622,8 +645,9 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # fit (count/max + seed collect) + encode share the scan
     )
     centroids, cb, seed_rows = _pq_fit(vecs)
-    enc = _pq_encode(vecs, centroids, cb)
-    return _pq_serve(spark, vecs, enc, centroids, cb, seed_rows)
+    scores = _centroid_scores(centroids)  # parsed once, shared assign/probe
+    enc = _pq_encode(vecs, centroids, cb, scores=scores)
+    return _pq_serve(spark, vecs, enc, centroids, cb, seed_rows, scores=scores)
 
 
 def _pq_fit(
@@ -680,14 +704,17 @@ def _pq_fit(
     return centroids, cb, seed_rows
 
 
-def _pq_encode(vecs: DataFrame, centroids: list, cb: list) -> DataFrame:
+def _pq_encode(
+    vecs: DataFrame, centroids: list, cb: list, scores: F.Column | None = None
+) -> DataFrame:
     """Encode + coarse-assign ``(vec_id, list_id, codes)``: one map-only
     projection (codes are literal-codebook argmins, list_id the
     literal-centroid argmax) — the corpus is scanned once and never
     exchanged. This IS the index-build pass a production pipeline persists
     (:func:`ivf_pq_index_build`); :func:`ivf_pq_topk` consumes it
-    in-flight."""
-    return _ivf_assign(vecs, centroids).select(
+    in-flight. ``scores`` shares one parsed centroid matrix with the
+    caller's probe side (see :func:`_ivf_assign`)."""
+    return _ivf_assign(vecs, centroids, scores=scores).select(
         "vec_id",
         "list_id",
         F.array(*[F.expr(_pq_code_expr(m, cb[m])) for m in range(PQ_M)]).alias("codes"),
@@ -702,15 +729,19 @@ def _pq_serve(
     cb: list,
     seed_rows: list,
     n_queries: int = PQ_QUERIES,
-    probes: DataFrame | None = None,
+    probes: list[tuple[int, int]] | None = None,
+    scores: F.Column | None = None,
 ) -> DataFrame:
     """The PQ probe/ADC/shortlist/refine pipeline over an encoded corpus
     ``enc`` (in-flight from :func:`_pq_encode`, or the persisted index
     read back by :func:`ivf_pq_index_build`'s serve half — pre-filtered to
     the probed lists there, so bucket pruning applies). ``probes``
-    overrides the (query_id, list_id) probe assignment — the index serve
-    path already collected it for the bucket-pruning filter and hands the
-    KB-scale local frame back instead of re-scoring the K centroids."""
+    overrides the (query_id, list_id) probe assignment with the LOCAL row
+    list the index serve path already collected for the bucket-pruning
+    filter: the probe x LUT attach is then pure local Python instead of a
+    Spark broadcast join of two KB-scale frames (two AQE stage jobs per
+    serve — optimization round 14, guide §2.4). ``scores`` shares one
+    parsed centroid matrix with the caller (see :func:`_ivf_assign`)."""
     # Per-query ADC lookup tables: lut[m][c] = <query subslice m, codebook
     # entry c> in exact integer arithmetic (associative — Python, Spark
     # and DuckDB cannot disagree). 30 queries x 8 x 16 BIGINTs: KB state.
@@ -731,15 +762,24 @@ def _pq_serve(
         for r in seed_rows
         if r["vec_id"] < n_queries
     ]
-    lut_df = spark.createDataFrame(luts, schema="query_id bigint, lut array<array<bigint>>")
-    if probes is None:
-        probes = _ivf_probes(vecs.filter(F.col("vec_id") < n_queries), centroids).select(
-            "query_id", "list_id"
+    if probes is not None:
+        # local probe rows: attach each query's LUT in Python — the join of
+        # two KB-scale frames needs no cluster
+        lut_by_q = dict(luts)
+        probe_lut = spark.createDataFrame(
+            [(qid, lid, lut_by_q[qid]) for qid, lid in probes],
+            schema="query_id bigint, list_id bigint, lut array<array<bigint>>",
         )
-    # broadcast the LUT side explicitly: both sides are KB-scale, but when
-    # the probe side arrives as a collected local frame (the index serve
-    # path) Catalyst would otherwise shuffle BOTH tiny sides on query_id
-    probe_lut = probes.join(F.broadcast(lut_df), "query_id")  # 120 x 30 rows
+    else:
+        lut_df = spark.createDataFrame(
+            luts, schema="query_id bigint, lut array<array<bigint>>"
+        )
+        probes_df = _ivf_probes(
+            vecs.filter(F.col("vec_id") < n_queries), centroids, scores=scores
+        ).select("query_id", "list_id")
+        # broadcast the LUT side explicitly: both sides are KB-scale, but
+        # Catalyst would otherwise shuffle BOTH tiny sides on query_id
+        probe_lut = probes_df.join(F.broadcast(lut_df), "query_id")  # 120 x 30 rows
     pairs = F.broadcast(probe_lut).join(enc, "list_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
@@ -888,16 +928,19 @@ def ivf_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, cb, seed_rows, (n_corpus, fp, _) = _pq_fit(vecs, with_key_stats=True)
     from ..engine import Engine
 
+    scores = _centroid_scores(centroids)  # parsed once, shared encode/probe
     table, path = ivf_pq_index_location(n_corpus, fp)
     index = Engine(spark).write_bucketed(
-        _pq_encode(vecs, centroids, cb),
+        _pq_encode(vecs, centroids, cb, scores=scores),
         table,
         path,
         ["list_id"],
         n_buckets=IVF_PQ_INDEX_BUCKETS,
         sort_cols=["list_id", "vec_id"],
     )
-    return serve_pq_index(spark, vecs, index, centroids, cb, seed_rows)
+    return serve_pq_index(
+        spark, vecs, index, centroids, cb, seed_rows, scores=scores
+    )
 
 
 def serve_pq_index(
@@ -908,30 +951,29 @@ def serve_pq_index(
     cb: list,
     seed_rows: list,
     n_queries: int = PQ_QUERIES,
+    scores: F.Column | None = None,
 ) -> DataFrame:
     """Probe a persisted IVF-PQ index: restrict the index scan to the
     probed lists FIRST (the IN-filter on the bucket column is what turns
     into bucket pruning — ``SelectedBucketsCount`` — on a bucketed table),
     then run the shared ADC/shortlist/refine pipeline. The probed-list set
     is model-state scale (<= PQ_QUERIES x IVF_PROBE ids, a driver-side
-    collect of ~100 longs — the centroid-collect contract, never data)."""
+    collect of ~100 longs — the centroid-collect contract, never data);
+    the same local rows feed the serve kernel's probe x LUT attach, so the
+    K-centroid probe scoring runs exactly once per serve."""
     probe_rows = [
         (int(r["query_id"]), int(r["list_id"]))
-        for r in _ivf_probes(vecs.filter(F.col("vec_id") < n_queries), centroids)
+        for r in _ivf_probes(
+            vecs.filter(F.col("vec_id") < n_queries), centroids, scores=scores
+        )
         .select("query_id", "list_id")
         .collect()
     ]
     probed = sorted({list_id for _, list_id in probe_rows})
     pruned = index.filter(F.col("list_id").isin(probed))
-    # hand the collected probe set back to the serve kernel as a local
-    # frame: the K-centroid probe scoring already ran for the pruning
-    # filter, so re-deriving it inside _pq_serve would be a duplicate job
-    probes_df = spark.createDataFrame(
-        probe_rows, schema="query_id bigint, list_id bigint"
-    )
     return _pq_serve(
         spark, vecs, pruned, centroids, cb, seed_rows,
-        n_queries=n_queries, probes=probes_df,
+        n_queries=n_queries, probes=probe_rows,
     )
 
 
@@ -995,7 +1037,13 @@ def _with_xp(df: DataFrame) -> DataFrame:
     )
 
 
-def _write_base_index(vecs: DataFrame, centroids: list, cb: list, path: str) -> None:
+def _write_base_index(
+    vecs: DataFrame,
+    centroids: list,
+    cb: list,
+    path: str,
+    scores: F.Column | None = None,
+) -> None:
     """Base index: full STATIC write partitioned by list_id (clears any
     stale same-count layout) — the build-once step a production pipeline
     amortizes across every later refresh.
@@ -1013,7 +1061,7 @@ def _write_base_index(vecs: DataFrame, centroids: list, cb: list, path: str) -> 
     from ..sources.tables import partitioned_write_width
 
     (
-        _pq_encode(vecs, centroids, cb)
+        _pq_encode(vecs, centroids, cb, scores=scores)
         .select("vec_id", "codes", "list_id")  # partition col LAST
         .repartition(
             partitioned_write_width(vecs.sparkSession, len(centroids)),
@@ -1162,7 +1210,8 @@ def ivf_pq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_ppm bigint, rank bigint",
         )
     path = ivf_pq_upsert_location(n_orig, fp)
-    _write_base_index(vecs, centroids, cb, path)
+    scores = _centroid_scores(centroids)  # parsed once: build/delta/probe
+    _write_base_index(vecs, centroids, cb, path, scores=scores)
 
     changes = _upsert_change_batch(vecs, max_id).localCheckpoint()
     # the maintained corpus (refine needs updated/inserted vectors); the
@@ -1178,6 +1227,7 @@ def ivf_pq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         centroids,
         cb,
+        scores=scores,
     )
     rm_keys = changes.filter(F.col("__op").isin("U", "D")).select("vec_id")
     _apply_index_delta(spark, path, delta_enc, rm_keys)
@@ -1185,7 +1235,9 @@ def ivf_pq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = spark.read.parquet(path).withColumn(
         "list_id", F.col("list_id").cast("long")
     )
-    return serve_pq_index(spark, merged, index, centroids, cb, seed_rows)
+    return serve_pq_index(
+        spark, merged, index, centroids, cb, seed_rows, scores=scores
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
