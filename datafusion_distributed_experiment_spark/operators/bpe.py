@@ -183,8 +183,13 @@ def _trained_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         chars = bpe_spark.table(f"global_temp.{view}")
         for _ in range(MERGE_ITERS):
             # each round reads its predecessor twice (pair count + merge):
-            # checkpoint keeps the window/join chains from re-running
-            chars = _merge_round(chars).localCheckpoint()
+            # checkpoint keeps the window/join chains from re-running.
+            # eager=False: the round's own pair-count broadcast build is
+            # the first job over the frame and forces (and persists) the
+            # checkpoint — one driver job per round instead of two,
+            # identical lineage truncation (optimization round 14, the
+            # connected_components pattern)
+            chars = _merge_round(chars).localCheckpoint(eager=False)
     finally:
         spark.catalog.dropGlobalTempView(view)
     return chars
