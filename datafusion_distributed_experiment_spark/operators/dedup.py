@@ -1639,8 +1639,15 @@ def minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = minhash_index_location(n_hist, fp)
     _write_base_band_index(hist, path)
 
-    changes = _minhash_change_batch(hist, max_id).localCheckpoint()
-    merged = cdc_merge(hist, changes, key="doc_id").localCheckpoint()
+    # eager=False: the change batch is three cheap filters over the
+    # already-checkpointed hist blocks; its first consuming job forces and
+    # persists it with no dedicated driver job (optimization round 14)
+    changes = _minhash_change_batch(hist, max_id).localCheckpoint(eager=False)
+    # merged is consumed exactly ONCE (the serve probe's candidate-token
+    # semi-join) — the eager checkpoint here materialized the full merged
+    # corpus text as its own driver job for a single downstream read
+    # (optimization round 14, guide §5: cache only what is reused)
+    merged = cdc_merge(hist, changes, key="doc_id")
     delta_docs = changes.filter(F.col("__op").isin("I", "U")).select("doc_id", "text")
     # probe == delta: signatures computed ONCE, map-only, shared by the
     # delta apply and the serve probe
