@@ -647,7 +647,23 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, cb, seed_rows = _pq_fit(vecs)
     scores = _centroid_scores(centroids)  # parsed once, shared assign/probe
     enc = _pq_encode(vecs, centroids, cb, scores=scores)
-    return _pq_serve(spark, vecs, enc, centroids, cb, seed_rows, scores=scores)
+    # collect the KB-scale probe assignment (<= PQ_QUERIES x IVF_PROBE
+    # rows) exactly as the persisted-index serve path does: the serve
+    # kernel then attaches LUTs locally instead of re-analyzing the probe
+    # scoring subtree and running its broadcast join inside the main plan
+    # (optimization round 14 — same Spark expression over the same
+    # checkpointed rows, so the probe set is identical by construction)
+    probe_rows = [
+        (int(r["query_id"]), int(r["list_id"]))
+        for r in _ivf_probes(
+            vecs.filter(F.col("vec_id") < PQ_QUERIES), centroids, scores=scores
+        )
+        .select("query_id", "list_id")
+        .collect()
+    ]
+    return _pq_serve(
+        spark, vecs, enc, centroids, cb, seed_rows, probes=probe_rows
+    )
 
 
 def _pq_fit(
