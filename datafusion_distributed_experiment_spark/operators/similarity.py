@@ -363,11 +363,14 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by ``list_id``. With K ~ sqrt(N), expected list size is sqrt(N), so
     per-query candidate volume grows as sqrt(N)*IVF_PROBE instead of N/16;
     AQE skew-join splits any list that still runs hot."""
-    # Eager localCheckpoint: the fit step (count + seed collect) and the main
-    # query are three separate jobs over the same small table — materialize
-    # the scan+norm once instead of re-running it per job. (At 100 TB the
-    # build pipelines the index once the same way, against durable storage.)
-    vecs = _vectors(spark, sf_dir).localCheckpoint()
+    # Non-eager localCheckpoint: the fit step (count + seed collect) and the
+    # main query are three separate jobs over the same small table — the fit
+    # COUNT is the first full-scan consumer, so it materializes the scan+norm
+    # while counting (one pass) instead of a dedicated checkpoint job followed
+    # by a cached count (two passes — optimization round 14, the CC/BPE
+    # eager=False idiom). (At 100 TB the build pipelines the index once the
+    # same way, against durable storage.)
+    vecs = _vectors(spark, sf_dir).localCheckpoint(eager=False)
     _, _, centroids = _ivf_fit(vecs)
     scores = _centroid_scores(centroids)  # parsed once, shared assign/probe
     assigned = _ivf_assign(vecs, centroids, scores=scores)
@@ -466,8 +469,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = vecs.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + AUG_OFFSET).alias("vec_id"), "v", "nrm"
     )
-    # Eager checkpoint: count + seed collect + main job all read this frame.
-    corpus = vecs.unionAll(aug).localCheckpoint()
+    # Non-eager checkpoint: count + seed collect + main job all read this
+    # frame; the fit count is the first full-scan consumer and materializes
+    # it in the same job (optimization round 14, the eager=False idiom).
+    corpus = vecs.unionAll(aug).localCheckpoint(eager=False)
     _, _, centroids = _ivf_fit(corpus)
     # Checkpoint the built index: three consumers (the cap's bucket count
     # and both sides of the pair self-join) would otherwise each recompute
@@ -642,7 +647,10 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = (
         _vectors(spark, sf_dir)
         .withColumn("xp", F.expr("transform(v, x -> CAST(FLOOR(1e6 * x) AS BIGINT))"))
-        .localCheckpoint()  # fit (count/max + seed collect) + encode share the scan
+        # fit (count/max + seed collect) + encode share the scan; non-eager:
+        # the fit's head aggregate is the first full-scan consumer and
+        # materializes it in the same job (optimization round 14)
+        .localCheckpoint(eager=False)
     )
     centroids, cb, seed_rows = _pq_fit(vecs)
     scores = _centroid_scores(centroids)  # parsed once, shared assign/probe
@@ -934,7 +942,9 @@ def ivf_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = (
         _vectors(spark, sf_dir)
         .withColumn("xp", F.expr("transform(v, x -> CAST(FLOOR(1e6 * x) AS BIGINT))"))
-        .localCheckpoint()  # fit + encode + serve-side fetch share the scan
+        # fit + encode + serve-side fetch share the scan; non-eager: the
+        # fit's head aggregate materializes it in the same job (round 14)
+        .localCheckpoint(eager=False)
     )
     # scale- AND content-isolated location: count + vec_id fingerprint RIDE
     # the fit's head aggregate (one pass, not two — optimization round 14),
@@ -1208,7 +1218,9 @@ def ivf_pq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract)."""
     from .cdc import cdc_merge
 
-    vecs = _with_xp(_vectors(spark, sf_dir)).localCheckpoint()
+    # non-eager: the fit's head aggregate below is the first full-scan
+    # consumer and materializes the checkpoint in the same job (round 14)
+    vecs = _with_xp(_vectors(spark, sf_dir)).localCheckpoint(eager=False)
     # location key + insert-id offset ride the fit aggregate (one corpus
     # pass, not two — optimization round 14)
     centroids, cb, seed_rows, (n_orig, fp, max_id) = _pq_fit(
