@@ -398,8 +398,10 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpoint each branch would re-scan and re-tokenize the whole
         # corpus (same recompute hazard the MinHash pipeline pins,
         # operators/dedup.py). Checkpointed tf is (doc, term, count) — far
-        # smaller than the raw text it replaces.
-        .localCheckpoint()
+        # smaller than the raw text it replaces. Non-eager: the dfreq
+        # broadcast build is the first consumer stage and materializes it
+        # before the probe side reads the cache (round 14).
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     scored = tf.join(F.broadcast(dfreq), "term").select(

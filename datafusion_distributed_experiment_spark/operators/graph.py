@@ -113,7 +113,11 @@ def pagerank_frame(
     # read the guard's one scalar. Also spares each iteration the
     # edges->outw join re-run.
     wedges = (
-        edges.join(outw, "src").select("src", "dst", "w", "out_w").localCheckpoint()
+        edges.join(outw, "src")
+        .select("src", "dst", "w", "out_w")
+        # non-eager: the guard aggregate below is the first full-scan
+        # consumer and materializes the join in the same job (round 14)
+        .localCheckpoint(eager=False)
     )
     # Guard the documented int64 headroom instead of trusting it: the
     # per-edge product ((r*85) DIV 100) * w is bounded by PPB * max(w)
@@ -233,7 +237,11 @@ def _kept_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected (u, v) edges above :data:`TRIANGLE_W_PCT`% of the mean
     weight — the collapsed, noise-pruned trade graph shared by the
     triangle/traversal family. Checkpointed once (<= |V|^2 rows)."""
-    und = _undirected_collapse(_trade_edges(spark, sf_dir)).localCheckpoint()
+    # non-eager: the guard/threshold aggregate below is the first full-scan
+    # consumer and materializes the collapse in the same job (round 14)
+    und = _undirected_collapse(_trade_edges(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     # collapsed graph; reused by the guard/threshold aggregate + the filter
     # ONE aggregate over the checkpointed |pairs|-row graph serves both the
     # overflow guard and the pruning threshold (KB-scale model state, not a
@@ -419,7 +427,9 @@ def lpa_frame(nodes: DataFrame, und: DataFrame, iters: int = LPA_ITERS) -> DataF
     bi = und.select(
         F.col("u").alias("a"), F.col("v").alias("b"), "w"
     ).unionAll(und.select(F.col("v").alias("a"), F.col("u").alias("b"), "w"))
-    bi = bi.localCheckpoint()  # reused every round
+    # reused every round; non-eager: round 1's single consumer stage
+    # materializes it (round 14)
+    bi = bi.localCheckpoint(eager=False)
     labels = nodes.select("v", F.col("v").alias("lab"))
     for _ in range(iters):
         scored = (
@@ -489,7 +499,9 @@ def bfs_frame(seeds: DataFrame, und: DataFrame, iters: int = BFS_ITERS) -> DataF
     und = und.filter(F.col("u") != F.col("v"))
     bi = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         und.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    ).localCheckpoint()  # reused every round
+        # reused every round; non-eager: round 1's single consumer stage
+        # materializes it (round 14)
+    ).localCheckpoint(eager=False)
     dist = seeds
     for _ in range(iters):
         relaxed = (

@@ -247,11 +247,15 @@ def kmeans_lloyd(
     Arithmetic is all-int64 on ppm-quantized components with truncating
     mean, so every round is exactly reproducible (the differential test
     replays the identical integers in pure Python)."""
-    # Eager localCheckpoint: the seed collect + one M-step collect per round
-    # + the final assignment are 2+iters separate jobs over the same
+    # Non-eager localCheckpoint: the seed collect + one M-step collect per
+    # round + the final assignment are 2+iters separate jobs over the same
     # scan+quantize chain — materialize it once (the ann_ivf fit-step
-    # pattern) instead of re-reading parquet and re-quantizing per job.
-    qvecs = emb.select("vec_id", F.expr(_QUANT).alias("xp")).localCheckpoint()
+    # pattern) instead of re-reading parquet and re-quantizing per job;
+    # non-eager, so the seed collect (and round 1 for any partition the
+    # limit skipped) materializes it instead of a dedicated job (round 14).
+    qvecs = emb.select("vec_id", F.expr(_QUANT).alias("xp")).localCheckpoint(
+        eager=False
+    )
     cents = [
         (int(r["vec_id"]), [int(v) for v in r["xp"]])
         for r in qvecs.orderBy("vec_id").limit(k).collect()
@@ -434,8 +438,10 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("f"),
         )
-        # two consumers (count build + scoring join): tokenize once
-        .localCheckpoint()
+        # two consumers (count build + scoring join): tokenize once;
+        # non-eager: the headroom-guard aggregate below is the first
+        # full-scan consumer and materializes it in the same job (round 14)
+        .localCheckpoint(eager=False)
     )
     # Guard the documented int64 headroom instead of trusting it (the
     # pagerank_frame / bm25 pattern): the weight numerator is

@@ -153,11 +153,13 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint the 1-row totals: BOTH the guard collect below and
     # the returned plan's crossJoin read it — unchecked, each re-ran the
     # full events-wide aggregate (one extra stream scan per query)
+    # non-eager: the guard collect below is the first consumer and
+    # materializes the 1-row totals in its own job (round 14)
     total = ev.agg(
         F.count("*").cast("long").alias("n_events"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
         F.max(F.abs(F.col("user_id"))).cast("long").alias("max_abs_u"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     probes = truth.select(
         "user_id",
         "true_cnt",
@@ -475,7 +477,9 @@ def domain_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("exact_distinct_tokens"),
         )
-        .localCheckpoint()
+        # non-eager: the totals guard collect below is the first full-scan
+        # consumer and materializes the profile in the same job (round 14)
+        .localCheckpoint(eager=False)
     )
     totals = prof.agg(
         F.sum("src_tokens").alias("total_tokens"),
