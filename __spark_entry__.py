@@ -12,13 +12,13 @@ plus the training-data pipeline operators. SQL-corpus queries share one ANSI
 text between Spark and the DuckDB oracle; DataFrame-native operators carry a
 semantically-equivalent hand-written oracle.
 
-All 123 queries are declared as of round 14 (the round-13 staged operator
-``ivf_pq_index_upsert`` was promoted at the round-14 rotation). The
+All 124 queries are declared as of round 15 (the round-14 staged operator
+``minhash_index_upsert`` was promoted at the round-15 rotation). The
 staged tier (``operators.staged_queries()`` / ``staged_oracles()`` +
 ``tests/test_staged_oracle.py`` + ``scripts/verify_staged.py``) holds at
-most the one new operator each round's VERDICT budgets; the 123-query
-surface cycles the 50-slot gate window every ceil(123/50) = 3 rounds —
-see ``query_tiers``.
+most the one new operator each round's VERDICT budgets (empty this round
+— round 15 is an optimization round); the 124-query surface cycles the
+50-slot gate window every ceil(124/50) = 3 rounds — see ``query_tiers``.
 """
 
 from __future__ import annotations
@@ -143,8 +143,8 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     """Queries grouped by tier, gate-ordered: the driver oracle-checks the
     FIRST 50 entries, so the window rotates round-over-round.
 
-    STALE BUDGET (123-query surface): 123 queries over a 50-slot window
-    means the full surface cycles every ceil(123/50) = 3 rounds. The real
+    STALE BUDGET (124-query surface): 124 queries over a 50-slot window
+    means the full surface cycles every ceil(124/50) = 3 rounds. The real
     guarantee, pinned by tests/test_corpus_oracle.py: (a) never-verified
     count = 0 — every declared query holds a green row in SOME committed
     CORRECTNESS_r*.json before it may sit outside the window; (b) every
@@ -153,40 +153,44 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     every commit point, mid-rotation included); (c) the queries left to
     age furthest are chosen deepest-evidence-first.
 
-    ROUND 14 — the window (50):
-    * slot 1: ivf_pq_index_upsert — the round-13 staged operator (the
-      MAINTAIN step of the persisted IVF-PQ index: encode only the CDC
-      delta under the frozen model, rewrite only touched inverted lists,
-      serve bit-identically to a frozen-model rebuild), PROMOTED this
-      rotation (never driver-verified; leads the window).
-    * slots 2-23: the 22 queries whose last green row is CORRECTNESS_r11
-      (the round-13 sacrifice cohort — the rotation contract's re-entry
-      point): the three alphabetically-last 4x-green (sessionize_native,
-      shuffle_shards, token_budget_select), embedding_topk and
-      media_features, and the seventeen SQL-corpus re-entries (q2, q13,
-      q15, q17, q20, q21, q22, q1_decimal, events_agg_count,
-      events_cte_join, events_daily, events_latest, events_median,
-      events_rolling, events_rollup, events_setops, events_topk).
-    * slots 24-50: the 27 SHALLOWEST of the r12-green queries by total
-      green-row depth across all committed artifacts: ivf_pq_topk
-      (once-green), domain_token_profile (twice), the three thrice-green
-      (bpe_apply, hll_distinct, weighted_sample), and the 22
-      alphabetically-first four-times-green (anomaly_days, basket_pairs,
-      chunk_overlap, event_sequences, events_json, events_percentiles,
-      events_percentiles_hist, events_pivot, events_unpivot,
-      events_window_funcs, funnel, kmeans_lloyd_t3, media_resize,
-      minhash_pairs_skew, ngram_span_dedup, ngram_top, retention,
-      salted_events_enrich, semantic_dedup, split_assign,
-      stratified_sample, table_profile — top_terms, the alphabetically
-      last, sits out one more round). No streaming queries land in this
-      window (the stream_* cohort is r13-green, the freshest tier).
+    ROUND 15 — the window (50):
+    * slot 1: minhash_index_upsert — the round-14 staged operator (the
+      MAINTAIN step of the persisted MinHash LSH band index: signature
+      only the CDC delta, rewrite only touched (band_idx, bucket)
+      partitions, probe bit-identically to a from-scratch rebuild),
+      PROMOTED this rotation (never driver-verified; leads the window).
+    * slots 2-24: the 23 queries whose last green row is CORRECTNESS_r12
+      (the round-14 sacrifice cohort — the rotation contract's re-entry
+      point): top_terms, the four events temporal/cube re-entries
+      (events_asof, events_cube, events_kmv_distinct, events_range_join),
+      the fifteen TPC-H re-entries (q1, q3-q12, q14, q16, q18, q19), and
+      the three text re-entries (fingerprint, lang_id, text_stats).
+    * slots 25-50: the 26 SHALLOWEST of the r13-green queries by total
+      green-row depth across all committed artifacts: ivf_pq_index_build
+      (once-green), events_quantile_sketch (twice), the ten 4x-green
+      (bfs_hops_t3, bm25_topk, bpe_merges_t2, cms_heavy_hitters,
+      dsir_weights, lpa_communities_t3, span_scrub, stream_topk,
+      triangle_count, winnow_fingerprints), and the 14
+      alphabetically-first five-times-green (bloom_semi_agg,
+      cdc_apply_changes, chunk_documents, corpus_pipeline,
+      custom_source_scan, decontaminate, dedup_clusters_star, domain_mix,
+      domain_resample, embedding_quantize, kmeans_assign, media_dedup,
+      media_frames, media_meta_stats — the 11 alphabetically-last
+      five-times-green sit out one more round). stream_topk is the one
+      streaming query in the window; it sits in its own
+      "shallow-r13-streaming" subtier so the bench's measure-last rule
+      still isolates it (tier NAME carries the rule).
 
-    SACRIFICED this round (23 r12-green, deepest-evidence-first; they
-    re-enter at round 15 alongside the shallowest r13-green): top_terms
-    (4x), the four 5x-green (events_asof, events_cube,
-    events_kmv_distinct, events_range_join), the fifteen 6x-green TPC-H
-    (q1, q3-q12, q14, q16, q18, q19), and the three 7x-green
-    (fingerprint, lang_id, text_stats). The 50 r13-green queries sit
+    SACRIFICED this round (24 r13-green, deepest-evidence-first; they
+    re-enter at round 16 alongside the shallowest r14-green): the 11
+    alphabetically-last 5x-green (pack_sequences, pagerank_nations,
+    pii_scrub, repetition_stats, rollup_incremental, sessionize,
+    stream_click_attr, stream_dedup, stream_enrich, stream_sliding,
+    user_sessions), the three 6x-green (dedup_clusters,
+    dedup_incremental, quality_score), and the ten 7x-green (ann_ivf,
+    ann_lsh, dedup_exact, embedding_dedup, minhash_dedup_pairs,
+    minhash_signatures, ngram_jaccard_pairs, simhash_dedup_pairs,
+    simhash_signatures, token_count). The 50 r14-green queries sit
     behind the window as the freshest cohort.
 
     The bench re-orders tiers for measurement isolation ("streaming"-named
@@ -208,68 +212,62 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     def _pop_sql(*names: str) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return {n: sql.pop(n) for n in names}
 
-    # --- slot 1: the promoted round-13 staged operator ------------------
-    promoted = _pop("similarity", "ivf_pq_index_upsert")
-    # --- slots 2-23: last green r11, the round-13 sacrifice cohort ------
-    stale_r11 = {
-        **_pop("analytics", "sessionize_native"),
-        **_pop("curation", "shuffle_shards"),
-        **_pop("selection", "token_budget_select"),
-        **_pop("similarity", "embedding_topk"),
-        **_pop("multimodal", "media_features"),
+    # --- slot 1: the promoted round-14 staged operator ------------------
+    promoted = _pop("dedup", "minhash_index_upsert")
+    # --- slots 2-24: last green r12, the round-14 sacrifice cohort ------
+    stale_r12 = {
+        **_pop("analytics", "top_terms"),
+        **_pop("temporal", "events_asof", "events_kmv_distinct", "events_range_join"),
+        **_pop("text", "fingerprint", "lang_id", "text_stats"),
         **_pop_sql(
-            "q2",
-            "q13",
-            "q15",
-            "q17",
-            "q20",
-            "q21",
-            "q22",
-            "q1_decimal",
-            "events_agg_count",
-            "events_cte_join",
-            "events_daily",
-            "events_latest",
-            "events_median",
-            "events_rolling",
-            "events_rollup",
-            "events_setops",
-            "events_topk",
+            "q1",
+            "q3",
+            "q4",
+            "q5",
+            "q6",
+            "q7",
+            "q8",
+            "q9",
+            "q10",
+            "q11",
+            "q12",
+            "q14",
+            "q16",
+            "q18",
+            "q19",
+            "events_cube",
         ),
     }
-    # --- slots 24-28: r12-green with one to three green rows -------------
-    shallow_r12 = {
-        **_pop("similarity", "ivf_pq_topk"),
-        **_pop("sketches", "domain_token_profile", "hll_distinct"),
-        **_pop("bpe", "bpe_apply"),
-        **_pop("curation", "weighted_sample"),
+    # --- slots 25-36: r13-green with one to four green rows --------------
+    shallow_r13 = {
+        **_pop("similarity", "ivf_pq_index_build"),
+        **_pop("sketches", "events_quantile_sketch", "cms_heavy_hitters"),
+        **_pop("graph", "bfs_hops_t3", "lpa_communities_t3", "triangle_count"),
+        **_pop("retrieval", "bm25_topk"),
+        **_pop("bpe", "bpe_merges_t2"),
+        **_pop("selection", "dsir_weights"),
+        **_pop("dedup", "span_scrub", "winnow_fingerprints"),
     }
-    # --- slots 29-50: the 22 alphabetically-first 4x-green r12 -----------
-    mid_r12 = {
-        **_pop(
-            "analytics",
-            "anomaly_days",
-            "basket_pairs",
-            "event_sequences",
-            "events_json",
-            "events_percentiles",
-            "events_percentiles_hist",
-            "events_pivot",
-            "events_unpivot",
-            "funnel",
-            "retention",
-        ),
-        **_pop("dedup", "chunk_overlap", "minhash_pairs_skew", "ngram_span_dedup"),
-        **_pop_sql("events_window_funcs"),
-        **_pop("selection", "kmeans_lloyd_t3"),
-        **_pop("multimodal", "media_resize"),
-        **_pop("curation", "ngram_top", "split_assign", "stratified_sample"),
-        **_pop("joins", "salted_events_enrich"),
-        **_pop("similarity", "semantic_dedup"),
-        **_pop("profile", "table_profile"),
+    # --- slots 37-49: the 14 alphabetically-first 5x-green r13 (minus
+    # stream_topk, which is 4x-green and rides the streaming subtier) -----
+    mid_r13 = {
+        **_pop("joins", "bloom_semi_agg"),
+        **_pop("cdc", "cdc_apply_changes"),
+        **_pop("curation", "chunk_documents", "decontaminate", "domain_mix", "domain_resample"),
+        **_pop("selection", "kmeans_assign"),
+        **_pop("pipeline", "corpus_pipeline"),
+        **_pop("custom", "custom_source_scan"),
+        **_pop("dedup", "dedup_clusters_star"),
+        **_pop("similarity", "embedding_quantize"),
+        **_pop("multimodal", "media_dedup", "media_frames", "media_meta_stats"),
     }
-    # `sql` now holds only the sacrificed SQL cohort (q1, q3-q12, q14,
-    # q16, q18, q19, events_cube — all 6x-green, the deepest evidence)
+    # --- slot 50: the one streaming query in the window; its OWN
+    # "streaming"-named subtier so the bench measure-last rule (substring
+    # match on tier name) still pushes it behind every batch timing -------
+    window_streaming = _pop("streaming", "stream_topk")
+    # `sql` now holds only the r14-green SQL cohort (q2, q13, q15, q17,
+    # q20-q22, q1_decimal, the events adhoc re-verified at r14 — the
+    # freshest evidence)
     tail_tiers = (
         "selection",
         "dedup",
@@ -293,9 +291,10 @@ def query_tiers() -> list[tuple[str, dict[str, Callable[[SparkSession, str], Dat
     )
     out = [
         ("promoted", promoted),
-        ("stale-r11", stale_r11),
-        ("shallow-r12", shallow_r12),
-        ("mid-r12", mid_r12),
+        ("stale-r12", stale_r12),
+        ("shallow-r13", shallow_r13),
+        ("mid-r13", mid_r13),
+        ("shallow-r13-streaming", window_streaming),
         # ---- window boundary: exactly 50 entries above this line ----
         ("sql", sql),
         *[(n, by_name[n]) for n in tail_tiers],

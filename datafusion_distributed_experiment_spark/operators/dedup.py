@@ -1683,6 +1683,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": dedup_clusters_star,
         "winnow_fingerprints": winnow_fingerprints,
         "span_scrub": span_scrub,
+        # promoted at the round-15 rotation (staged round 14): the persisted
+        # MinHash LSH band index build/maintain split, completing the dedup
+        # lifecycle the way rounds 12-14 completed the ANN lifecycle
+        "minhash_index_upsert": minhash_index_upsert,
     }
 
 
@@ -1812,20 +1816,21 @@ def oracles() -> dict[str, str]:
     # variant is graded against the very same recursive-CTE oracle.
     out["dedup_clusters_star"] = out["dedup_clusters"]
     out.update(_winnow_span_oracles())
+    # promoted at the round-15 rotation (staged round 14)
+    out["minhash_index_upsert"] = _minhash_index_upsert_oracle()
     return out
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Round 14 stages :func:`minhash_index_upsert` (the one staged slot
-    the round-13 VERDICT budgeted — the persisted MinHash LSH band index
-    build/maintain split, completing the dedup lifecycle the way rounds
-    12-14 completed the ANN lifecycle); it awaits a gate-window slot at
-    the round-15 rotation."""
-    return {"minhash_index_upsert": minhash_index_upsert}
+    """Round 14 staged :func:`minhash_index_upsert` (the one staged slot
+    the round-13 VERDICT budgeted); it was PROMOTED into the declared
+    surface at the round-15 rotation (it leads the round-15 gate window)
+    and no new operator is staged — round 15 is an optimization round."""
+    return {}
 
 
 def staged_oracles() -> dict[str, str]:
-    return {"minhash_index_upsert": _minhash_index_upsert_oracle()}
+    return {}
 
 
 def spill_evidence() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -104,47 +104,50 @@ def test_gate_window_rotation_leaves_no_query_unverified():
     )
 
 
-def test_round14_window_composition():
-    """Round-14 rotation, pinned by name: the promoted round-13 staged
-    operator (ivf_pq_index_upsert — never driver-verified) leads, then
-    the 22 queries whose last green row is CORRECTNESS_r11 (the round-13
+def test_round15_window_composition():
+    """Round-15 rotation, pinned by name: the promoted round-14 staged
+    operator (minhash_index_upsert — never driver-verified) leads, then
+    the 23 queries whose last green row is CORRECTNESS_r12 (the round-14
     sacrifice cohort — the rotation contract's re-entry point), then the
-    27 shallowest r12-green by total green-row depth (the once-green
-    ivf_pq_topk, the twice-green domain_token_profile, the three
-    thrice-green, and the 22 alphabetically-first four-times-green —
-    top_terms, the alphabetically last, sits out one more round).
-    Nothing r13-green occupies a window slot, and the 23 sacrificed
-    queries re-enter at round 15.
+    26 shallowest r13-green by total green-row depth (the once-green
+    ivf_pq_index_build, the twice-green events_quantile_sketch, the ten
+    four-times-green, and the 14 alphabetically-first five-times-green —
+    the 11 alphabetically-last 5x-green sit out one more round).
+    Nothing r14-green occupies a window slot, and the 24 sacrificed
+    queries re-enter at round 16.
 
-    STALE BUDGET restated at the 123-query surface: 123 queries over a
-    50-slot window is a ceil(123/50) = 3-round full cycle, so the bound
+    STALE BUDGET restated at the 124-query surface: 124 queries over a
+    50-slot window is a ceil(124/50) = 3-round full cycle, so the bound
     remains "outside-window queries green within the THREE most recent
-    committed CORRECTNESS artifacts" — at this round that is r11 ∪ r12 ∪
-    r13, with the r11-only cohort occupying window slots (re-entering)
+    committed CORRECTNESS artifacts" — at this round that is r12 ∪ r13 ∪
+    r14, with the r12-only cohort occupying window slots (re-entering)
     rather than sitting outside."""
     names = list(entry_mod.queries())
     gated = set(names[:50])
-    assert names[0] == "ivf_pq_index_upsert", (
+    assert names[0] == "minhash_index_upsert", (
         f"the promoted staged operator must lead the window; head is {names[0]}"
     )
-    stale_r11 = {
-        "sessionize_native", "shuffle_shards", "token_budget_select",
-        "embedding_topk", "media_features",
-        "q2", "q13", "q15", "q17", "q20", "q21", "q22", "q1_decimal",
-        "events_agg_count", "events_cte_join", "events_daily",
-        "events_latest", "events_median", "events_rolling",
-        "events_rollup", "events_setops", "events_topk",
+    stale_r12 = {
+        "top_terms",
+        "events_asof", "events_cube", "events_kmv_distinct",
+        "events_range_join",
+        "q1", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
+        "q12", "q14", "q16", "q18", "q19",
+        "fingerprint", "lang_id", "text_stats",
     }
-    assert set(names[1:23]) == stale_r11, (
-        f"the 22 r11-stale re-entries must follow the promoted op; slots "
-        f"2-23 are {names[1:23]}"
+    assert set(names[1:24]) == stale_r12, (
+        f"the 23 r12-stale re-entries must follow the promoted op; slots "
+        f"2-24 are {names[1:24]}"
     )
-    shallow_r12 = {
-        "ivf_pq_topk", "domain_token_profile", "bpe_apply", "hll_distinct",
-        "weighted_sample",
+    shallow_r13 = {
+        "ivf_pq_index_build", "events_quantile_sketch",
+        "bfs_hops_t3", "bm25_topk", "bpe_merges_t2", "cms_heavy_hitters",
+        "dsir_weights", "lpa_communities_t3", "span_scrub", "stream_topk",
+        "triangle_count", "winnow_fingerprints",
     }
-    assert shallow_r12 <= gated, (
-        f"once/twice/thrice-green r12 ops not all in window: {shallow_r12 - gated}"
+    assert shallow_r13 <= gated, (
+        f"once/twice/four-times-green r13 ops not all in window: "
+        f"{shallow_r13 - gated}"
     )
     by_round = _green_rows_by_round()
     # nothing verified in the freshest committed artifact wastes a slot
@@ -153,21 +156,24 @@ def test_round14_window_composition():
     assert not fresh_in_window, (
         f"freshest-round-verified queries occupying window slots: {fresh_in_window}"
     )
-    # the sacrificed cohort is exactly the documented 23, deepest-evidence
-    # first: top_terms (4x, alphabetically last of its depth), the four
-    # 5x-green, the fifteen 6x-green TPC-H, and the three 7x-green
+    # the sacrificed cohort is exactly the documented 24, deepest-evidence
+    # first: the 11 alphabetically-last 5x-green, the three 6x-green, and
+    # the ten 7x-green
     sacrificed = {
-        "top_terms", "events_asof", "events_cube", "events_kmv_distinct",
-        "events_range_join",
-        "q1", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
-        "q12", "q14", "q16", "q18", "q19",
-        "fingerprint", "lang_id", "text_stats",
+        "pack_sequences", "pagerank_nations", "pii_scrub",
+        "repetition_stats", "rollup_incremental", "sessionize",
+        "stream_click_attr", "stream_dedup", "stream_enrich",
+        "stream_sliding", "user_sessions",
+        "dedup_clusters", "dedup_incremental", "quality_score",
+        "ann_ivf", "ann_lsh", "dedup_exact", "embedding_dedup",
+        "minhash_dedup_pairs", "minhash_signatures", "ngram_jaccard_pairs",
+        "simhash_dedup_pairs", "simhash_signatures", "token_count",
     }
     outside = set(names[50:])
-    r12_outside = outside & by_round[12] - by_round[13]
-    assert r12_outside == sacrificed, (
-        f"stale-budget drift: r12-green queries outside the window "
-        f"unexpected={r12_outside - sacrificed} missing={sacrificed - r12_outside}"
+    r13_outside = outside & by_round[13] - by_round[14]
+    assert r13_outside == sacrificed, (
+        f"stale-budget drift: r13-green queries outside the window "
+        f"unexpected={r13_outside - sacrificed} missing={sacrificed - r13_outside}"
     )
 
 
