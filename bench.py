@@ -86,6 +86,7 @@ def main() -> int:
     from datafusion_distributed_experiment_spark import build_session
     from datafusion_distributed_experiment_spark.bench import (
         FASTER_RATIO,
+        chunked_ms_lines,
         floor_spread_ratio,
         headline_seconds,
         mean_iter_seconds,
@@ -260,6 +261,21 @@ def main() -> int:
             separators=(",", ":"),
         )
     )
+    # CHUNKED per-query summary (round-15, VERDICT r14 "What's wrong" #1):
+    # the single per_query_seconds line above is ~2.5 KB at 124 queries and
+    # the driver keeps only the LAST 2000 chars of stdout, so BOTH r13/r14
+    # PERF artifacts lost the per-query table entirely (one truncated,
+    # unparseable line). Re-emit the same numbers as integer-millisecond
+    # detail lines of <= 1000 chars each, LAST chunks nearest the end:
+    # every chunk that lands inside the tail window parses independently,
+    # so the driver recovers per-query data for as much of the surface as
+    # 2000 chars can hold (the full 124-name JSON map is ~2.4 KB, which no
+    # encoding of real query names fits in 2000 chars — partial-but-parsed
+    # beats all-or-nothing). Values duplicate per_query_seconds exactly
+    # (ms = 1000x the same rounded seconds); the old line stays for
+    # results-history continuity and the final metric line is unchanged.
+    for line in chunked_ms_lines(per_query):
+        print(line)
     # Guaranteed-tiny summary line LAST — the tail capture keeps the END of
     # stdout, so whatever else gets truncated, this line survives and
     # parses. Per-query detail lives in the line above and in results.json.

@@ -383,6 +383,49 @@ def floor_spread_ratio(entry: dict) -> float | None:
     return round(max(vals) / lo, 2) if lo > 0 else None
 
 
+PER_QUERY_CHUNK_CHARS = 1000
+
+
+def chunked_ms_lines(
+    per_query_seconds: dict[str, float], limit: int = PER_QUERY_CHUNK_CHARS
+) -> list[str]:
+    """Re-encode the per-query headline map as integer-millisecond JSON
+    detail lines of at most ``limit`` characters each (round-15 driver-
+    visibility fix — VERDICT r14: the single ~2.5 KB per-query line
+    overflowed the driver's 2000-char stdout tail, so PERF_r13/r14 lost
+    the whole per-query table).
+
+    Each line is a self-contained JSON object
+    ``{"detail": "per_query_ms", "part": i, "of": n, "queries": {...}}``
+    that parses independently of its siblings: the tail window keeps the
+    END of stdout, so the later chunks always survive whole and a
+    truncated run still yields per-query data for every chunk inside the
+    window. Values are ``int(round(seconds * 1000))`` of the SAME rounded
+    seconds the per_query_seconds line carries — a duplicate encoding,
+    never a second measurement. Greedy first-fit packing preserves bench
+    execution order (tier order), so chunk membership is stable
+    round-over-round while the surface is."""
+    items = [(name, int(round(s * 1000))) for name, s in per_query_seconds.items()]
+
+    def _line(part: int, of: int, chunk: list[tuple[str, int]]) -> str:
+        return json.dumps(
+            {"detail": "per_query_ms", "part": part, "of": of, "queries": dict(chunk)},
+            separators=(",", ":"),
+        )
+
+    chunks: list[list[tuple[str, int]]] = []
+    cur: list[tuple[str, int]] = []
+    for item in items:
+        if cur and len(_line(9, 9, cur + [item])) > limit:
+            chunks.append(cur)
+            cur = []
+        cur.append(item)
+    if cur:
+        chunks.append(cur)
+    n = len(chunks)
+    return [_line(i + 1, n, c) for i, c in enumerate(chunks)]
+
+
 def compare_runs(current: dict, previous: dict) -> list[str]:
     """Previous-run comparison lines (reference util/run.rs:212-260).
 

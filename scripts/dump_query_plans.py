@@ -1,9 +1,9 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for named queries into plans/r14/.
+"""Dump .explain("formatted") for named queries into plans/r15/.
 
 The optimization-round evidence artifact: for each query touched this
-round, commit `plans/r14/<query>_before.txt` (dumped at the pre-change
-commit) and `plans/r14/<query>_after.txt` (dumped at the post-change
+round, commit `plans/r15/<query>_before.txt` (dumped at the pre-change
+commit) and `plans/r15/<query>_after.txt` (dumped at the post-change
 tree), so the judge can check plan-shape claims without running Spark.
 
 Usage: python scripts/dump_query_plans.py SUFFIX name [name ...]
@@ -46,7 +46,7 @@ def main() -> int:
     except ImportError:
         pass
 
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
     os.makedirs(out_dir, exist_ok=True)
     from datafusion_distributed_experiment_spark.plans import (
         normalize_text,

@@ -305,3 +305,38 @@ def test_bench_cli_flags_map_to_env(monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_BENCH_ITERATIONS", raising=False)
     bench_mod._parse_cli_into_env(["--iterations", "0"])
     assert os.environ["SPARK_GRAFT_BENCH_ITERATIONS"] == "0"
+
+
+def test_chunked_ms_lines_fit_and_round_trip():
+    """Round-15 driver-visibility fix: the per-query map re-encoded as
+    integer-ms detail lines — every line <= 1000 chars and independently
+    parseable, the union of chunks reproduces the full map exactly
+    (ms = round(1000 * s)), parts numbered 1..n in input order."""
+    import json
+
+    from datafusion_distributed_experiment_spark.bench import chunked_ms_lines
+
+    import __spark_entry__ as entry_mod
+
+    # the real surface's names (worst case for line length) with plausible
+    # 2-decimal headline values, exactly as bench.py main builds per_query
+    per_query = {
+        name: round(0.1 + (i % 77) * 0.13, 2)
+        for i, name in enumerate(entry_mod.queries())
+    }
+    lines = chunked_ms_lines(per_query)
+    assert 2 <= len(lines) <= 4, f"expected a handful of chunks, got {len(lines)}"
+    merged: dict[str, int] = {}
+    for i, line in enumerate(lines):
+        assert len(line) <= 1000, f"chunk {i + 1} is {len(line)} chars"
+        obj = json.loads(line)
+        assert obj["detail"] == "per_query_ms"
+        assert obj["part"] == i + 1 and obj["of"] == len(lines)
+        assert not (set(obj["queries"]) & set(merged)), "chunks must not overlap"
+        merged.update(obj["queries"])
+    assert merged == {n: int(round(s * 1000)) for n, s in per_query.items()}
+    # order stability: concatenated chunk keys == input order
+    keys: list[str] = []
+    for line in lines:
+        keys.extend(json.loads(line)["queries"])
+    assert keys == list(per_query)
