@@ -1357,7 +1357,12 @@ def _minhash_change_batch(hist: DataFrame, max_id: int) -> DataFrame:
     return dele.unionAll(upd).unionAll(ins)
 
 
-def _write_base_band_index(hist: DataFrame, path: str) -> None:
+def _write_base_band_index(
+    hist: DataFrame,
+    path: str,
+    rm_keys: DataFrame | None = None,
+    delta_bands: DataFrame | None = None,
+) -> None:
     """Base index: full STATIC write partitioned by (band_idx, bucket) —
     the build-once step a production pipeline amortizes across every
     later refresh. The repartition on the partition columns is the
@@ -1367,11 +1372,28 @@ def _write_base_band_index(hist: DataFrame, path: str) -> None:
     the oracle's glob). The width is pinned explicitly
     (``partitioned_write_width``: min(session width, partition count))
     so AQE cannot stage-and-coalesce the exchange into one serial writer
-    task (the IVF base-write measurement, similarity._write_base_index)."""
+    task (the IVF base-write measurement, similarity._write_base_index).
+
+    ``rm_keys`` / ``delta_bands`` (optimization round 15, the
+    ``similarity._write_base_index`` fold mirrored): when the SAME
+    invocation that builds the base also applies a CDC delta (the
+    declared ``minhash_index_upsert`` lifecycle), the post-delta state
+    — ``bands(hist) ⟕anti rm_keys ∪ delta_bands`` — is written directly
+    in this one pass, saving the index read-back, the per-partition
+    stats aggregate and the second (touched-partition) write the
+    build-then-rewrite shape paid. Broadcast anti-join: the index side
+    still never shuffles; static overwrite clears emptied partitions
+    with the rest of the stale layout. :func:`_apply_band_delta` remains
+    the standalone refresh kernel for a PRE-EXISTING index."""
     from ..sources.tables import partitioned_write_width
 
+    bands = _bands_with_bucket(_with_signature(hist).select("doc_id", "sig"))
+    if rm_keys is not None:
+        bands = bands.join(F.broadcast(rm_keys), "doc_id", "left_anti")
+    if delta_bands is not None:
+        bands = bands.unionByName(delta_bands.select(*bands.columns))
     (
-        _bands_with_bucket(_with_signature(hist).select("doc_id", "sig"))
+        bands
         .repartition(
             partitioned_write_width(
                 hist.sparkSession, len(BANDS) * MINHASH_INDEX_BUCKETS
@@ -1605,16 +1627,20 @@ def minhash_index_spill_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance of the persisted MinHash LSH band index
     (staged round 14): build the partitioned index from the historical
-    corpus once, apply a CDC-shaped document change batch
+    corpus, apply a CDC-shaped document change batch
     (insert/update/delete, derived deterministically — see
-    :func:`_minhash_change_batch`) by rewriting only the touched
-    (band_idx, bucket) partitions, then serve a near-dup probe of the
+    :func:`_minhash_change_batch`), then serve a near-dup probe of the
     delta batch from the maintained on-disk index. Completes the dedup
     lifecycle (signatures -> pairs -> clusters -> incremental ->
     MAINTAINED index) exactly as rounds 12-14 completed the ANN lifecycle
     — the production daily-ingest dedup shape at 100 TB, mirroring the
     reference's register-then-query lifecycle
-    (``benchmarks/src/tpch/run.rs:311-345``) extended in time.
+    (``benchmarks/src/tpch/run.rs:311-345``) extended in time. Because
+    this single invocation carries BOTH lifecycle steps, the base write
+    and the delta apply fold into one partitioned write (optimization
+    round 15 — see :func:`_write_base_band_index`); the standalone
+    touched-partition refresh kernel for a pre-existing index is
+    :func:`_apply_band_delta`, pinned by its own tests.
 
     The maintained index is BIT-IDENTICAL to a from-scratch rebuild over
     the merged corpus (pinned by pytest — MinHash has no fitted model, so
@@ -1637,7 +1663,6 @@ def minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "probe_id bigint, index_id bigint, jaccard_ppm bigint"
         )
     path = minhash_index_location(n_hist, fp)
-    _write_base_band_index(hist, path)
 
     # eager=False: the change batch is three cheap filters over the
     # already-checkpointed hist blocks; its first consuming job forces and
@@ -1650,20 +1675,21 @@ def minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = cdc_merge(hist, changes, key="doc_id")
     delta_docs = changes.filter(F.col("__op").isin("I", "U")).select("doc_id", "text")
     # probe == delta: signatures computed ONCE, map-only, shared by the
-    # delta apply and the serve probe
+    # index write and the serve probe
     delta_sigs = (
         _with_signature(delta_docs).select("doc_id", "toks", "sig").localCheckpoint()
     )
     rm_keys = changes.filter(F.col("__op").isin("U", "D")).select("doc_id")
     delta_bands = _bands_with_bucket(delta_sigs.select("doc_id", "sig"))
-    # the probe IS the delta batch, so the delta rows' partition set doubles
-    # as the probe's partition-pruning set — collect it ONCE and share it
-    # between the delta apply and the serve probe (optimization round 14)
+    # base write + delta apply folded into ONE partitioned write
+    # (optimization round 15 — see _write_base_band_index); the probe IS
+    # the delta batch, so its partition set (collected once) prunes the
+    # serve scan exactly as before
+    _write_base_band_index(hist, path, rm_keys=rm_keys, delta_bands=delta_bands)
     new_parts = {
         (int(r["band_idx"]), int(r["bucket"]))
         for r in delta_bands.select("band_idx", "bucket").distinct().collect()
     }
-    _apply_band_delta(spark, path, delta_bands, rm_keys, new_parts=new_parts)
     return probe_band_index(spark, path, delta_sigs, merged, probed=sorted(new_parts))
 
 

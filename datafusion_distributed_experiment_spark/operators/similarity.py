@@ -1069,10 +1069,30 @@ def _write_base_index(
     cb: list,
     path: str,
     scores: F.Column | None = None,
+    rm_keys: DataFrame | None = None,
+    delta_enc: DataFrame | None = None,
 ) -> None:
     """Base index: full STATIC write partitioned by list_id (clears any
     stale same-count layout) — the build-once step a production pipeline
     amortizes across every later refresh.
+
+    ``rm_keys`` / ``delta_enc`` (optimization round 15, guide §6 one
+    write pass): when the SAME invocation that builds the base also
+    applies a CDC delta (the declared ``ivf_pq_index_upsert`` lifecycle),
+    the post-delta state is known before the first byte is written —
+    the base encode is in flight, the delta encodes map-side from the
+    change batch — so writing base-then-rewrite-touched pays one full
+    partitioned write PLUS an index read-back, a K-row stats aggregate
+    and a second (touched-list) write for bytes this function could have
+    written correctly the first time. Passing the removal key set and
+    the encoded delta folds the maintain step into THIS single write:
+    ``encode(base) ⟕anti rm_keys ∪ delta_enc`` — row-for-row the frozen-
+    model encode of the merged corpus (the bit-identical-rebuild pytest
+    pin). The broadcast anti-join keeps the index-never-shuffles
+    property; static overwrite clears emptied lists with the rest of the
+    stale layout. :func:`_apply_index_delta` remains the standalone
+    refresh kernel for a PRE-EXISTING index (its own tests pin the
+    O(delta + touched bytes) contract).
 
     The repartition on list_id is the write_bucketed shuffle-at-write
     analog, and it is what keeps the layout sane: WITHOUT it every input
@@ -1086,8 +1106,13 @@ def _write_base_index(
     task (measured 1.31 s -> 0.74 s on this write alone)."""
     from ..sources.tables import partitioned_write_width
 
+    enc = _pq_encode(vecs, centroids, cb, scores=scores)
+    if rm_keys is not None:
+        enc = enc.join(F.broadcast(rm_keys), "vec_id", "left_anti")
+    if delta_enc is not None:
+        enc = enc.unionByName(delta_enc.select(*enc.columns))
     (
-        _pq_encode(vecs, centroids, cb, scores=scores)
+        enc
         .select("vec_id", "codes", "list_id")  # partition col LAST
         .repartition(
             partitioned_write_width(vecs.sparkSession, len(centroids)),
@@ -1201,13 +1226,17 @@ def _apply_index_delta(
 
 def ivf_pq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF-PQ index maintenance (staged round 13): build the
-    partitioned index from the ORIGINAL corpus once, apply a CDC-shaped
-    change batch (insert/update/delete, derived deterministically from the
-    corpus — see :func:`_upsert_change_batch`) by rewriting only the
-    touched inverted lists, then serve from the maintained on-disk index.
-    Mirrors the reference's register-then-query lifecycle
-    (``benchmarks/src/tpch/run.rs:311-345``) extended in TIME: register
-    once, refresh daily, query always.
+    partitioned index from the ORIGINAL corpus, apply a CDC-shaped change
+    batch (insert/update/delete, derived deterministically from the
+    corpus — see :func:`_upsert_change_batch`), then serve from the
+    maintained on-disk index. Mirrors the reference's register-then-query
+    lifecycle (``benchmarks/src/tpch/run.rs:311-345``) extended in TIME:
+    register once, refresh daily, query always. Because this single
+    invocation carries BOTH lifecycle steps, the base write and the delta
+    apply fold into one partitioned write (optimization round 15 — see
+    :func:`_write_base_index`); the standalone touched-list refresh
+    kernel for a pre-existing index is :func:`_apply_index_delta`,
+    pinned by its own tests.
 
     The serve result is BIT-IDENTICAL to a full rebuild over the merged
     corpus under the same frozen model (pinned by pytest), and the DuckDB
@@ -1239,7 +1268,6 @@ def ivf_pq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     path = ivf_pq_upsert_location(n_orig, fp)
     scores = _centroid_scores(centroids)  # parsed once: build/delta/probe
-    _write_base_index(vecs, centroids, cb, path, scores=scores)
 
     changes = _upsert_change_batch(vecs, max_id).localCheckpoint()
     # the maintained corpus (refine needs updated/inserted vectors); the
@@ -1258,7 +1286,17 @@ def ivf_pq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores=scores,
     )
     rm_keys = changes.filter(F.col("__op").isin("U", "D")).select("vec_id")
-    _apply_index_delta(spark, path, delta_enc, rm_keys)
+    # base write + delta apply folded into ONE partitioned write
+    # (optimization round 15, guide §6): this invocation builds the base
+    # in flight, so the post-delta state is written directly — the old
+    # shape paid a second write pass plus an index read-back and a K-row
+    # stats collect to rewrite the touched lists it had just written.
+    # _apply_index_delta (pinned by tests) remains the standalone refresh
+    # kernel against a pre-existing index.
+    _write_base_index(
+        vecs, centroids, cb, path, scores=scores,
+        rm_keys=rm_keys, delta_enc=delta_enc,
+    )
 
     index = spark.read.parquet(path).withColumn(
         "list_id", F.col("list_id").cast("long")

@@ -389,3 +389,48 @@ def test_apply_index_delta_equals_set_semantics_on_random_inputs(
         + [(v, tuple(c), l) for v, c, l in delta_rows]
     )
     assert got == want, (base_rows, delta_rows, sorted(rm_effective))
+
+
+def test_folded_write_equals_base_minus_rm_plus_delta(spark):
+    """Round-15 fold: _write_base_index(rm_keys=, delta_enc=) writes the
+    post-delta state in ONE pass — on-disk content must equal
+    encode(base) minus the removal keys plus the delta encodings, for an
+    arbitrary (not batch-derived) delta, including a list emptied by the
+    removal (static overwrite clears its directory)."""
+    vecs, centroids, cb, seed_rows = _frozen_fit(spark)
+    path = ivf_pq_upsert_location(*corpus_fingerprint(vecs)) + "_foldtest"
+    base = {
+        (int(r["vec_id"]), int(r["list_id"]), tuple(r["codes"]))
+        for r in _pq_encode(vecs, centroids, cb).collect()
+    }
+    # remove every vector of ONE list (empties it) plus one more key;
+    # insert a fresh id into a different list
+    lists = sorted({l for _, l, _ in base})
+    assert len(lists) >= 2
+    victim = lists[0]
+    other = lists[-1]
+    rm_ids = {v for v, l, _ in base if l == victim}
+    rm_ids.add(next(v for v, l, _ in base if l == other))
+    max_id = max(v for v, _, _ in base)
+    some_codes = next(c for _, l, c in base if l == other)
+    delta_enc = spark.createDataFrame(
+        [(max_id + 7, list(some_codes), other)],
+        "vec_id long, codes array<int>, list_id long",
+    )
+    rm_keys = spark.createDataFrame([(v,) for v in sorted(rm_ids)], "vec_id long")
+    _write_base_index(
+        vecs, centroids, cb, path, rm_keys=rm_keys, delta_enc=delta_enc
+    )
+    got = {
+        (int(r["vec_id"]), int(r["list_id"]), tuple(r["codes"]))
+        for r in spark.read.parquet(path)
+        .withColumn("list_id", F.col("list_id").cast("long"))
+        .collect()
+    }
+    want = {t for t in base if t[0] not in rm_ids} | {
+        (max_id + 7, other, tuple(some_codes))
+    }
+    assert got == want
+    # the emptied list has no directory (static overwrite wrote only
+    # surviving partitions into a cleared path)
+    assert not os.path.exists(os.path.join(path, f"list_id={victim}"))

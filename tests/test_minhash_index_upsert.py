@@ -406,3 +406,42 @@ def test_apply_band_delta_equals_set_semantics_on_random_inputs(
         [t for t in base_rows if t[0] not in rm_effective] + delta_rows
     )
     assert got == want, (base_rows, delta_rows, sorted(rm_effective))
+
+
+def test_folded_band_write_equals_base_minus_rm_plus_delta(spark):
+    """Round-15 fold: _write_base_band_index(rm_keys=, delta_bands=)
+    writes the post-delta state in ONE pass — on-disk content must equal
+    bands(hist) minus the removal keys plus the delta band rows, for an
+    arbitrary delta, including a partition emptied by the removal."""
+    hist, max_id, path = _hist_stats(spark)
+    path = path + "_foldtest"
+    base = {
+        (int(r["doc_id"]), int(r["band_idx"]), int(r["x"]), int(r["y"]), int(r["bucket"]))
+        for r in _bands_with_bucket(
+            _with_signature(hist).select("doc_id", "sig")
+        ).collect()
+    }
+    # pick a small partition to empty entirely, plus one extra removal key
+    from collections import Counter
+
+    part_rows = Counter((b, k) for _, b, _, _, k in base)
+    victim = min(part_rows, key=part_rows.get)
+    rm_ids = {d for d, b, _, _, k in base if (b, k) == victim}
+    rm_ids.add(next(d for d, b, _, _, k in base if (b, k) != victim))
+    some = next(t for t in base if (t[1], t[4]) != victim)
+    delta = (max_id + 9, some[1], some[2], some[3], some[4])
+    delta_bands = spark.createDataFrame(
+        [delta], "doc_id long, band_idx long, x long, y long, bucket long"
+    )
+    rm_keys = spark.createDataFrame([(d,) for d in sorted(rm_ids)], "doc_id long")
+    _write_base_band_index(hist, path, rm_keys=rm_keys, delta_bands=delta_bands)
+    got = {
+        (int(r["doc_id"]), int(r["band_idx"]), int(r["x"]), int(r["y"]), int(r["bucket"]))
+        for r in _read_band_index(spark, path).collect()
+    }
+    want = {t for t in base if t[0] not in rm_ids} | {delta}
+    assert got == want
+    # the emptied partition has no directory
+    assert not os.path.exists(
+        os.path.join(path, f"band_idx={victim[0]}", f"bucket={victim[1]}")
+    )
